@@ -1,0 +1,607 @@
+"""Relational query surface: scans, filters, joins, aggregations, windows,
+sorts, set ops.
+
+The reference contains none of these beyond filter/select (SURVEY §2.3-2.6:
+no join, no groupBy, no window, no sort anywhere in /root/reference); this
+module is the declared engine surface that generalizes its filter/split ops
+(Glue/Glue_job.py:84-93) into a full analytics engine, exercised against the
+driver's TPC-H-ish testdata.
+
+Every query returns a DataFrame whose column names match its oracle SQL
+exactly. Double aggregates go through decimal casts (functions.deterministic)
+so Spark and DuckDB agree bit-for-bit regardless of accumulation order.
+
+Scale notes (100 TB design stance):
+- Dimension joins (region/nation/customer vs fact tables) are explicitly
+  ``broadcast()`` — no shuffle of the fact side.
+- Large-large joins rely on AQE (skew split, SMJ); keys here are TPC-H-style
+  surrogate keys with uniform distribution.
+- Windows partition by a key (never a global window without partitioning,
+  except the bounded top-k whose input is pre-aggregated/limited).
+- No ``collect()`` anywhere; everything stays a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..session import tune
+from ..sources.readers import load_table
+
+# name -> (fn, oracle_sql | None); assembled by registry.py
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan -> filter -> hash agg -> sort)
+# Generalizes the reference's filter/derive/route core (Glue_job.py:51-95).
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", _Q1_SQL)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / derived columns (generalizes Glue_job.py:84-93 P12-P16)
+# ---------------------------------------------------------------------------
+
+_Q02_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_quantity,
+  CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DOUBLE) AS net_price,
+  l_returnflag
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+  AND l_discount > 0.05
+  AND l_returnflag IN ('A', 'R')
+"""
+
+
+@query("q02_filter_project", _Q02_SQL)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+            & (F.col("l_discount") > 0.05)
+            & F.col("l_returnflag").isin("A", "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("double")
+            .alias("net_price"),
+            "l_returnflag",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicate family (between / isin / null checks) — Glue_job.py:56-61 P5-P8,
+# computed as one full-scan aggregate (the engine's replacement for the
+# reference's sampled GE gate, SURVEY §2.9).
+# ---------------------------------------------------------------------------
+
+_Q03_SQL = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(*) FILTER (WHERE l_quantity BETWEEN 10 AND 20) AS n_qty_in_range,
+  COUNT(*) FILTER (WHERE l_returnflag IN ('A', 'N')) AS n_flag_in_set,
+  COUNT(*) FILTER (WHERE l_partkey IS NOT NULL) AS n_partkey_present,
+  COUNT(*) FILTER (WHERE l_discount > 0.08 AND l_tax < 0.05) AS n_conj,
+  COUNT(*) FILTER (WHERE l_returnflag = 'R' OR l_linestatus = 'O') AS n_disj
+FROM lineitem
+"""
+
+
+@query("q03_predicates", _Q03_SQL)
+def q03_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def cif(cond):
+        return F.count(F.when(cond, 1))
+
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        cif(F.col("l_quantity").between(10, 20)).alias("n_qty_in_range"),
+        cif(F.col("l_returnflag").isin("A", "N")).alias("n_flag_in_set"),
+        cif(F.col("l_partkey").isNotNull()).alias("n_partkey_present"),
+        cif((F.col("l_discount") > 0.08) & (F.col("l_tax") < 0.05)).alias("n_conj"),
+        cif((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "O")).alias("n_disj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 declared surface; none exist in the reference)
+# ---------------------------------------------------------------------------
+
+_Q04_SQL = """
+SELECT
+  r.r_name,
+  n.n_name,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+"""
+
+
+@query("q04_join_multiway_broadcast", _Q04_SQL)
+def q04_join_multiway_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join. customer/nation/region are broadcast — the
+    orders side never shuffles (at 100 TB the fact scan streams through
+    three broadcast hash joins in one stage)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1997-01-01")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q05_SQL = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  COUNT(o.o_orderkey) AS n_orders,
+  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 0) AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+@query("q05_join_left_outer", _Q05_SQL)
+def q05_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+_Q06_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+
+
+@query("q06_join_semi", _Q06_SQL)
+def q06_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_Q07_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+@query("q07_join_anti", _Q07_SQL)
+def q07_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big-ticket order (non-empty at every sf, so the
+    oracle check is not vacuous)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_Q08_SQL = """
+SELECT
+  n.n_name,
+  COUNT(*) AS n_pairs
+FROM supplier s
+JOIN customer c ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("q08_join_theta", _Q08_SQL)
+def q08_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + theta residual: Spark plans the equi part as a hash/SMJ join
+    and applies the inequality as a post-join filter — never a cartesian."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("n_name")
+    )
+
+
+_Q08B_SQL = """
+SELECT r.r_name, n.n_name
+FROM region r
+CROSS JOIN nation n
+ORDER BY r.r_name, n.n_name
+"""
+
+
+@query("q08b_join_cross", _Q08B_SQL)
+def q08b_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4 declared surface; reference only has count())
+# ---------------------------------------------------------------------------
+
+_Q09_SQL = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q09_agg_basic", _Q09_SQL)
+def q09_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+            (dsum("o_totalprice") / F.count("o_totalprice")).alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q10_SQL = """
+SELECT
+  o_orderstatus,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+  STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q10_agg_distinct", _Q10_SQL)
+def q10_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_Q11_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q11_agg_rollup", _Q11_SQL)
+def q11_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+_Q12_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("q12_agg_cube", _Q12_SQL)
+def q12_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5 declared surface)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT
+    o_custkey, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) AS BIGINT) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+@query("q13_window_topk_per_key", _Q13_SQL)
+def q13_window_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Partitioned window (one shuffle on the
+    key); deterministic tiebreak on o_orderkey so oracle rows match."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_Q14_SQL = """
+SELECT
+  user_id, event_id, value,
+  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+  LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+  CAST(RANK() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rnk,
+  CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_dense_rnk
+FROM events
+"""
+
+
+@query("q14_window_lag_lead_rank", _Q14_SQL)
+def q14_window_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = W.partitionBy("user_id").orderBy("event_type")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wt).cast("bigint").alias("type_dense_rnk"),
+    )
+
+
+_Q15_SQL = """
+SELECT
+  user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_value,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS n_in_frame
+FROM events
+"""
+
+
+@query("q15_window_running_frames", _Q15_SQL)
+def q15_window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_frame = W.partitionBy("user_id").orderBy(*order).rowsBetween(-2, W.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w_run)
+        .cast("double")
+        .alias("running_value"),
+        F.count("*").over(w_frame).cast("bigint").alias("n_in_frame"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / global top-k
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("q16_sort_limit_topk", _Q16_SQL)
+def q16_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver, never a full sort
+    of 100 TB. Deterministic tiebreak on o_orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (generalizes U1 unionByName, Glue_job.py:116)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+WITH pre AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+),
+post AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT 'only_pre' AS side, o_custkey FROM (SELECT o_custkey FROM pre EXCEPT SELECT o_custkey FROM post)
+UNION ALL
+SELECT 'only_post' AS side, o_custkey FROM (SELECT o_custkey FROM post EXCEPT SELECT o_custkey FROM pre)
+UNION ALL
+SELECT 'both' AS side, o_custkey FROM (SELECT o_custkey FROM pre INTERSECT SELECT o_custkey FROM post)
+"""
+
+
+@query("q17_set_ops", _Q17_SQL)
+def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pre = o.filter(F.col("o_orderdate") < "1996-01-01").select("o_custkey").distinct()
+    post = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey").distinct()
+    return (
+        pre.exceptAll(post).select(F.lit("only_pre").alias("side"), "o_custkey")
+        .unionByName(post.exceptAll(pre).select(F.lit("only_post").alias("side"), "o_custkey"))
+        .unionByName(pre.intersect(post).select(F.lit("both").alias("side"), "o_custkey"))
+    )
+
+
+_Q17B_SQL = """
+SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 100000
+"""
+
+
+@query("q17b_union_distinct", _Q17B_SQL)
+def q17b_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey", "o_orderkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey", "o_orderkey")
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets via SQL entry point (spark.sql twin of the DataFrame API)
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@query("q18_grouping_sets", _Q18_SQL)
+def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point: same engine, spark.sql() instead of the DataFrame API."""
+    tune(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q18_SQL)

@@ -1,0 +1,75 @@
+"""Readers.
+
+- ``load_table``: schema-declared parquet scan of a driver testdata table.
+  Declaring the schema (instead of relying on footer inference per query)
+  keeps planning cheap and makes pushdown/pruning deterministic.
+- ``read_raw_telemetry``: the reference's raw layer is one *JSON array of
+  event objects per file* (consumer_etl.py:63-67). The reference parses this
+  in two passes (from_json array<string> -> explode -> from_json struct,
+  Glue_job.py:32-48); we parse once with the full ``array<struct>`` schema —
+  half the JSON CPU, same rows (SURVEY §4 "codegen" row). Corrupt file lines
+  are captured, not silently nulled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import PHYSICAL_SCHEMAS, TABLE_NAMES, TELEMETRY_SCHEMA, TESTDATA_SCHEMAS
+from ..session import tune
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # parquet TIMESTAMP(NANOS) -> scan as long (nanosAsLong conf, set by
+        # tune()), then exact integer ns->us conversion to timestamp_ntz.
+        tune(spark)
+        df = spark.read.schema(PHYSICAL_SCHEMAS["events"]).parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        ).select(*(f.name for f in TESTDATA_SCHEMAS["events"].fields))
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each testdata table as a temp view for spark.sql entry points."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_raw_telemetry(
+    spark: SparkSession,
+    raw_dir: str,
+    schema: T.StructType = TELEMETRY_SCHEMA,
+) -> DataFrame:
+    """Parse raw array-of-JSON batch files into typed telemetry rows.
+
+    One pass: from_json with array<struct<...>> + explode. A line that fails
+    to parse as a JSON array yields a row with ``_corrupt_record`` set and all
+    telemetry columns NULL, so corrupt input is observable downstream
+    (SURVEY §4 correction 4). Scales: narrow ops only, no shuffle, no
+    driver-side collect; file parallelism = input splits.
+    """
+    raw = spark.read.text(raw_dir)
+    arr = F.from_json(F.col("value"), T.ArrayType(schema))
+    exploded = (
+        raw.select(
+            F.col("value"),
+            F.explode_outer(arr).alias("event"),
+            arr.isNull().alias("_is_corrupt"),
+        )
+        .select(
+            "event.*",
+            F.when(F.col("_is_corrupt"), F.col("value")).alias("_corrupt_record"),
+        )
+    )
+    return exploded

@@ -1,0 +1,73 @@
+"""Local mirror of the driver's DuckDB differential check.
+
+Runs a declared Spark query and its oracle SQL on the same sf dir, then
+compares row count, column names, and order-insensitive values (floats to a
+tolerance when exact match fails — the declared queries aim for exact via
+decimal-cast aggregates, so the tolerance path flags anything suspicious).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def compare(spark, sf_dir: str, fn, sql: str, name: str = "?") -> None:
+    sdf = fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_con(sf_dir)
+    res = con.execute(sql)
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+    con.close()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: rowcount mismatch spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
+    mismatches = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"spark={sn[mismatches[0]]} duckdb={dn[mismatches[0]]}"
+    )

@@ -1,0 +1,51 @@
+"""DuckDB differential tests for every declared query that has an oracle.
+
+Mirrors the driver's CORRECTNESS check at sf0.01 (TESTDATA.md). Runs at
+sf0.001 by default for speed; set ORACLE_SF_DIR=/root/testdata/sf0.01 to run
+the exact driver configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from .oracle_harness import compare
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _cases():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    return [(name, qs[name], oracles[name]) for name in qs if name in oracles]
+
+
+@pytest.mark.parametrize("name,fn,sql", _cases(), ids=lambda x: x if isinstance(x, str) else "")
+def test_oracle(spark, name, fn, sql):
+    compare(spark, SF_DIR, fn, sql, name=name)
+
+
+def test_all_queries_return_rows(spark):
+    """Queries without oracles still must run and return a stable schema."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name, fn in qs.items():
+        if name in oracles:
+            continue
+        df = fn(spark, SF_DIR)
+        assert df.columns, f"{name}: no columns"
+        df.limit(5).collect()  # must execute
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
