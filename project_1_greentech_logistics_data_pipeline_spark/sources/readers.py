@@ -67,6 +67,11 @@ def read_raw_telemetry(
             F.explode_outer(arr).alias("event"),
             arr.isNull().alias("_is_corrupt"),
         )
+        # explode_outer keeps one NULL row per unparseable line (wanted: that
+        # is the corrupt record) but also one per EMPTY array (unwanted
+        # phantom row for an empty batch file) — keep only real events or
+        # genuinely corrupt lines.
+        .filter(F.col("_is_corrupt") | F.col("event").isNotNull())
         .select(
             "event.*",
             F.when(F.col("_is_corrupt"), F.col("value")).alias("_corrupt_record"),
