@@ -1,0 +1,284 @@
+"""Scalar function surface: string / date / math / array / map / json /
+conditional (SURVEY §2.7).
+
+The reference's scalar usage is json parse + when/isnan/between/isin +
+current_timestamp (Glue_job.py:32-81) plus Snowflake-side path extraction
+($1:f::TYPE, Curated_pipe.sql:7-15). These queries declare the generalized
+surface over the testdata, each with a DuckDB oracle.
+
+Cross-engine determinism notes:
+- transcendental functions (ln/pow/sqrt) are rounded to 6 decimals on both
+  sides — JVM and DuckDB libm can differ in the last ulp;
+- integer-valued derivations are cast to the same width on both sides
+  (Spark int vs DuckDB BIGINT defaults differ);
+- array-typed results are exercised via scalar derivations (size, join,
+  element_at) so value comparison stays representation-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..session import tune
+from ..sources.readers import load_table
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+_Q20_SQL = """
+SELECT
+  p_partkey,
+  UPPER(p_name) AS name_upper,
+  LOWER(p_type) AS type_lower,
+  SUBSTRING(p_name, 1, 5) AS name_prefix,
+  TRIM(CONCAT('  ', p_name, '  ')) AS name_trimmed,
+  (p_brand LIKE 'Brand#1%') AS is_brand1x,
+  REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS brand_num,
+  SPLIT_PART(p_name, ' ', 1) AS first_word,
+  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+  REPLACE(p_type, 'ECONOMY', 'ECO') AS type_replaced
+FROM part
+"""
+
+
+@query("q20_string_funcs", _Q20_SQL)
+def q20_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.col("p_brand").like("Brand#1%").alias("is_brand1x"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_replaced"),
+    )
+
+
+_Q21_SQL = """
+SELECT
+  o_orderkey,
+  CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+  CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+  CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+  CAST(DAYOFWEEK(o_orderdate) AS INTEGER) AS order_dow_sun0,
+  STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_1995,
+  CAST(o_orderdate AS DATE) + 30 AS due_date,
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str
+FROM orders
+"""
+
+
+@query("q21_date_funcs", _Q21_SQL)
+def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        # DuckDB dayofweek is Sunday=0; Spark's is Sunday=1
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow_sun0"),
+        # DuckDB DATE_TRUNC('month', ts) yields DATE; compare as string
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("int")
+        .alias("days_since_1995"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+_Q22_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ABS(l_discount - 0.05) AS disc_dev,
+  CEIL(l_extendedprice) AS price_ceil,
+  FLOOR(l_extendedprice) AS price_floor,
+  ROUND(l_extendedprice, 1) AS price_round1,
+  ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+  ROUND(LN(l_extendedprice), 6) AS price_ln,
+  ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+  CAST(l_linenumber % 3 AS INTEGER) AS line_mod3,
+  GREATEST(l_discount, l_tax) AS max_rate,
+  LEAST(l_discount, l_tax) AS min_rate
+FROM lineitem
+"""
+
+
+@query("q22_math_funcs", _Q22_SQL)
+def q22_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_linenumber") % 3).cast("int").alias("line_mod3"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+_Q23_SQL = """
+SELECT
+  doc_id,
+  CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER) AS n_unique_tokens,
+  STRING_SPLIT(text, ' ')[1] AS first_token,
+  STRING_SPLIT(text, ' ')[-1] AS last_token,
+  LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' ')))[1] AS min_token,
+  LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
+  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' ')))[1:3], '|') AS first3_sorted
+FROM documents
+"""
+
+
+@query("q23_array_funcs", _Q23_SQL)
+def q23_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uniq = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(uniq).cast("int").alias("n_unique_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.element_at(F.sort_array(uniq), 1).alias("min_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.sort_array(uniq), 1, 3), "|").alias("first3_sorted"),
+    )
+
+
+_Q24_SQL = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q24_json_extract", _Q24_SQL)
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props string column — the
+    engine-side twin of the Snowpipe $1:field::TYPE projection
+    (Curated_pipe.sql:7-15)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q25_SQL = """
+SELECT
+  o_orderkey,
+  CASE
+    WHEN o_totalprice > 200000 THEN 'high'
+    WHEN o_totalprice > 100000 THEN 'mid'
+    ELSE 'low'
+  END AS price_band,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+  (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH') AS is_priority,
+  IF(o_orderstatus = 'F', o_totalprice, 0.0) AS finished_price
+FROM orders
+"""
+
+
+@query("q25_conditional", _Q25_SQL)
+def q25_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_decoded"
+        ),
+        (
+            (F.col("o_orderpriority") == "1-URGENT")
+            | (F.col("o_orderpriority") == "2-HIGH")
+        ).alias("is_priority"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("finished_price"),
+    )
+
+
+_Q26_SQL = """
+SELECT
+  o_orderstatus,
+  CAST(LEN(LIST(DISTINCT o_orderpriority)) AS INTEGER) AS n_keys,
+  STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS keys_sorted
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q26_map_funcs", _Q26_SQL)
+def q26_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map per group, then derive scalar outputs
+    (map_keys/map_values/element_at) so the oracle comparison stays on
+    scalars — DuckDB has no MAP hash-compatible representation."""
+    o = _t(spark, sf_dir, "orders")
+    grouped = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderpriority", "cnt")))
+            ).alias("prio_counts")
+        )
+    )
+    return grouped.select(
+        "o_orderstatus",
+        F.size(F.map_keys("prio_counts")).cast("int").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys("prio_counts")), ",").alias("keys_sorted"),
+    ).orderBy("o_orderstatus")

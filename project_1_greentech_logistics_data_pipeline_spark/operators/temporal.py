@@ -1,0 +1,297 @@
+"""Temporal operators: as-of join, range join, tumbling-window aggregation,
+sessionization, latest-per-key.
+
+The reference's only time handling is a processing-time stamp
+(Glue_job.py:81) and string event timestamps it never parses; these are the
+event-time operators a real telemetry/analytics engine needs (SURVEY §2.3
+as-of row, §2.8 event-time row). Batch forms here (with DuckDB oracles);
+streaming forms with watermarks live in streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..session import tune
+from ..sources.readers import load_table
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (nearest earlier right row per left row, per key)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """Union-then-window as-of join: O(n log n) per key, one shuffle each
+    side on (key), no range-join blowup.
+
+    Tag both inputs, union by name, sort within key by (ts, side) with right
+    rows first on ties (<= semantics), and carry the most recent right
+    payload forward with last(..., ignorenulls=True). This is the scalable
+    plan for 100 TB: a crossJoin+filter as-of degrades quadratically per key,
+    while this is a single sort-merge pass; skewed keys are handled by AQE.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(key).alias(key) if key in left.columns else F.col(key),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_side"),
+        *payload,
+    ).select(*lcols, "_asof_ts", "_side", *payload)
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy(key)
+        .orderBy("_asof_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_side",
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+_Q30_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, r.o_orderkey AS last_orderkey,
+       r.o_orderdate AS last_orderdate
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+@query("q30_asof_join", _Q30_SQL)
+def q30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the customer's most recent order at event time.
+    Right side deduped per (custkey, orderdate) first — the testdata has
+    duplicate dates per customer, which would make ASOF nondeterministic."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    r = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+            "o_orderkey",
+        )
+    )
+    left = e.select("event_id", "user_id", "ts")
+    joined = asof_join(
+        left, r, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload=["o_orderkey", "o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join against a small banding dimension (broadcast)
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("low", 0.0, 25.0),
+    ("mid", 25.0, 75.0),
+    ("high", 75.0, 101.0),
+]
+
+_Q31_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 101.0)
+)
+SELECT b.band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""
+
+
+@query("q31_range_join_bands", _Q31_SQL)
+def q31_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding via broadcast range join: the only sane plan at scale is
+    BroadcastNestedLoopJoin with the tiny band table broadcast — the fact
+    side streams through unshuffled."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation (batch form of the streaming windowed agg)
+# ---------------------------------------------------------------------------
+
+_Q32_SQL = """
+SELECT
+  STRFTIME(TIME_BUCKET(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q32_tumbling_window_agg", _Q32_SQL)
+def q32_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows via F.window — identical semantics to the
+    Structured Streaming version in streaming/jobs.py, run in batch."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands; 30-minute inactivity gap)
+# ---------------------------------------------------------------------------
+
+_Q33_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30 minutes'
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+  COUNT(*) AS n_events,
+  STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  CAST(DATEDIFF('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@query("q33_sessionize", _Q33_SQL)
+def q33_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: one shuffle on user_id, two window
+    passes over the same partitioning (Catalyst reuses the sort). The
+    streaming twin is session_window() in streaming/jobs.py."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # ntz has no direct long cast; go through ltz (session tz is UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("is_new"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_new").over(w_run).cast("bigint").alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            (
+                F.max(F.col("ts").cast("timestamp").cast("long"))
+                - F.min(F.col("ts").cast("timestamp").cast("long"))
+            )
+            .cast("bigint")
+            .alias("duration_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-per-key via max_by (the DAG's sorted()[-1] newest-file pick,
+# kafka_to_glue_dag.py:47-48, done as a distributed aggregate)
+# ---------------------------------------------------------------------------
+
+_Q34_SQL = """
+SELECT
+  user_id,
+  ARG_MAX(event_id, ts) AS last_event_id,
+  ARG_MAX(event_type, ts) AS last_event_type,
+  STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("q34_latest_per_key", _Q34_SQL)
+def q34_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by latest-reading-per-key: a partial-aggregatable alternative to
+    the row_number top-1 pattern — no window sort, map-side combine works.
+    (ts is unique per user in the testdata, so arg_max is deterministic.)"""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
