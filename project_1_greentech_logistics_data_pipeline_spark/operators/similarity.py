@@ -1,0 +1,224 @@
+"""Similarity search over embeddings (SURVEY §2.10): brute-force cosine top-k
+(oracle-checked baseline) and an LSH-bucketed approximate variant (the scale
+path).
+
+Scale stance: brute-force top-k is O(Q x N) — fine when Q is small or as the
+per-bucket inner loop; beyond ~1e5 corpus vectors the LSH/IVF variant must
+bound candidates per query. Both keep the distance math JVM-side
+(zip_with/aggregate) — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity_expr, dot_expr
+from ..session import tune
+from ..sources.readers import load_table
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+_Q48_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    LIST_COSINE_SIMILARITY(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_raw
+  FROM embeddings q
+  JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+  CAST(ROUND(cos_raw, 6) AS DOUBLE) AS cosine,
+  CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+@query("q48_knn_bruteforce", _Q48_SQL)
+def q48_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a small query set: broadcast the
+    queries against the corpus scan (no shuffle of the corpus), then a
+    per-query top-k window. This is the correct baseline and the oracle
+    anchor for the approximate variant."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cos = cosine_similarity_expr("q_emb", "c_emb")
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cos_raw",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).cast("double").alias("cosine"),
+            "rk",
+        )
+    )
+
+
+# --- approximate: random-hyperplane LSH buckets -----------------------------
+
+# 2^5 = 32 coarse buckets; probing hamming<=2 visits 16/32 = 50% of the
+# corpus. The testdata embeddings are RANDOM (near-orthogonal, no cluster
+# structure), which is the worst case for LSH: recall ~= coverage. On real
+# clustered embeddings raise N_PLANES (coverage drops, locality carries
+# recall); the knob trades candidates-scored per query against recall.
+N_PLANES = 5
+N_PROBE_BITS = 2      # multi-probe: flip up to 2 bits -> 1+5+10 = 16 probes
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-Python LCG so runs
+    are reproducible across drivers/workers with no numpy RNG state)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            v.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def _bucket_expr(emb_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign-pattern bucket id: bit i = (emb . plane_i) >= 0, JVM-side."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot_expr(F.col(emb_col), lit_plane)
+        bucket = bucket + F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)), i)
+    return bucket.cast("int")
+
+
+@query("q49_knn_lsh", None)  # approximate -> rows-only; recall tested in pytest
+def q49_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH coarse buckets + multi-probe.
+
+    Corpus vectors hash to one sign-pattern bucket each (a linear scan);
+    each query probes its own bucket plus all buckets within hamming distance
+    2 (37 probes over 256 buckets ~ 14% of the corpus scored per query).
+    Candidates join on bucket id — an equi-join, so at 100 TB this is one
+    shuffle by bucket instead of a full cross product. Recall vs the exact
+    q48 baseline is asserted in tests/test_similarity.py.
+    """
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64  # testdata embedding dimension (FIXTURES.md §B)
+    planes = _hyperplanes(dim, N_PLANES)
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _bucket_expr("embedding", planes).alias("bucket"),
+    )
+    queries_df = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _bucket_expr("embedding", planes).alias("q_bucket"),
+    )
+    # multi-probe: expand each query to its probe buckets (hamming <= 2)
+    probe_masks = [0] + [1 << i for i in range(N_PLANES)] + [
+        (1 << i) | (1 << j) for i in range(N_PLANES) for j in range(i + 1, N_PLANES)
+    ]
+    probes = queries_df.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.array(*[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in probe_masks])
+        ).alias("bucket"),
+    )
+    cos = cosine_similarity_expr("q_emb", "c_emb")
+    scored = (
+        probes.join(corpus, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cos_raw",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).cast("double").alias("cosine"),
+            "rk",
+        )
+    )
+
+
+@query("q49b_centroid_similarity", None)  # float-array agg order-dependent; rows-only
+def q49b_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroids (posexplode + groupBy — the
+    distributed mean over array<float>), then pairwise centroid cosines.
+    This is the coarse-quantizer training step of an IVF index expressed as
+    DataFrame ops."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    centroids = (
+        comp.groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mean_val"))
+            ).alias("entries")
+        )
+        .select(
+            "label",
+            F.transform(F.col("entries"), lambda s: s["mean_val"]).alias("centroid"),
+        )
+    )
+    a = centroids.select(F.col("label").alias("label_a"), F.col("centroid").alias("c_a"))
+    b = centroids.select(F.col("label").alias("label_b"), F.col("centroid").alias("c_b"))
+    cos = cosine_similarity_expr("c_a", "c_b")
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cos, 6).cast("double").alias("centroid_cosine"),
+        )
+    )

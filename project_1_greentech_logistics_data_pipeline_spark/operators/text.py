@@ -1,0 +1,196 @@
+"""Text-analysis operators over the documents table (SURVEY §2.10): token
+counting, quality scoring, language-ID, document fingerprinting.
+
+These are the LLM-training-data-pipeline primitives the north star requires.
+All hot paths are JVM-side (split/regexp/higher-order functions) — no Python
+UDFs; at 100 TB these run inside whole-stage codegen on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources.readers import load_table
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# Function-word markers per language (public-knowledge stopword heads).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "et", "est", "un"],
+    "es": ["el", "los", "y", "es", "un"],
+    "de": ["der", "die", "und", "ist", "ein"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+LANG_ORDER = ["en", "fr", "es", "de", "zh"]
+
+STOPWORDS = ["the", "a", "of", "and", "is"]
+
+
+def tokens_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def _in_set(markers: list[str]):
+    """Single-arg lambda factory (PySpark higher-order lambdas must not carry
+    default/bound extra parameters — arity is introspected)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return lambda t: F.array_contains(arr, t)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token set — the classic
+    n-gram/stopword heuristic, JVM-side."""
+    toks = tokens_expr(text)
+    return {
+        lang: F.size(F.filter(toks, _in_set(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """argmax over marker scores; ties resolve in LANG_ORDER; all-zero -> 'und'."""
+    scores = lang_scores(text)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((best > 0) & (scores[lang] == best), lang).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+
+
+_Q40_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+    STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT
+  doc_id, lang,
+  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+  CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_unique_tokens,
+  CAST(ROUND(LEN(LIST_DISTINCT(toks))::DOUBLE / LEN(toks), 6) AS DOUBLE) AS type_token_ratio,
+  CAST(ROUND(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x)))::DOUBLE / LEN(toks), 6) AS DOUBLE)
+    AS avg_token_len,
+  CAST(ROUND(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','of','and','is'], x)))::DOUBLE
+    / LEN(toks), 6) AS DOUBLE) AS stopword_ratio,
+  (n_chars >= 50 AND LEN(toks) >= 10) AS passes_length_gate
+FROM t
+"""
+
+
+@query("q40_text_stats", _Q40_SQL)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals (length, TTR, stopword ratio) — the
+    quality-scoring pass of an LLM data pipeline, one narrow projection."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop_n = F.size(F.filter(toks, _in_set(STOPWORDS)))
+    return d.select(
+        "doc_id",
+        "lang",
+        n.cast("bigint").alias("n_tokens"),
+        uniq.cast("bigint").alias("n_unique_tokens"),
+        F.round(uniq.cast("double") / n, 6).alias("type_token_ratio"),
+        F.round(tok_chars.cast("double") / n, 6).alias("avg_token_len"),
+        F.round(stop_n.cast("double") / n, 6).alias("stopword_ratio"),
+        ((F.col("n_chars") >= 50) & (n >= 10)).alias("passes_length_gate"),
+    )
+
+
+_Q41_SQL = """
+SELECT
+  doc_id,
+  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  SUBSTRING(MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))), 1, 4) AS shard_key,
+  CAST(LENGTH(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS BIGINT) AS norm_len
+FROM documents
+"""
+
+
+@query("q41_fingerprint", _Q41_SQL)
+def q41_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint (whitespace-collapse + lowercase
+    + md5). The fingerprint doubles as an exact-dedup key and its prefix as
+    a shard/bucket key at scale."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(norm)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+def _lang_case_sql() -> str:
+    def lst(markers):  # DuckDB list literal: ['a','b',...]
+        return "[" + ", ".join("'" + m + "'" for m in markers) + "]"
+
+    score = {
+        lang: f"LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({lst(markers)}, x)))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    whens = "\n    ".join(
+        f"WHEN s_{lang} = m AND m > 0 THEN '{lang}'" for lang in LANG_ORDER
+    )
+    scores_sel = ",\n    ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    {scores_sel}
+  FROM t
+),
+best AS (
+  SELECT *, {best} AS m FROM scored
+)
+SELECT doc_id, lang AS labeled_lang,
+  CASE
+    {whens}
+    ELSE 'und'
+  END AS predicted_lang
+FROM best
+"""
+
+
+@query("q42_lang_id", _lang_case_sql())
+def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID. (The synthetic corpus shares one English-ish
+    vocabulary across lang labels, so prediction accuracy is exercised in
+    tests/test_text.py on planted multilingual sentences; this query checks
+    the distributed argmax logic end-to-end.)"""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id_expr("text").alias("predicted_lang"),
+    )

@@ -1,0 +1,144 @@
+"""Quality checks for the non-oracle (probabilistic / Pandas-UDF) operators:
+MinHash-LSH recall vs brute force, SimHash invariants, ANN recall vs exact
+top-k, lang-ID accuracy on a planted multilingual corpus, multimodal
+plumbing determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_matches_bruteforce(spark):
+    """LSH precision is 1.0 by construction (exact verify on candidates);
+    recall vs the brute-force q44 must be high at threshold 0.95 with
+    8 bands x 4 rows."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q44_ngram_jaccard_neardup,
+        q45_minhash_lsh_neardup,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in q44_ngram_jaccard_neardup(spark, SF).collect()
+    }
+    lsh_rows = q45_minhash_lsh_neardup(spark, SF).collect()
+    lsh = {(r["doc_a"], r["doc_b"]) for r in lsh_rows}
+    # precision: every LSH pair is >= threshold (they were exactly verified,
+    # but q45 does not block on lang, so it may legitimately find cross-lang
+    # pairs q44's lang blocking hides — only check pairs q44 could see)
+    assert exact, "brute-force found no pairs; threshold miscalibrated"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 ({len(exact)} exact pairs)"
+    for r in lsh_rows:
+        assert r["jaccard"] >= 0.95
+
+
+def test_simhash_invariants(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q44_ngram_jaccard_neardup,
+        q46_simhash_neardup,
+        simhash_docs,
+    )
+
+    docs = simhash_docs(spark, SF)
+    # 64-bit signatures, deterministic across runs
+    sig1 = {r["doc_id"]: r["simhash"] for r in docs.collect()}
+    sig2 = {r["doc_id"]: r["simhash"] for r in simhash_docs(spark, SF).collect()}
+    assert sig1 == sig2
+    pairs = q46_simhash_neardup(spark, SF)
+    rows = pairs.collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 6
+        assert r["doc_a"] < r["doc_b"]
+    # identical token sets (jaccard == 1.0) must have identical simhash
+    j1 = q44_ngram_jaccard_neardup(spark, SF).filter(F.col("jaccard") >= 0.999999)
+    ident = [(r["doc_a"], r["doc_b"]) for r in j1.collect()]
+    assert ident, "no identical-token-set pairs in fixture; check threshold"
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    for a, b in ident:
+        assert found.get((a, b)) == 0, f"identical sets {a},{b} not at hamming 0"
+
+
+def test_ann_lsh_recall(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.similarity import (
+        q48_knn_bruteforce,
+        q49_knn_lsh,
+    )
+
+    exact = {}
+    for r in q48_knn_bruteforce(spark, SF).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in q49_knn_lsh(spark, SF).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(approx.get(q, set()) & nbrs) / len(nbrs) for q, nbrs in exact.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # near-orthogonal random embeddings are the worst case for LSH; the
+    # multi-probe config must still find most true neighbors
+    assert mean_recall >= 0.5, f"ANN mean recall {mean_recall:.3f} < 0.5"
+
+
+def test_lang_id_on_planted_corpus(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        lang_id_expr,
+    )
+
+    corpus = [
+        ("the cat sat on a mat and the dog is here", "en"),
+        ("le chat est sur la table et le chien est un ami", "fr"),
+        ("el gato y los perros es un grupo", "es"),
+        ("der hund und die katze ist ein tier", "de"),
+        ("我 在 这里 的 是 了", "zh"),
+        ("xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame(corpus, "text string, expected string")
+    rows = df.select("expected", lang_id_expr("text").alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], f"{r['expected']} -> {r['got']}"
+
+
+def test_multimodal_plumbing(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        extract_features,
+        media_table,
+    )
+
+    m = media_table(spark, SF)
+    # schema contract: binary content + mime + map metadata
+    media_type = dict(zip(m.schema["media"].dataType.names, (f.dataType.simpleString() for f in m.schema["media"].dataType.fields)))
+    assert media_type["content"] == "binary"
+    assert media_type["meta"].startswith("map<string,string")
+
+    feats = extract_features(m)
+    rows = feats.collect()
+    assert len(rows) == m.count()
+    for r in rows[:20]:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
+        assert r["nbytes"] > 0
+    # deterministic across runs (Arrow batching must not affect results)
+    again = {r["media_id"]: (r["width"], r["height"]) for r in extract_features(m).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == (r["width"], r["height"])
+    # the real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image/png")
+
+
+def test_centroid_similarity_shape(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.similarity import (
+        q49b_centroid_similarity,
+    )
+
+    rows = q49b_centroid_similarity(spark, SF).collect()
+    # 10 labels -> 45 unordered pairs
+    assert len(rows) == 45
+    for r in rows:
+        assert -1.0 <= r["centroid_cosine"] <= 1.0
