@@ -1,0 +1,150 @@
+"""Structured Streaming jobs — the idiomatic replacement for the reference's
+hand-rolled micro-batch loop (SURVEY §2.8).
+
+Reference behavior -> Spark primitive:
+- S3 list-and-compare new-file detection with XCom state
+  (kafka_to_glue_dag.py:37-53)            -> file-source checkpointed offsets
+- bounded drain, <=500 msgs / 60 s
+  (consumer_etl.py:20-21,43-53)           -> maxFilesPerTrigger / AvailableNow
+- one-run-at-a-time Glue lock
+  (kafka_to_glue_dag.py:34,66-73)         -> a single StreamingQuery
+- at-least-once with overwrite masking
+  (consumer_etl.py:34, Glue_job.py:125)   -> checkpoint + per-batch idempotent
+                                             appends keyed by batch_id
+- no event time at all (Glue_job.py:45,81) -> watermarks + tumbling/session
+                                             windows over events
+
+The per-batch transformation is EXACTLY the batch pipeline's (parse ->
+normalize -> validate -> split) — one code path for both modes, which is the
+point of Structured Streaming's incremental-query model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pipeline import normalize, split, validate
+from ..schemas import PIPELINE_NAME
+
+# the raw layer is one JSON array per file (consumer_etl.py:63-67); the file
+# stream reads lines, so parsing is the same from_json as the batch reader
+from ..sources.readers import TELEMETRY_SCHEMA
+
+
+def _parse_stream(raw: DataFrame) -> DataFrame:
+    arr = F.from_json(F.col("value"), T.ArrayType(TELEMETRY_SCHEMA))
+    return (
+        raw.select(
+            F.col("value"),
+            F.explode_outer(arr).alias("event"),
+            arr.isNull().alias("_is_corrupt"),
+        )
+        .filter(F.col("_is_corrupt") | F.col("event").isNotNull())
+        .select(
+            "event.*",
+            F.when(F.col("_is_corrupt"), F.col("value")).alias("_corrupt_record"),
+        )
+    )
+
+
+def run_stream_pipeline(
+    spark: SparkSession,
+    raw_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """File-source streaming pipeline with AvailableNow: process every raw
+    batch file exactly once (across restarts, via the checkpoint WAL), route
+    curated/rejected, append per-batch lineage.
+
+    Returns {'batches': n} after the query drains and stops.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(raw_dir)
+
+    batches_seen: list[int] = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batches_seen.append(batch_id)
+        validated = validate(normalize(_parse_stream(batch_df)))
+        curated, rejected = split(validated)
+        curated = curated.withColumn("processing_date", F.to_date("processed_at"))
+        # idempotent-append layout: one subdir per batch; a replayed batch
+        # overwrites its own directory instead of duplicating rows
+        (
+            curated.write.mode("overwrite")
+            .partitionBy("processing_date")
+            .parquet(f"{out_dir}/curated/batch_id={batch_id}")
+        )
+        rejected.write.mode("overwrite").parquet(
+            f"{out_dir}/rejected/batch_id={batch_id}"
+        )
+        lineage = batch_df.sparkSession.createDataFrame(
+            [
+                ("curated", curated.count(), PIPELINE_NAME, batch_id),
+                ("rejected", rejected.count(), PIPELINE_NAME, batch_id),
+            ],
+            "layer string, record_count long, pipeline_name string, batch_id long",
+        )
+        lineage.write.mode("overwrite").parquet(
+            f"{out_dir}/validated/batch_id={batch_id}"
+        )
+
+    query = (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return {"batches": len(batches_seen)}
+
+
+# --- event-time operators over a stream of events ---------------------------
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark: late rows beyond the
+    watermark are dropped and closed windows emit finalized results (append
+    mode). The batch twin is operators/temporal.py::q32 — same window fn."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (dynamic-gap tumbling): the streaming-native form of
+    the batch gaps-and-islands q33."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -1,0 +1,116 @@
+"""Structured Streaming tests: exactly-once file processing across restarts
+(the behavior the reference hand-rolls with S3 listing + XCom, SURVEY §2.8),
+and event-time watermark windows.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from project_1_greentech_logistics_data_pipeline_spark import testing
+from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+    run_stream_pipeline,
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+
+def test_stream_pipeline_exactly_once_resume(spark, tmp_path):
+    raw = tmp_path / "raw"
+    out = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    exp1 = testing.write_raw_batches(
+        raw, n_events=120, n_files=3, seed=1, include_corrupt_line=False
+    )
+
+    run_stream_pipeline(spark, str(raw), out, ckpt)
+    curated = spark.read.parquet(f"{out}/curated")
+    rejected = spark.read.parquet(f"{out}/rejected")
+    assert curated.count() == exp1["curated"]
+    assert rejected.count() == exp1["rejected"]
+
+    # restart with NO new files: checkpoint must prevent reprocessing
+    res2 = run_stream_pipeline(spark, str(raw), out, ckpt)
+    assert spark.read.parquet(f"{out}/curated").count() == exp1["curated"]
+
+    # add one new file; only it is processed, outputs accumulate
+    extra = [testing.make_event(__import__("random").Random(99), i) for i in range(25)]
+    (raw / "kafka_batch_extra.json").write_text(json.dumps(extra))
+    run_stream_pipeline(spark, str(raw), out, ckpt)
+    curated3 = spark.read.parquet(f"{out}/curated")
+    exp_extra = testing.expected_routing(extra)
+    assert curated3.count() == exp1["curated"] + exp_extra["curated"]
+    assert (
+        spark.read.parquet(f"{out}/rejected").count()
+        == exp1["rejected"] + exp_extra["rejected"]
+    )
+    # lineage written per batch with conservation
+    lin = spark.read.parquet(f"{out}/validated")
+    tot = {r["layer"]: r["s"] for r in lin.groupBy("layer").agg(F.sum("record_count").alias("s")).collect()}
+    assert tot["curated"] + tot["rejected"] == exp1["n_events"] + exp_extra["n_events"]
+
+
+def _event_stream(spark, tmp_path, rows):
+    d = tmp_path / "events_in"
+    d.mkdir(exist_ok=True)
+    (d / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return (
+        spark.readStream.schema("ts timestamp, user_id long, event_type string, value double")
+        .json(str(d))
+    )
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    rows = [
+        {"ts": "2026-01-01 00:01:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"ts": "2026-01-01 00:02:30", "user_id": 1, "event_type": "click", "value": 2.0},
+        {"ts": "2026-01-01 00:07:00", "user_id": 2, "event_type": "view", "value": 3.0},
+        {"ts": "2026-01-01 01:00:00", "user_id": 2, "event_type": "view", "value": 4.0},
+    ]
+    stream = _event_stream(spark, tmp_path, rows)
+    q = (
+        windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # the 01:00 row advances the watermark past the first two windows,
+    # finalizing them in append mode
+    assert got[("2026-01-01 00:00:00", "click")] == 2
+    assert got[("2026-01-01 00:05:00", "view")] == 1
+
+
+def test_session_windows(spark, tmp_path):
+    rows = [
+        {"ts": "2026-01-01 00:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2026-01-01 00:10:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        # 40-minute gap -> new session
+        {"ts": "2026-01-01 00:50:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        # watermark pusher
+        {"ts": "2026-01-01 03:00:00", "user_id": 9, "event_type": "a", "value": 1.0},
+    ]
+    stream = _event_stream(spark, tmp_path, rows)
+    q = (
+        sessionized_counts(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows_out = [
+        (str(r["session_start"]), r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_counts WHERE user_id = 1").collect()
+    ]
+    assert ("2026-01-01 00:00:00", 1, 2) in rows_out
+    assert ("2026-01-01 00:50:00", 1, 1) in rows_out
