@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: run every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the reference-parity
+telemetry pipeline over a generated raw batch, and print ONE JSON line:
+
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Timing = full plan execution into a noop sink (no driver collect in the
+measured path). Each query runs once after a shared session warmup; the
+per-query figure is wall-clock seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("p1gl-bench")
+
+    # warmup: JVM + codegen + parquet footers
+    entry_mod.entry(spark).collect()
+
+    timings: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # reference-parity pipeline over a synthetic raw batch (~20k events)
+    from project_1_greentech_logistics_data_pipeline_spark import testing
+    from project_1_greentech_logistics_data_pipeline_spark.pipeline import run_batch
+
+    raw_dir = tempfile.mkdtemp(prefix="bench_raw_")
+    out_dir = tempfile.mkdtemp(prefix="bench_lake_")
+    testing.write_raw_batches(raw_dir, n_events=20000, n_files=8, seed=42)
+    t0 = time.perf_counter()
+    run_batch(spark, raw_dir, out_dir)
+    timings["pipeline_run_batch_20k"] = round(time.perf_counter() - t0, 3)
+
+    sf = 0.1
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

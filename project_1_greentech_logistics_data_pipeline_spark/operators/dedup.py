@@ -104,33 +104,57 @@ WHERE LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
 """
 
 
+def _jaccard_expr(toks_a, toks_b) -> Column:
+    """|A∩B| / (|A|+|B|-|A∩B|) — one array_intersect instead of
+    intersect+concat+distinct (inclusion-exclusion for the union size)."""
+    inter = F.size(F.array_intersect(toks_a, toks_b))
+    union = F.size(toks_a) + F.size(toks_b) - inter
+    return inter.cast("double") / union
+
+
+def _size_band(sa: Column, sb: Column, threshold: float) -> Column:
+    """Provably-sound prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    J >= t requires the sizes to be within a factor of t. Applied to
+    pre-materialized size columns it prunes most candidate pairs before any
+    array intersection work."""
+    return (sb.cast("double") >= sa * threshold) & (sa.cast("double") >= sb * threshold)
+
+
+def hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, hset, sz): distinct tokens hashed ONCE to sorted
+    longs. Set ops on long arrays are far cheaper than on string arrays
+    (no UTF8 compares, 8-byte elements through joins); a 64-bit collision
+    changing a Jaccard count is astronomically unlikely."""
+    d = load_table(spark, sf_dir, "documents")
+    hset = F.array_sort(
+        F.array_distinct(F.transform(tokens_expr("text"), lambda t: F.xxhash64(t)))
+    )
+    return d.select("doc_id", "lang", hset.alias("hset")).withColumn(
+        "sz", F.size("hset")
+    )
+
+
 @query("q44_ngram_jaccard_neardup", _Q44_SQL)
 def q44_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force token-set Jaccard within lang blocks (the oracle-checkable
-    reference semantics; q45 is the LSH plan that scales). Intersection and
-    union sizes computed with JVM higher-order functions on sorted distinct
-    token arrays."""
-    d = _t(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", "lang", F.array_distinct(tokens_expr("text")).alias("toks")
-    )
+    reference semantics; q45 is the LSH plan that scales). Two constant-factor
+    cuts vs the naive form: the provably-sound size-band join predicate, and
+    hashed (long) token sets instead of string arrays."""
+    tune(spark)
+    docs = hashed_token_sets(spark, sf_dir)
     a = docs.alias("a")
     b = docs.alias("b")
-    inter = F.size(
-        F.filter(F.col("a.toks"), lambda x: F.array_contains(F.col("b.toks"), x))
-    )
-    union = F.size(F.array_distinct(F.concat(F.col("a.toks"), F.col("b.toks"))))
-    jac = inter.cast("double") / union
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _size_band(F.col("a.sz"), F.col("b.sz"), JACCARD_THRESHOLD),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard_raw"),
+            _jaccard_expr(F.col("a.hset"), F.col("b.hset")).alias("jaccard_raw"),
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select(
@@ -143,33 +167,38 @@ def q44_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup — the scale path
 # ---------------------------------------------------------------------------
 
-# 32 hashes = 8 bands x 4 rows. For threshold t=0.95 the S-curve
-# (1-(1-s^4)^8) puts collision probability ~1 at s>=0.95.
+# 32 hashes = 4 bands x 8 rows. S-curve 1-(1-s^8)^4: ~99% collision at
+# s=0.95 but only ~6.5% at s=0.6 — this corpus has HIGH background
+# similarity (median within-lang Jaccard 0.63), so wide bands (r=8) are
+# needed to keep the candidate set near the true-pair set instead of
+# degenerating to a quadratic verify.
 MINHASH_N = 32
-LSH_BANDS = 8
+LSH_BANDS = 4
 LSH_ROWS = MINHASH_N // LSH_BANDS
 # deterministic odd multipliers for the family h_i(x) = xxhash64(tok, seed=i)
 _SEEDS = list(range(MINHASH_N))
 
 
-def _seeded_hash(seed: int):
-    # lambda factory: PySpark higher-order lambdas must be exactly unary
-    return lambda t: F.xxhash64(t, F.lit(seed))
+def _seeded(seed: int):
+    # lambda factory: PySpark higher-order lambdas must be exactly unary.
+    # Hashing the 8-byte base long (not the token string) per seed keeps the
+    # per-seed cost tiny; wraparound affine hashing would be cheaper still
+    # but ANSI mode (Spark 4 default) raises on long overflow.
+    return lambda h: F.xxhash64(h, F.lit(seed))
 
 
-def minhash_signature(toks: Column) -> Column:
-    """array<long> MinHash signature, fully JVM-side: for each seed i,
-    min over tokens of xxhash64(token, i)."""
+def minhash_signature(hset: Column) -> Column:
+    """array<long> MinHash signature over a hashed token set, fully
+    JVM-side: min over tokens of xxhash64(base_hash, seed_i)."""
     return F.array(
-        *[F.array_min(F.transform(toks, _seeded_hash(s))) for s in _SEEDS]
+        *[F.array_min(F.transform(hset, _seeded(s))) for s in _SEEDS]
     )
 
 
 def minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(tokens_expr("text"))
-    return d.select(
-        "doc_id", "lang", toks.alias("toks"), minhash_signature(toks).alias("sig")
+    docs = hashed_token_sets(spark, sf_dir)
+    return docs.select(
+        "doc_id", "lang", "hset", "sz", minhash_signature(F.col("hset")).alias("sig")
     )
 
 
@@ -215,13 +244,9 @@ def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(
-        F.filter(F.col("toks_a"), lambda x: F.array_contains(F.col("toks_b"), x))
-    )
-    union = F.size(F.array_distinct(F.concat(F.col("toks_a"), F.col("toks_b"))))
-    jac = inter.cast("double") / union
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("toks_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("toks_b"))
+    jac = _jaccard_expr(F.col("toks_a"), F.col("toks_b"))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -242,10 +267,9 @@ HAMMING_MAX = 6
 _SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: hamming<=6 -> >=1 identical chunk
 
 
-def simhash_expr(toks: Column) -> Column:
-    """64-bit SimHash as long: per token xxhash64, per bit majority vote.
-    Entirely JVM-side: transform/aggregate over the token array."""
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_expr(hashes: Column) -> Column:
+    """64-bit SimHash as long from a hashed token set: per bit majority
+    vote. Entirely JVM-side: aggregate over the long array."""
 
     def _bit_vote(i: int):
         # binary lambda factory (no extra default params — arity introspected)
@@ -269,9 +293,8 @@ def simhash_expr(toks: Column) -> Column:
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(tokens_expr("text"))
-    return d.select("doc_id", simhash_expr(toks).alias("simhash"))
+    docs = hashed_token_sets(spark, sf_dir)
+    return docs.select("doc_id", simhash_expr(F.col("hset")).alias("simhash"))
 
 
 @query("q46_simhash_neardup", None)  # signature depends on xxhash64 -> rows-only
@@ -345,11 +368,59 @@ def q47_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is operators/similarity.py::q49. Cosine is a zip_with/aggregate
     expression — whole-stage codegen, no UDF."""
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = cosine_similarity_expr("emb_a", "emb_b")
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).cast("double").alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    return _blocked_cosine_pairs(spark, e, COSINE_DUP_THRESHOLD)
+
+
+def _blocked_cosine_pairs(
+    spark: SparkSession, emb: DataFrame, threshold: float
+) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked matrix multiply: the corpus
+    matrix is broadcast (N x 64 doubles — small); each partition of rows
+    multiplies its block against it with one numpy GEMM inside mapInPandas.
+    2M pair-dots drop from ~22s (per-pair JVM fold) to sub-second.
+
+    Scale note: 'broadcast one side' requires that side to fit in executor
+    memory (~1e6 x 64 doubles = 0.5 GB is the practical ceiling); beyond
+    that, tile BOTH sides — outer pipeline over right-side tiles of the same
+    shape — or switch to the LSH/IVF candidates path (q49).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = emb.select("vec_id", "embedding").toPandas()
+    order = rows["vec_id"].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in rows["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((order, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def _block(batches):
+        ids_r, m_r = bc.value
+        for pdf in batches:
+            ids_l = pdf["vec_id"].to_numpy()
+            m_l = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            m_l = m_l / np.linalg.norm(m_l, axis=1, keepdims=True)
+            sims = m_l @ m_r.T
+            li, ri = np.nonzero(
+                (np.round(sims, 6) >= threshold)
+                & (ids_l[:, None] < ids_r[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids_l[li],
+                    "vec_b": ids_r[ri],
+                    "cosine": np.round(sims[li, ri], 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(_block, schema=out_schema)

@@ -264,7 +264,10 @@ def run_batch(
     count() jobs.
     """
     parsed = read_raw_telemetry(spark, raw_dir)
-    validated = validate(normalize(parsed))
+    # cache before fan-out: the gate aggregate, both branch writes, and the
+    # observe pass otherwise each re-execute the full JSON parse (the
+    # reference re-runs its DAG ~10x per run — SURVEY §4 CSE row)
+    validated = validate(normalize(parsed)).persist()
     curated, rejected = split(validated)
 
     if gate_enabled:
@@ -305,6 +308,7 @@ def run_batch(
         "layer string, record_count long, pipeline_name string, run_timestamp timestamp",
     )
     write_table(lineage, f"{out_dir}/validated", mode="append", fmt=fmt)
+    validated.unpersist()
     return PipelineResult(cur_n, rej_n, corrupt_n, lineage, report)
 
 

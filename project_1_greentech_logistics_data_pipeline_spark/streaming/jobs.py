@@ -34,18 +34,17 @@ from ..sources.readers import TELEMETRY_SCHEMA
 
 
 def _parse_stream(raw: DataFrame) -> DataFrame:
+    # same corrupt-before-explode structure as sources/readers.py (avoids
+    # duplicating the raw array string onto every exploded row)
     arr = F.from_json(F.col("value"), T.ArrayType(TELEMETRY_SCHEMA))
+    pre = raw.select(
+        arr.alias("_events"),
+        F.when(arr.isNull(), F.col("value")).alias("_corrupt_record"),
+    )
     return (
-        raw.select(
-            F.col("value"),
-            F.explode_outer(arr).alias("event"),
-            arr.isNull().alias("_is_corrupt"),
-        )
-        .filter(F.col("_is_corrupt") | F.col("event").isNotNull())
-        .select(
-            "event.*",
-            F.when(F.col("_is_corrupt"), F.col("value")).alias("_corrupt_record"),
-        )
+        pre.select(F.explode_outer("_events").alias("event"), "_corrupt_record")
+        .filter(F.col("_corrupt_record").isNotNull() | F.col("event").isNotNull())
+        .select("event.*", "_corrupt_record")
     )
 
 
