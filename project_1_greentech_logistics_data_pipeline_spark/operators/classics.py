@@ -1,0 +1,233 @@
+"""Classic analytics shapes: TPC-H-style multi-join aggregations, explode /
+lateral view, percentile and moment statistics, approximate aggregates,
+sampling.
+
+These round out SURVEY §2.3-2.5's declared surface with the query shapes a
+warehouse actually runs: selective fact-dim joins feeding grouped aggregates
+with top-k output (TPC-H Q3/Q5 patterns over the testdata's star schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..session import tune
+from ..sources.readers import load_table
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping-priority top-10 (selective join + agg + top-k)
+# ---------------------------------------------------------------------------
+
+_Q60_SQL = """
+SELECT
+  l.l_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+    AS revenue,
+  STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q60_tpch_q3_shipping_priority", _Q60_SQL)
+def q60_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. Catalyst pushes the segment/date filters below the
+    joins; the filtered customer side is broadcast; lineitem (the 100 TB
+    side) streams through one broadcast join + one shuffle for the group-by.
+    Top-10 is TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: revenue by nation through a 5-way star join
+# ---------------------------------------------------------------------------
+
+_Q61_SQL = """
+SELECT
+  n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+    AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q61_tpch_q5_local_volume", _Q61_SQL)
+def q61_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / lateral view: token frequency (the generalized P2)
+# ---------------------------------------------------------------------------
+
+_Q27_SQL = """
+SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok
+LIMIT 20
+"""
+
+
+@query("q27_explode_token_freq", _Q27_SQL)
+def q27_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (lateral view) + two-level frequency — the generalized form
+    of the pipeline's array flatten (Glue_job.py:33). Partial aggregation
+    runs map-side before the single shuffle on tok."""
+    d = _t(spark, sf_dir, "documents")
+    from .text import tokens_expr
+
+    return (
+        d.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "tok")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles and moment statistics
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT
+  l_returnflag,
+  CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS DOUBLE) AS median_price,
+  CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price,
+  CAST(ROUND(STDDEV_SAMP(l_extendedprice), 2) AS DOUBLE) AS stddev_price,
+  CAST(ROUND(VAR_SAMP(l_quantity), 4) AS DOUBLE) AS var_qty,
+  CAST(ROUND(CORR(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
+  CAST(ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS DOUBLE) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q19_percentiles_moments", _Q19_SQL)
+def q19_percentiles_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    QUANTILE_CONT) and second-moment statistics. Moments are rounded on both
+    sides: Spark's merge-based accumulation and DuckDB's sequential one
+    differ in float ulps, never at these rounded digits."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates + sampling (sketch/sample surface; no exact oracle)
+# ---------------------------------------------------------------------------
+
+
+@query("q28_approx_distinct", None)  # HLL sketch: engine-specific -> rows-only
+def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory distinct
+    count for 100 TB cardinality estimation. tests/test_extensions.py checks
+    the estimate lands within rsd of the exact count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@query("q29_sample", None)  # RNG is engine-specific -> rows-only
+def q29_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample with a fixed seed: reproducible within Spark (same
+    seed, same split layout), engine-specific RNG so no cross-engine oracle.
+    The size check lives in tests/test_extensions.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -142,3 +142,26 @@ def test_centroid_similarity_shape(spark):
     assert len(rows) == 45
     for r in rows:
         assert -1.0 <= r["centroid_cosine"] <= 1.0
+
+
+def test_approx_distinct_within_rsd(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics import (
+        q28_approx_distinct,
+    )
+
+    for r in q28_approx_distinct(spark, SF).collect():
+        exact = r["exact_customers"]
+        approx = r["approx_customers"]
+        assert abs(approx - exact) / exact <= 0.1, (exact, approx)
+
+
+def test_sample_size_and_determinism(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics import (
+        q29_sample,
+    )
+
+    n1 = q29_sample(spark, SF).count()
+    n2 = q29_sample(spark, SF).count()
+    assert n1 == n2  # same seed + layout -> same sample
+    total = 6000  # sf0.001 lineitem rows
+    assert 0.05 * total <= n1 <= 0.15 * total
