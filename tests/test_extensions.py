@@ -165,3 +165,24 @@ def test_sample_size_and_determinism(spark):
     assert n1 == n2  # same seed + layout -> same sample
     total = 6000  # sf0.001 lineitem rows
     assert 0.05 * total <= n1 <= 0.15 * total
+
+
+def test_salted_join_equivalence(spark):
+    """salted_join must produce exactly the plain join's result."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    plain = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+    salted = salted_join(
+        o.withColumnRenamed("o_custkey", "k"),
+        c.withColumnRenamed("c_custkey", "k"),
+        key="k",
+        salt_buckets=8,
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

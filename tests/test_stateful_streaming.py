@@ -1,0 +1,66 @@
+"""applyInPandasWithState: state must accumulate across micro-batches and
+match an order-aware pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import json
+
+from project_1_greentech_logistics_data_pipeline_spark.streaming.stateful import (
+    track_anomaly_streaks,
+)
+
+
+def _mk_events(specs):
+    """specs: list of (truck, ts_suffix, is_anomaly)."""
+    return [
+        {"truck_id": t, "timestamp": f"2026-01-01T00:{i:02d}:00", "is_anomaly": a}
+        for i, (t, a) in enumerate(specs)
+    ]
+
+
+def test_anomaly_streaks_across_batches(spark, tmp_path):
+    # batch files processed one per trigger (maxFilesPerTrigger=1) so state
+    # must carry across micro-batches: T1 has a streak of 3 spanning files
+    f1 = _mk_events([("T1", False), ("T1", True), ("T1", True), ("T2", False)])
+    f2 = _mk_events([("T1", True), ("T1", False), ("T2", True), ("T2", False)])
+    d = tmp_path / "in"
+    d.mkdir()
+    # the file source orders by MODIFICATION TIME -> pin distinct mtimes
+    import os
+    import time
+
+    (d / "a_batch1.json").write_text("\n".join(json.dumps(r) for r in f1))
+    (d / "b_batch2.json").write_text("\n".join(json.dumps(r) for r in f2))
+    now = time.time()
+    os.utime(d / "a_batch1.json", (now - 60, now - 60))
+    os.utime(d / "b_batch2.json", (now, now))
+
+    stream = (
+        spark.readStream.schema("truck_id string, timestamp string, is_anomaly boolean")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    q = (
+        track_anomaly_streaks(stream)
+        .writeStream.format("memory")
+        .queryName("streaks")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM streaks ORDER BY total_events"
+    ).collect()
+    # last emitted row per truck has the final totals
+    final = {}
+    for r in rows:
+        final[r["truck_id"]] = r
+    t1, t2 = final["T1"], final["T2"]
+    assert t1["total_events"] == 5
+    assert t1["total_anomalies"] == 3
+    assert t1["longest_streak"] == 3  # spans the file boundary -> state worked
+    assert t2["total_events"] == 3
+    assert t2["total_anomalies"] == 1
+    assert t2["longest_streak"] == 1
