@@ -231,3 +231,73 @@ def q29_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_Q35_SQL = """
+SELECT
+  o_orderstatus,
+  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+_PRIORITIES = [
+    ("1-URGENT", "p1_urgent"),
+    ("2-HIGH", "p2_high"),
+    ("3-MEDIUM", "p3_medium"),
+    ("4-NOT SPECIFIED", "p4_notspec"),
+    ("5-LOW", "p5_low"),
+]
+
+
+@query("q35_pivot", _Q35_SQL)
+def q35_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot().count() with EXPLICIT pivot values — at scale,
+    omitting the value list forces an extra distinct-collection job before
+    the real aggregation. Output columns renamed to identifier-safe names
+    shared with the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    df = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [v for v, _ in _PRIORITIES])
+        .count()
+    )
+    for value, alias in _PRIORITIES:
+        df = df.withColumnRenamed(value, alias)
+    # pivot yields NULL for empty cells; the FILTER oracle yields 0
+    return df.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(a), F.lit(0)).alias(a) for _, a in _PRIORITIES],
+    ).orderBy("o_orderstatus")
+
+
+_Q36_SQL = """
+SELECT o_orderkey, metric, value
+FROM (
+  SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+)
+"""
+
+
+@query("q36_unpivot", _Q36_SQL)
+def q36_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt via stack() — wide-to-long without N scans (one pass,
+    rows fan out 2x; the UNION ALL oracle form would scan the table twice)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE))"
+        ).alias("metric", "value"),
+    )

@@ -4,7 +4,10 @@ path).
 
 Scale stance: brute-force top-k is O(Q x N) — fine when Q is small or as the
 per-bucket inner loop; beyond ~1e5 corpus vectors the LSH/IVF variant must
-bound candidates per query. Both keep the distance math JVM-side
+bound candidates per query (cf. the distributed top-k designs in PAPERS.md:
+REPOSE's reference-point tries, ICDE 2021, and the incremental top-k reuse
+framework, EDBT 2020 — both reduce to 'partition by locality, search
+candidates, merge k'). Both paths keep the distance math JVM-side
 (zip_with/aggregate) — no Python in the scoring loop.
 """
 
