@@ -85,3 +85,45 @@ def test_q31_band_join_is_broadcast(spark):
 
     plan = explain_str(q31_range_join_bands(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan  # tiny band dim broadcast, fact streams
+
+
+def test_q62_decorrelation_single_fact_chain(spark):
+    """Q17 shape: the brand restriction must reach both the threshold agg and
+    the probe via broadcast joins — no SortMergeJoin of lineitem against
+    itself at full width."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.subqueries import (
+        q62_correlated_scalar_subquery,
+    )
+
+    plan = explain_str(q62_correlated_scalar_subquery(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # brand-parts, thresholds
+    assert "SortMergeJoin" not in plan
+
+
+def test_q63_aggregate_first_then_broadcast_joinback(spark):
+    """Q18 shape: the HAVING survivor set broadcasts; orders/customer are
+    never shuffled for the join."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.subqueries import (
+        q63_having_large_volume_orders,
+    )
+
+    plan = explain_str(q63_having_large_volume_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q67_exists_is_semi_join(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.subqueries import (
+        q67_exists_group_priority,
+    )
+
+    plan = explain_str(q67_exists_group_priority(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q65_notin_is_anti_join(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.subqueries import (
+        q65_notin_anti_subquery,
+    )
+
+    plan = explain_str(q65_notin_anti_subquery(spark, SF))
+    assert "LeftAnti" in plan
