@@ -147,3 +147,57 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "10 minutes",
+    left_watermark: str = "20 minutes",
+    right_watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with a watermark-bounded time-range condition
+    (impression->conversion attribution shape): right.ts in
+    [left.ts, left.ts + max_delay].
+
+    Both watermarks plus the interval bound make the join state FINITE —
+    Spark evicts left rows once the right watermark passes left.ts +
+    max_delay, so state size is O(rate x window), not O(stream length).
+    Without the time-range condition a stream-stream join must buffer
+    everything forever; this is the only shape that survives an unbounded
+    stream at production rates."""
+    lw = left.withWatermark("ts", left_watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    )
+    rw = right.withWatermark("ts", right_watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    return lw.join(
+        rw,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    )
+
+
+def dedup_events_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: dropDuplicatesWithinWatermark
+    keeps each key only until the watermark passes it, unlike plain
+    dropDuplicates on a stream, whose state grows without bound. This is the
+    streaming twin of the batch exact-dedup operators (q43/q43b) and the
+    correct at-scale answer to at-least-once sources (the reference's Kafka
+    consumer commits offsets before writing - consumer_etl.py:34 - so
+    duplicates are expected on its failure path)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["user_id", "ts", "event_type"]
+    )

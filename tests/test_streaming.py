@@ -114,3 +114,68 @@ def test_session_windows(spark, tmp_path):
     ]
     assert ("2026-01-01 00:00:00", 1, 2) in rows_out
     assert ("2026-01-01 00:50:00", 1, 1) in rows_out
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        stream_stream_interval_join,
+    )
+
+    impressions = [
+        {"ts": "2026-01-01 00:00:00", "user_id": 1, "event_type": "imp", "value": 0.0},
+        {"ts": "2026-01-01 00:30:00", "user_id": 2, "event_type": "imp", "value": 0.0},
+        # watermark pusher
+        {"ts": "2026-01-01 02:00:00", "user_id": 9, "event_type": "imp", "value": 0.0},
+    ]
+    conversions = [
+        # within 10 min of user 1's impression -> joins
+        {"ts": "2026-01-01 00:05:00", "user_id": 1, "event_type": "conv", "value": 1.0},
+        # 25 min after user 2's impression -> outside the interval, dropped
+        {"ts": "2026-01-01 00:55:00", "user_id": 2, "event_type": "conv", "value": 1.0},
+        {"ts": "2026-01-01 02:00:00", "user_id": 9, "event_type": "conv", "value": 0.0},
+    ]
+    (tmp_path / "l").mkdir()
+    (tmp_path / "r").mkdir()
+    left = _event_stream(spark, tmp_path / "l", impressions)
+    right = _event_stream(spark, tmp_path / "r", conversions)
+    q = (
+        stream_stream_interval_join(left, right, max_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["l_key"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert (1, "2026-01-01 00:00:00", "2026-01-01 00:05:00") in got
+    assert not any(k == 2 for k, _, _ in got)  # outside max_delay
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        dedup_events_within_watermark,
+    )
+
+    rows = [
+        {"ts": "2026-01-01 00:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2026-01-01 00:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2026-01-01 00:01:00", "user_id": 2, "event_type": "b", "value": 1.0},
+        {"ts": "2026-01-01 01:00:00", "user_id": 3, "event_type": "c", "value": 1.0},
+    ]
+    stream = _event_stream(spark, tmp_path, rows)
+    q = (
+        dedup_events_within_watermark(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT user_id, COUNT(*) AS n FROM dedup_wm GROUP BY user_id").collect()
+    counts = {r["user_id"]: r["n"] for r in out}
+    assert counts == {1: 1, 2: 1, 3: 1}  # the duplicate collapsed
