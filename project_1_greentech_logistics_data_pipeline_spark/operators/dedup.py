@@ -120,6 +120,79 @@ def _size_band(sa: Column, sb: Column, threshold: float) -> Column:
     return (sb.cast("double") >= sa * threshold) & (sa.cast("double") >= sb * threshold)
 
 
+def bitmask_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, mask array<long>, sz): token sets as dense bitmaps.
+
+    Dictionary-encode tokens to per-lang dense indices (a tiny broadcast
+    vocab built with one distinct + row_number), then pack each doc's set
+    into ceil(vocab/64) longs. Set intersection drops from an O(|A|+|B|)
+    hash-set build per pair (array_intersect allocates per call) to
+    bit_count(a AND b) word-wise — pure integer codegen, no allocation.
+
+    When to use: profitable when sets are DENSE in their vocabulary
+    (|A| / vocab high), as in this corpus (~27 distinct tokens over a
+    31-token vocab -> 1 word per doc). For sparse sets over huge vocabs
+    (web-scale text, vocab >> |A|), the packed width ceil(vocab/64) would
+    dwarf the sparse array — keep hashed_token_sets for that regime. The
+    same dictionary-encode-then-bitmap idea underlies bitmap indexes and
+    roaring bitmaps; this is the flat fixed-width variant."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tokens_expr("text"))).alias("tok")
+    )
+    from pyspark.sql import Window
+
+    vocab = (
+        toks.select("lang", "tok")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("lang").orderBy("tok")) - 1,
+        )
+    )
+    n_words = (
+        vocab.groupBy("lang").agg(((F.max("idx") / 64).cast("int") + 1).alias("n_words"))
+    )
+    word_masks = (
+        toks.join(F.broadcast(vocab), ["lang", "tok"])
+        .withColumn("word", (F.col("idx") / 64).cast("int"))
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(idx % 64 AS INT))")).alias("wmask"))
+    )
+    packed = (
+        word_masks.groupBy("doc_id", "lang")
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "wmask"))).alias("wm"))
+        .join(F.broadcast(n_words), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_words") - 1),
+                lambda w: F.coalesce(F.element_at(F.col("wm"), w), F.lit(0).cast("long")),
+            ).alias("mask"),
+        )
+    )
+    sz = F.aggregate(
+        F.col("mask"), F.lit(0), lambda acc, m: acc + F.bit_count(m)
+    )
+    # NULL-text docs never reach `packed` (explode drops the NULL token
+    # array) — correct: the array form excludes them too (NULL hset fails
+    # every size-band comparison), as does the oracle's 3VL. Empty-STRING
+    # text still yields the [''] singleton set in both forms.
+    return packed.withColumn("sz", sz)
+
+
+def _jaccard_mask_expr(ma: Column, mb: Column, sza: Column, szb: Column) -> Column:
+    """|A∩B| / (|A|+|B|-|A∩B|) over packed bitmaps: word-wise AND +
+    popcount — no per-pair allocation, stays in whole-stage codegen."""
+    inter = F.aggregate(
+        F.zip_with(ma, mb, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    )
+    return inter.cast("double") / (sza + szb - inter)
+
+
 def hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, hset, sz): distinct tokens hashed ONCE to sorted
     longs. Set ops on long arrays are far cheaper than on string arrays
@@ -134,27 +207,43 @@ def hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_SALT = 32  # fan the per-lang-block pair enumeration across this many tasks
+
+
 @query("q44_ngram_jaccard_neardup", _Q44_SQL)
 def q44_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force token-set Jaccard within lang blocks (the oracle-checkable
-    reference semantics; q45 is the LSH plan that scales). Two constant-factor
-    cuts vs the naive form: the provably-sound size-band join predicate, and
-    hashed (long) token sets instead of string arrays."""
+    reference semantics; q45 is the LSH plan that scales). Three constant-
+    factor cuts vs the naive form: the provably-sound size-band join
+    predicate, dictionary-encoded BITMAP token sets (popcount intersection
+    instead of per-pair array_intersect hash sets — this corpus is dense in
+    its vocabulary, see bitmask_token_sets), and a salted self-join — the
+    natural equi-key (lang) has only ~5 distinct values, so an unsalted
+    plan enumerates each language block's O(n^2) pairs on a single task.
+    Salting one side on hash(doc_id) mod B and replicating the other B ways
+    keeps each unordered pair matched exactly once while spreading
+    enumeration across lang x B tasks."""
     tune(spark)
-    docs = hashed_token_sets(spark, sf_dir)
-    a = docs.alias("a")
-    b = docs.alias("b")
+    # cache: the packed-set build (2 small shuffles) feeds both join sides
+    docs = bitmask_token_sets(spark, sf_dir).cache()
+    a = docs.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(_PAIR_SALT))).alias("a")
+    b = docs.withColumn(
+        "part", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
+    ).alias("b")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.part") == F.col("b.part"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & _size_band(F.col("a.sz"), F.col("b.sz"), JACCARD_THRESHOLD),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            _jaccard_expr(F.col("a.hset"), F.col("b.hset")).alias("jaccard_raw"),
+            _jaccard_mask_expr(
+                F.col("a.mask"), F.col("b.mask"), F.col("a.sz"), F.col("b.sz")
+            ).alias("jaccard_raw"),
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select(
@@ -244,12 +333,19 @@ def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("toks_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("toks_b"))
-    jac = _jaccard_expr(F.col("toks_a"), F.col("toks_b"))
+    masks = bitmask_token_sets(spark, sf_dir).cache()
+    a = masks.select(
+        F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a")
+    )
+    b = masks.select(
+        F.col("doc_id").alias("doc_b"), F.col("mask").alias("mask_b"), F.col("sz").alias("sz_b")
+    )
+    jac = _jaccard_mask_expr(
+        F.col("mask_a"), F.col("mask_b"), F.col("sz_a"), F.col("sz_b")
+    )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard_raw"))
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select(
@@ -267,34 +363,35 @@ HAMMING_MAX = 6
 _SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: hamming<=6 -> >=1 identical chunk
 
 
-def simhash_expr(hashes: Column) -> Column:
-    """64-bit SimHash as long from a hashed token set: per bit majority
-    vote. Entirely JVM-side: aggregate over the long array."""
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash by per-bit majority vote over the
+    hashed token set.
 
-    def _bit_vote(i: int):
-        # binary lambda factory (no extra default params — arity introspected)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
+    Shape matters: computed as ONE hash aggregation over the exploded
+    (doc_id, token_hash) table with 64 conditional-sum columns — partial
+    aggregation + whole-stage codegen — rather than 64 higher-order
+    F.aggregate passes per row, which execute as interpreted lambda calls
+    (~10x slower measured at sf0.1). Same signature bits either way."""
+    toks = hashed_token_sets(spark, sf_dir).select(
+        "doc_id", F.explode("hset").alias("h")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    bit_vals = [(1 << i) if i < 63 else -(2**63) for i in range(SIMHASH_BITS)]
+    out = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
-        vote = F.aggregate(hashes, F.lit(0), _bit_vote(i))
-        bits.append(
-            F.shiftleft(
-                F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
-                i,
+        out = out.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(bit_vals[i]).cast("long")).otherwise(
+                F.lit(0).cast("long")
             )
         )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
-
-
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = hashed_token_sets(spark, sf_dir)
-    return docs.select("doc_id", simhash_expr(F.col("hset")).alias("simhash"))
+    return votes.select("doc_id", out.alias("simhash"))
 
 
 @query("q46_simhash_neardup", None)  # signature depends on xxhash64 -> rows-only
