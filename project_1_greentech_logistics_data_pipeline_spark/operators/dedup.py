@@ -521,3 +521,94 @@ def _blocked_cosine_pairs(
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(_block, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(node, comp): connected components by iterative min-label propagation.
+
+    Each round every node takes the min label among itself and its
+    neighbors; convergence in O(diameter) rounds. Near-dup clusters are
+    near-cliques (diameter 1-2), so this terminates in a handful of rounds;
+    for high-diameter graphs at scale, switch to the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14), which converges in O(log^2 n).
+
+    Each iteration localCheckpoints the label relation — without cutting
+    lineage, iterative Spark plans grow exponentially and re-execute the
+    whole history every round. The per-round driver action is a count()
+    over the (tiny) changed-label set; all real work is distributed.
+    """
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "comp_new")
+            .join(labels, "node")
+            .filter(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_Q73_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+        / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("q73_neardup_clusters", _Q73_SQL)
+def q73_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the step that turns verified near-dup PAIRS into
+    dedup DECISIONS (keep one doc per component). Components via distributed
+    min-label propagation over the exact-Jaccard pair graph; cluster_id is
+    the component's min doc_id, so results are deterministic. The oracle is
+    a DuckDB recursive-CTE transitive closure — the iterative Spark
+    algorithm is exactly checked, not rows-only."""
+    pairs = q44_ngram_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
