@@ -225,3 +225,167 @@ def q49b_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).cast("double").alias("centroid_cosine"),
         )
     )
+
+
+# --- approximate: IVF (inverted-file) index ---------------------------------
+
+IVF_K = 16        # coarse-quantizer centroids
+IVF_NPROBE = 4    # clusters probed per query (~nprobe/K of the corpus scored)
+IVF_ITERS = 3     # Lloyd iterations
+
+
+def _normalized(emb_col: str) -> F.Column:
+    v = F.col(emb_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / norm)
+
+
+def _nearest_centroid_expr(emb_col: str, centroids: list[list[float]]) -> F.Column:
+    """argmax-dot cluster assignment against literal centroids, JVM-side.
+
+    Kept as zip_with/aggregate dots: unrolling k x dim literal terms into a
+    flat expression was measured 3.5x SLOWER (the >1000-node expression
+    tree exceeds codegen method limits and falls back to interpreted eval
+    with none of the lambda reuse)."""
+    scores = F.array(
+        *[
+            dot_expr(F.col(emb_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+IVF_TRAIN_SAMPLE = 16384  # quantizer training sample bound (FAISS-style)
+
+
+def train_ivf_centroids(
+    emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, trained on a BOUNDED sample.
+
+    This is how IVF quantizers train at any scale (FAISS trains on a
+    sample, not the corpus): pull <= IVF_TRAIN_SAMPLE vectors to the
+    driver, run Lloyd iterations in numpy (one GEMM per round), broadcast
+    the k x dim centroid matrix back. The driver-side data is O(sample),
+    never O(corpus); the full corpus is touched only by the distributed
+    assignment pass in the caller. Deterministic: sample = lowest vec_ids,
+    seeds = first k of the sample."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", _normalized("embedding").alias("nemb"))
+        .orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    mat = np.array([list(r["nemb"]) for r in rows])  # unit-norm already
+    centroids = mat[:k].copy()
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)  # spherical: max dot
+        for ci in range(k):
+            members = mat[assign == ci]
+            if len(members):
+                c = members.mean(axis=0)
+                centroids[ci] = c / (np.linalg.norm(c) or 1.0)
+    return [[float(x) for x in c] for c in centroids]
+
+
+@query("q74_knn_ivf", None)  # approximate -> rows-only; recall tested in pytest
+def q74_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index: spherical k-means coarse
+    quantizer -> corpus partitioned into inverted lists by nearest centroid
+    -> each query scores only the IVF_NPROBE nearest lists (equi-join on
+    cluster id), exact cosine rerank inside the probed lists.
+
+    At scale this is the standard ANN layout (FAISS-style IVF-Flat on
+    DataFrames): the corpus shuffles ONCE at index-build time (and would be
+    written bucketed-by-cluster for reuse); each query touches
+    ~nprobe/k of the data. Random testdata embeddings are the no-structure
+    worst case, so recall ~= coverage; clustered real embeddings are what
+    the locality assumption is for. Recall floor asserted in
+    tests/test_extensions.py."""
+    tune(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(e)
+
+    # corpus -> inverted lists: one Arrow pass, normalize + argmax-dot as a
+    # numpy GEMM per batch against the broadcast centroid matrix (the
+    # JVM-lambda assignment was ~2x slower end-to-end at sf0.1)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cmat = np.array(centroids)
+    bc = spark.sparkContext.broadcast(cmat)
+    assign_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("c_emb", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def _assign(batches):
+        cm = bc.value
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cl = (m @ cm.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "c_emb": list(m),
+                    "cluster": cl,
+                }
+            )
+
+    corpus = e.select("vec_id", "embedding").mapInPandas(_assign, schema=assign_schema)
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _normalized("embedding").alias("q_emb")
+    )
+    # nprobe nearest centroids per query: rank the k dot products, explode
+    cscores = F.array(
+        *[
+            dot_expr(F.col("q_emb"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "q_emb",
+            F.posexplode(cscores).alias("cluster", "cscore"),
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("cscore").desc(), "cluster")
+            ),
+        )
+        .filter(F.col("crk") <= IVF_NPROBE)
+        .select("query_id", "q_emb", "cluster")
+    )
+    cos = dot_expr(F.col("q_emb"), F.col("c_emb"))  # both unit-norm -> dot = cosine
+    scored = (
+        probes.join(corpus, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            "cos_raw",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).cast("double").alias("cosine"),
+            "rk",
+        )
+    )

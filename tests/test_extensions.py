@@ -186,3 +186,37 @@ def test_salted_join_equivalence(spark):
         salt_buckets=8,
     ).select("o_orderkey", "c_name")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_ann_ivf_recall_and_shape(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.similarity import (
+        TOP_K,
+        q48_knn_bruteforce,
+        q74_knn_ivf,
+    )
+
+    exact = {}
+    for r in q48_knn_bruteforce(spark, SF).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in q74_knn_ivf(spark, SF).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # shape: every query answered with exactly k ranked neighbors
+    assert set(approx) == set(exact)
+    assert all(len(v) == TOP_K for v in approx.values())
+    # recall floor: random embeddings are the no-structure worst case, so
+    # recall tracks coverage (nprobe/k = 25%); require clearly above chance
+    recalls = [
+        len(approx[q] & exact[q]) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.2, f"IVF mean recall {mean_recall:.3f} < 0.2"
+    # determinism: seeded quantizer -> identical reruns
+    rerun = {
+        (r["query_id"], r["neighbor_id"], r["rk"]) for r in q74_knn_ivf(spark, SF).collect()
+    }
+    first = {
+        (r["query_id"], r["neighbor_id"], r["rk"])
+        for r in q74_knn_ivf(spark, SF).collect()
+    }
+    assert rerun == first
