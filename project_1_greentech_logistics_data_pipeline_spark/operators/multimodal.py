@@ -173,3 +173,58 @@ def q51_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("height"), 2).alias("avg_height"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map Pandas UDF (applyInPandas) with an EXACT SQL oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q75_grouped_zscore_pandas",
+    """
+SELECT event_id, user_id,
+  CAST(ROUND(
+    (value - AVG(value) OVER w) / (STDDEV_SAMP(value) OVER w), 4)
+  AS DOUBLE) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+QUALIFY COUNT(*) OVER w > 1
+""",
+)
+def q75_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score via applyInPandas — the grouped-map UDAF surface
+    (SURVEY §2.9), deliberately in pandas to pin down the escape hatch's
+    contract: one shuffle on the group key, each group an Arrow batch, numpy
+    math inside. (The same metric is expressible as a JVM window — that
+    equivalence IS the oracle, so this Pandas-UDF path is exactly checked,
+    not rows-only.) Scale caveat encoded here: a group must fit in one
+    executor's memory — keys are users, not a global key.
+
+    pandas' default std ddof=1 == STDDEV_SAMP; single-event users divide by
+    NULL stddev in SQL and are dropped on both sides (QUALIFY n>1); rounding
+    to 4dp absorbs summation-order jitter between numpy and DuckDB."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    tune(spark)
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("zscore", T.DoubleType()),
+        ]
+    )
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=0.0)
+        z = (pdf["value"] - pdf["value"].mean()) / pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z.round(4)}
+        )
+
+    return e.groupBy("user_id").applyInPandas(_z, schema=schema)

@@ -79,3 +79,41 @@ def read_raw_telemetry(
         .select("event.*", "_corrupt_record")
     )
     return exploded
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV scan with a DECLARED schema — never inferSchema, which triggers an
+    extra full pass over the data before the real job (prohibitive at scale)
+    and can silently flip column types between runs. PERMISSIVE mode routes
+    malformed rows to nulls rather than failing the scan, matching the
+    engine's ingestion stance (corrupt input is observable, not fatal)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with declared schema + _corrupt_record capture."""
+    full = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC scan with declared schema (columnar, predicate pushdown like
+    parquet — supported as an interchange format, parquet stays the default
+    sink)."""
+    return spark.read.schema(schema).orc(path)

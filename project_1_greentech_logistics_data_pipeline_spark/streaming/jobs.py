@@ -201,3 +201,22 @@ def dedup_events_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["user_id", "ts", "event_type"]
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (batch) dimension table. Spark re-plans the static side per micro-batch,
+    so a small dim broadcasts — the streaming side never shuffles. This is
+    the streaming twin of the batch broadcast star join (q04) and the
+    standard shape for attaching slowly-changing reference data to a
+    stream; for fast-changing dims, swap the static side for a Delta table
+    (re-read each micro-batch picks up updates)."""
+    from pyspark.sql import functions as F  # noqa: F811  (local: module import order)
+
+    return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], how)

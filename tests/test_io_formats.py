@@ -1,0 +1,62 @@
+"""Multi-format io: CSV/JSONL/ORC round-trips with declared schemas, and
+pushdown reaching the ORC scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_1_greentech_logistics_data_pipeline_spark.plans import explain_str
+from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+    load_table,
+    read_csv,
+    read_jsonl,
+    read_orc,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip_with_declared_schema(spark, tmp_path):
+    src = load_table(spark, SF, "nation")
+    p = str(tmp_path / "nation_csv")
+    src.write.option("header", "true").csv(p)
+    back = read_csv(spark, p, src.schema)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+    assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in src.collect()}
+
+
+def test_csv_malformed_row_is_null_not_fatal(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nnot_an_int,3\n")
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.IntegerType())]
+    )
+    rows = read_csv(spark, str(p), schema).collect()
+    assert len(rows) == 2  # malformed row kept, fields nulled
+    assert any(r["a"] is None for r in rows)
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "events.jsonl"
+    p.write_text('{"k": 1, "v": "x"}\n{"k": 2, "v": "y"}\nTHIS IS NOT JSON\n')
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["k"] is None
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    src = load_table(spark, SF, "orders")
+    p = str(tmp_path / "orders_orc")
+    src.write.orc(p)
+    back = read_orc(spark, p, src.schema)
+    assert back.count() == src.count()
+    plan = explain_str(back.filter(F.col("o_orderkey") == 42).select("o_orderkey", "o_totalprice"))
+    # predicate + projection reach the ORC scan
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters", 1)[1][:200]

@@ -179,3 +179,33 @@ def test_dedup_within_watermark(spark, tmp_path):
     out = spark.sql("SELECT user_id, COUNT(*) AS n FROM dedup_wm GROUP BY user_id").collect()
     counts = {r["user_id"]: r["n"] for r in out}
     assert counts == {1: 1, 2: 1, 3: 1}  # the duplicate collapsed
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import load_table
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        enrich_stream_with_dim,
+    )
+
+    rows = [
+        {"ts": "2026-01-01 00:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2026-01-01 00:01:00", "user_id": 2, "event_type": "b", "value": 2.0},
+        {"ts": "2026-01-01 00:02:00", "user_id": 999999, "event_type": "c", "value": 3.0},
+    ]
+    stream = _event_stream(spark, tmp_path, rows)
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    q = (
+        enrich_stream_with_dim(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["user_id"]: r["c_mktsegment"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert len(out) == 3
+    assert out[1] is not None and out[2] is not None  # matched dim rows
+    assert out[999999] is None  # left join keeps unmatched stream rows
