@@ -549,6 +549,10 @@ def connected_components(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
+        # checkpoint the edge relation too: it is joined EVERY round, and
+        # without cutting its lineage each round re-executes the upstream
+        # pair-finding plan (measured 20s -> 6s on q73 at sf0.1)
+        .localCheckpoint()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "comp", F.col("node")

@@ -27,3 +27,42 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact_table(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact a table directory's small files into ~target_file_bytes files.
+
+    Streaming sinks (foreachBatch appends, micro-batch file sources) emit
+    one-file-per-task-per-batch; over days that degrades scans (driver file
+    listing, per-file open cost, tiny rowgroups defeat parquet stats). This
+    is the maintenance op Delta calls OPTIMIZE, expressed on plain files:
+    size the output file count from the actual on-disk bytes, rewrite with
+    coalesce (no shuffle — merging files does not need a repartition), and
+    atomically swap via a staging directory. Returns the output file count.
+
+    At real scale run this per partition directory (date=...) so the
+    rewrite is bounded and partition pruning is preserved."""
+    import glob as _glob
+    import os
+    import shutil
+
+    data_files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in data_files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    staging = path.rstrip("/") + "__compact_staging"
+    df = spark.read.format(fmt).load(path)
+    df.coalesce(n_out).write.mode("overwrite").format(fmt).save(staging)
+    backup = path.rstrip("/") + "__compact_backup"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_out

@@ -60,3 +60,25 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     plan = explain_str(back.filter(F.col("o_orderkey") == 42).select("o_orderkey", "o_totalprice"))
     # predicate + projection reach the ORC scan
     assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    import glob
+
+    from project_1_greentech_logistics_data_pipeline_spark.sources.writers import (
+        compact_table,
+    )
+
+    p = str(tmp_path / "frag")
+    src = load_table(spark, SF, "lineitem")
+    # simulate a streaming sink's fragmentation: many tiny appends
+    for i in range(5):
+        src.filter(F.col("l_linenumber") == i + 1).repartition(8).write.mode(
+            "append"
+        ).parquet(p)
+    before_files = len(glob.glob(f"{p}/*.parquet"))
+    before_count = spark.read.parquet(p).count()
+    n_out = compact_table(spark, p)
+    after_files = len(glob.glob(f"{p}/*.parquet"))
+    assert before_files > 20 and after_files == n_out == 1
+    assert spark.read.parquet(p).count() == before_count
