@@ -282,3 +282,66 @@ def q26_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys("prio_counts")).cast("int").alias("n_keys"),
         F.array_join(F.sort_array(F.map_keys("prio_counts")), ",").alias("keys_sorted"),
     ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Decimal (money) arithmetic — exact fixed-point end to end
+# ---------------------------------------------------------------------------
+
+_Q76_SQL = """
+SELECT l_returnflag,
+  CAST(CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(12,2))
+    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))
+  ) AS DECIMAL(38,4)) AS VARCHAR) AS gross_str,
+  CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(12,2))
+    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))
+  ) AS DOUBLE) AS gross_dbl
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q76_decimal_money", _Q76_SQL)
+def q76_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money math in DecimalType end to end (SURVEY §1.3's declared money
+    type): price x (1 + tax) and the grouped sum stay exact fixed-point —
+    no float representation error, order-independent summation, the type a
+    warehouse uses for currency. Output as a full-scale decimal STRING
+    (no rounding step, so no rounding-mode divergence between engines)
+    plus a double cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    gross = F.sum(price * (one + tax))
+    return li.groupBy("l_returnflag").agg(
+        gross.cast("decimal(38,4)").cast("string").alias("gross_str"),
+        gross.cast("double").alias("gross_dbl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON construction (to_json) — the inverse of the extraction surface (q24)
+# ---------------------------------------------------------------------------
+
+_Q77_SQL = """
+SELECT n_nationkey,
+  to_json(struct_pack(n_name := n_name, n_regionkey := n_regionkey)) AS payload
+FROM nation
+"""
+
+
+@query("q77_json_construction", _Q77_SQL)
+def q77_json_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize rows back to JSON (to_json over a struct) — the write-side
+    twin of the q24 extraction path and the shape used to produce Kafka
+    message values (sources/kafka.py). Field order is the struct order in
+    both engines; only non-null columns are used (Spark's to_json omits
+    null fields, DuckDB emits them)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.to_json(F.struct("n_name", "n_regionkey")).alias("payload"),
+    )
