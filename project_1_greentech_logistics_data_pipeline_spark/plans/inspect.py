@@ -20,3 +20,74 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 def plan_has(df: DataFrame, *needles: str, mode: str = "formatted") -> dict[str, bool]:
     text = explain_str(df, mode)
     return {n: (n in text) for n in needles}
+
+
+def audit_query_plans(spark, sf_dir: str) -> list[dict]:
+    """Physical-plan census over every declared query: exchanges (shuffles),
+    join strategies, codegen presence, scan pushdown. The per-query scale
+    story, measured from the plan rather than asserted in prose."""
+    import __spark_entry__ as entrymod
+
+    rows = []
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            # simple mode prints each operator once (formatted repeats them
+            # in the detail section, doubling counts); codegen spans only
+            # appear as '*(n)' stage prefixes in simple mode
+            plan = explain_str(df, mode="simple")
+            formatted = explain_str(df)
+        except Exception as exc:  # plan build itself failed — surface it
+            rows.append({"query": name, "error": str(exc)[:120]})
+            continue
+        rows.append(
+            {
+                "query": name,
+                # broadcast exchanges replicate a small side — not shuffles
+                "exchanges": plan.count("Exchange") - plan.count("BroadcastExchange"),
+                "bhj": plan.count("BroadcastHashJoin"),
+                "smj": plan.count("SortMergeJoin"),
+                "bnlj": plan.count("BroadcastNestedLoopJoin"),
+                "codegen": "*(" in plan,
+                "pushed_filters": "PushedFilters: [" in formatted
+                and not all(
+                    seg.startswith("]")
+                    for seg in formatted.split("PushedFilters: [")[1:]
+                ),
+                "python_udf": ("ArrowEvalPython" in plan)
+                or ("MapInPandas" in plan)
+                or ("FlatMapGroupsInPandas" in plan),
+                "top_k": "TakeOrderedAndProject" in plan,
+            }
+        )
+    return rows
+
+
+def audit_markdown(spark, sf_dir: str) -> str:
+    rows = audit_query_plans(spark, sf_dir)
+    out = [
+        "# PLAN_AUDIT — physical-plan census of every declared query",
+        "",
+        f"Generated from explain() at `{sf_dir}`. Columns:",
+        "exchanges = SHUFFLE boundaries (broadcast exchanges excluded — they",
+        "replicate a small side, not repartition the data); bhj/smj/bnlj =",
+        "join strategies chosen; codegen = whole-stage codegen present;",
+        "pushed = filters reached the scan; pyudf = Arrow/Pandas stage",
+        "present (the deliberate escape hatches); topk =",
+        "TakeOrderedAndProject.",
+        "",
+        "| query | exchanges | bhj | smj | bnlj | codegen | pushed | pyudf | topk |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            out.append(f"| {r['query']} | ERROR: {r['error']} | | | | | | | |")
+            continue
+        out.append(
+            "| {query} | {exchanges} | {bhj} | {smj} | {bnlj} | {codegen} | "
+            "{pushed_filters} | {python_udf} | {top_k} |".format(**{
+                k: ("y" if v is True else "" if v is False else v)
+                for k, v in r.items()
+            })
+        )
+    return "\n".join(out) + "\n"
