@@ -32,6 +32,12 @@ def audit_query_plans(spark, sf_dir: str) -> list[dict]:
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, sf_dir)
+            # execute first: under AQE the pre-execution plan is
+            # isFinalPlan=false and carries no codegen '*(n)' markers; only
+            # the final adaptive plan shows what actually ran. Must be
+            # collect() — df.write executes a COPY of the plan, leaving
+            # df's own queryExecution unfinalized.
+            df.collect()
             # simple mode prints each operator once (formatted repeats them
             # in the detail section, doubling counts); codegen spans only
             # appear as '*(n)' stage prefixes in simple mode
