@@ -616,3 +616,98 @@ def q73_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: end-to-end training-data curation pass
+# ---------------------------------------------------------------------------
+
+_Q78_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+        / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+fp AS (
+  SELECT doc_id,
+    MIN(doc_id) OVER (
+      PARTITION BY MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')))
+    ) AS keeper
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, lang, n_chars,
+    LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT s.doc_id, s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens
+FROM stats s
+JOIN fp ON fp.doc_id = s.doc_id
+LEFT JOIN clusters c ON c.doc_id = s.doc_id
+WHERE s.n_chars >= 50 AND s.n_tokens >= 10
+  AND fp.keeper = s.doc_id
+  AND (c.doc_id IS NULL OR c.cluster_id = s.doc_id)
+"""
+
+
+@query("q78_training_data_prep", _Q78_SQL)
+def q78_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pass an LLM data pipeline runs,
+    composed from this module's primitives and exactly oracle-checked:
+
+      1. quality gate   — length thresholds from the q40 scoring pass
+      2. exact dedup    — canonical fingerprint, keep min doc_id (q43)
+      3. near-dup dedup — Jaccard pair graph -> connected components,
+                          keep each cluster's canonical doc (q44 + q73)
+
+    The three conditions are computed independently over the full corpus
+    (each one narrow or already analyzed above), so the pass is one scan
+    plus the pair-graph machinery — no sequential multi-pass rewrite of
+    the corpus. Output: the surviving documents with their token counts."""
+    from .text import tokens_expr as _tokens
+
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    keeper = F.min("doc_id").over(Window.partitionBy(fp))
+    stats = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(_tokens("text")).alias("n_tokens"),
+        keeper.alias("keeper"),
+    )
+    clusters = q73_neardup_clusters(spark, sf_dir).withColumnRenamed(
+        "doc_id", "c_doc_id"
+    )
+    return (
+        stats.join(
+            F.broadcast(clusters), stats.doc_id == clusters.c_doc_id, "left"
+        )
+        .filter(
+            (F.col("n_chars") >= 50)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("keeper") == F.col("doc_id"))
+            & (F.col("c_doc_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        )
+        .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
