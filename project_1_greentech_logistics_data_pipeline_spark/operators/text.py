@@ -194,3 +194,58 @@ def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         lang_id_expr("text").alias("predicted_lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling / train-validation split (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+STRATA_FRACTIONS = {"en": 0.2, "fr": 0.5, "es": 0.5, "de": 0.5, "zh": 0.5}
+SPLIT_SEED = 42
+
+
+@query("q79_stratified_sample", None)  # sampler is engine-specific -> rows-only
+def q79_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) sampling — the rebalancing step a
+    training-data pipeline uses to downweight an over-represented language.
+    sampleBy is a one-pass Bernoulli filter with per-stratum rates: no
+    shuffle, no count-first, seeded for reproducibility. The output reports
+    per-stratum sampled counts (the invariant pytest checks proportions and
+    determinism)."""
+    d = _t(spark, sf_dir, "documents")
+    sampled = d.sampleBy("lang", STRATA_FRACTIONS, seed=SPLIT_SEED)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+def train_val_split(
+    df: DataFrame, id_col: str, val_fraction: float = 0.1, seed: int = SPLIT_SEED
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic, key-stable train/validation split: assign by hash of
+    the id, not randomSplit. randomSplit's assignment depends on partition
+    layout (re-reading with a different split count reassigns rows); hashing
+    the id gives the SAME assignment for a row no matter how the data is
+    partitioned, which is what leakage-free reprocessing requires at scale.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000))
+    thresh = int(val_fraction * 1000)
+    val = df.filter(bucket < thresh)
+    train = df.filter(bucket >= thresh)
+    return train, val
+
+
+@query("q79b_train_val_split", None)  # hash-based assignment -> rows-only
+def q79b_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split summary per language: total, train, val counts (pytest checks
+    disjointness, conservation, fraction tolerance, and key-stability)."""
+    d = _t(spark, sf_dir, "documents")
+    train, val = train_val_split(d, "doc_id", val_fraction=0.1)
+    t = train.groupBy("lang").agg(F.count("*").alias("n_train"))
+    v = val.groupBy("lang").agg(F.count("*").alias("n_val"))
+    return (
+        t.join(v, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_val", F.lit(0)).alias("n_val"),
+        )
+    )

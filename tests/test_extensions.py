@@ -220,3 +220,46 @@ def test_ann_ivf_recall_and_shape(spark):
         for r in q74_knn_ivf(spark, SF).collect()
     }
     assert rerun == first
+
+
+def test_stratified_sample_proportions_and_determinism(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        STRATA_FRACTIONS,
+        q79_stratified_sample,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import load_table
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF, "documents").groupBy("lang").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    got = {r["lang"]: r["n_sampled"] for r in q79_stratified_sample(spark, SF).collect()}
+    for lang, frac in STRATA_FRACTIONS.items():
+        expect = totals[lang] * frac
+        assert abs(got.get(lang, 0) - expect) <= max(10, 0.5 * expect), (
+            lang, got.get(lang), expect,
+        )
+    rerun = {r["lang"]: r["n_sampled"] for r in q79_stratified_sample(spark, SF).collect()}
+    assert rerun == got  # seeded -> identical
+
+
+def test_train_val_split_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        train_val_split,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, SF, "documents")
+    train, val = train_val_split(d, "doc_id", val_fraction=0.1)
+    n, nt, nv = d.count(), train.count(), val.count()
+    assert nt + nv == n  # conservation
+    assert train.join(val, "doc_id", "left_semi").count() == 0  # disjoint
+    assert abs(nv - 0.1 * n) <= max(10, 0.06 * n)  # fraction within tolerance
+    # key-stability: same rows land in val regardless of partitioning
+    val_ids = {r["doc_id"] for r in val.collect()}
+    _, val2 = train_val_split(d.repartition(7), "doc_id", val_fraction=0.1)
+    assert {r["doc_id"] for r in val2.collect()} == val_ids
