@@ -452,3 +452,65 @@ def q72_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Right outer join (completes the outer family: q05 left, q72 full)
+# ---------------------------------------------------------------------------
+
+_Q80_SQL = """
+SELECT
+  c.c_custkey,
+  COUNT(o.o_orderkey) AS n_orders
+FROM orders o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+GROUP BY c.c_custkey
+"""
+
+
+@query("q80_join_right_outer", _Q80_SQL)
+def q80_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: fact on the left, preserved dimension on the right
+    (Catalyst plans it as the mirrored left-outer with the dim broadcast —
+    the preserved side can't be the build side of a broadcast join, so the
+    planner flips it)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+_Q81_SQL = """
+SELECT
+  o_orderkey, o_custkey,
+  CAST(NTILE(4) OVER w AS BIGINT) AS spend_quartile,
+  CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pct_rank,
+  CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("q81_window_distribution", _Q81_SQL)
+def q81_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — quartile bucketing (ntile),
+    percent_rank, cume_dist per status. The o_orderkey tiebreaker makes the
+    ordering total, so every rank-derived value is deterministic on both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+    )
