@@ -249,3 +249,130 @@ def q79b_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_val", F.lit(0)).alias("n_val"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting (the subword-aware counterpart of q40)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer classes, simplified to the lookahead-free subset
+# both Java regex (Spark) and RE2 (DuckDB) execute identically: runs of
+# letters, runs of digits, runs of other non-space symbols.
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+_Q91_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS bpe_toks,
+    STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ws_toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(LEN(bpe_toks) AS BIGINT) AS n_bpe_tokens,
+  CAST(LEN(ws_toks) AS BIGINT) AS n_ws_tokens,
+  CAST(ROUND(LEN(bpe_toks)::DOUBLE / LEN(ws_toks), 6) AS DOUBLE) AS bpe_per_word,
+  CAST(LEN(LIST_DISTINCT(bpe_toks)) AS BIGINT) AS n_bpe_vocab
+FROM t
+"""
+
+
+@query("q91_bpe_token_count", _Q91_SQL)
+def q91_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex (letter runs / digit
+    runs / symbol runs — the lookahead-free core of the GPT-2 pattern),
+    alongside the whitespace count: `bpe_per_word` is the tokens-per-word
+    expansion factor used to budget training-token counts from raw text.
+    Pure regexp_extract_all inside codegen — one narrow pass at 100 TB, no
+    Python."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0)
+    ws = tokens_expr("text")
+    return d.select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.round(F.size(bpe).cast("double") / F.size(ws), 6).alias("bpe_per_word"),
+        F.size(F.array_distinct(bpe)).cast("bigint").alias("n_bpe_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash (Karp-Rabin k-gram) document fingerprinting
+# ---------------------------------------------------------------------------
+
+_KGRAM = 8
+_BASE = 31
+
+# Polynomial k-gram hash, written as an explicit positional sum so Spark and
+# DuckDB compute bit-identical BIGINTs: H(g) = sum_j ascii(g[j]) * 31^(k-1-j).
+# Max value ~ 127 * 31^7 * 8 < 2^45 — no modulus needed, no overflow.
+_Q92_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    LIST_TRANSFORM(
+      RANGE(1, GREATEST(LENGTH(norm) - 7, 0) + 1),
+      i -> LIST_SUM(LIST_TRANSFORM(RANGE(0, 8),
+             j -> ASCII(SUBSTRING(norm, CAST(i + j AS INT), 1))
+                  * CAST(POWER(31, 7 - j) AS BIGINT)))
+    ) AS kgram_hashes
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(LIST_MIN(kgram_hashes) AS BIGINT) AS min_kgram_hash,
+  CAST(LEN(LIST_DISTINCT(kgram_hashes)) AS BIGINT) AS n_distinct_kgrams
+FROM h
+"""
+
+
+@query("q92_rolling_hash_fingerprint", _Q92_SQL)
+def q92_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin k-gram fingerprinting: polynomial hash of every 8-char
+    gram of the canonicalized text; the document signature is the minimum
+    gram hash (the winnowing/MinHash selection step) plus the distinct-gram
+    cardinality.
+
+    Implementation: canonicalization stays JVM-side; the per-gram hashing is
+    a vectorized Arrow `mapInPandas` stage — a sliding-window int64 dot
+    product in numpy. The same math as nested higher-order SQL lambdas
+    (tried first: exact but ~100x slower — per-gram interpreted expression
+    trees), and bit-identical to the DuckDB oracle because the polynomial
+    fits int64 with no modulus (127 * 31^7 * 8 < 2^45). Embarrassingly
+    parallel, no shuffle: the scale path at 100 TB. Docs shorter than k get
+    NULL/0 — same 3VL on both engines."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("norm"),
+    )
+
+    def hash_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        weights = (_BASE ** np.arange(_KGRAM - 1, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            out = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["norm"]):
+                # utf-32 codepoints == ascii()/unicode codepoint in SQL
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if codes.size < _KGRAM:
+                    out.append((doc_id, None, 0))
+                    continue
+                grams = np.lib.stride_tricks.sliding_window_view(codes, _KGRAM)
+                h = grams @ weights
+                out.append((doc_id, int(h.min()), int(np.unique(h).size)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "min_kgram_hash", "n_distinct_kgrams"]
+            )
+
+    return d.mapInPandas(
+        hash_batches,
+        "doc_id bigint, min_kgram_hash bigint, n_distinct_kgrams bigint",
+    )

@@ -62,7 +62,8 @@ def audit_query_plans(spark, sf_dir: str) -> list[dict]:
                 ),
                 "python_udf": ("ArrowEvalPython" in plan)
                 or ("MapInPandas" in plan)
-                or ("FlatMapGroupsInPandas" in plan),
+                or ("FlatMapGroupsInPandas" in plan)
+                or ("PythonUDTF" in plan),
                 "top_k": "TakeOrderedAndProject" in plan,
             }
         )

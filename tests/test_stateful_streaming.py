@@ -64,3 +64,101 @@ def test_anomaly_streaks_across_batches(spark, tmp_path):
     assert t2["total_events"] == 3
     assert t2["total_anomalies"] == 1
     assert t2["longest_streak"] == 1
+
+
+def test_fleet_status_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas: typed ValueState + MapState accumulate
+    across micro-batches in the RocksDB state store.
+
+    Requires google.protobuf (the TWS state-protocol dependency), which this
+    build environment lacks — the operator is still exercised for plan
+    construction below; execution is skipped when protobuf is missing.
+    """
+    import pytest
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.stateful import (
+        track_fleet_status,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        # still verify the operator builds a valid streaming plan
+        stream = (
+            spark.readStream.schema(
+                "truck_id string, delivery_status string, value double"
+            )
+            .json(str(tmp_path))
+        )
+        df = track_fleet_status(stream)
+        assert df.isStreaming
+        assert set(df.columns) == {
+            "truck_id",
+            "total_events",
+            "total_value",
+            "status_histogram",
+        }
+        pytest.skip("google.protobuf not installed (transformWithState protocol)")
+
+    f1 = [
+        {"truck_id": "T1", "delivery_status": "in_transit", "value": 1.0},
+        {"truck_id": "T1", "delivery_status": "delivered", "value": 2.0},
+        {"truck_id": "T2", "delivery_status": "delayed", "value": 5.0},
+    ]
+    f2 = [
+        {"truck_id": "T1", "delivery_status": "in_transit", "value": 3.0},
+        {"truck_id": "T2", "delivery_status": "delayed", "value": 7.0},
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    import os
+    import time
+
+    (d / "a_b1.json").write_text("\n".join(json.dumps(r) for r in f1))
+    (d / "b_b2.json").write_text("\n".join(json.dumps(r) for r in f2))
+    now = time.time()
+    os.utime(d / "a_b1.json", (now - 60, now - 60))
+    os.utime(d / "b_b2.json", (now, now))
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(
+                "truck_id string, delivery_status string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(str(d))
+        )
+        q = (
+            track_fleet_status(stream)
+            .writeStream.format("memory")
+            .queryName("fleet")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = spark.sql("SELECT * FROM fleet ORDER BY total_events").collect()
+    final = {r["truck_id"]: r for r in rows}
+    t1, t2 = final["T1"], final["T2"]
+    assert t1["total_events"] == 3
+    assert t1["total_value"] == 6.0
+    assert json.loads(t1["status_histogram"]) == {"delivered": 1, "in_transit": 2}
+    assert t2["total_events"] == 2
+    assert t2["total_value"] == 12.0
+    assert json.loads(t2["status_histogram"]) == {"delayed": 2}
