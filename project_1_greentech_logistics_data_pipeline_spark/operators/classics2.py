@@ -608,3 +608,29 @@ def q90_udtf_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 15
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentile sketch (rows-only; tolerance pytest in
+# tests/test_extensions.py, mirroring the q28 HLL pattern)
+# ---------------------------------------------------------------------------
+
+
+@query("q95_approx_percentile", None)  # sketch is engine-specific -> rows-only
+def q95_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style quantile sketch): constant-memory
+    mergeable quantiles — the 100 TB path where exact percentile's
+    full-collection-per-group (q19) stops being affordable. accuracy=10000
+    bounds rank error at ~0.01%; the pytest checks the estimates land within
+    rank tolerance of the exact interpolated percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
+            "approx_p90"
+        ),
+        F.percentile("l_extendedprice", 0.5).alias("exact_median"),
+        F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
+    )

@@ -295,3 +295,156 @@ def q34_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", "ts").alias("last_event_type"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (hypertable-style) time rollup: hour -> day from the hourly
+# pre-aggregate, not from raw
+# ---------------------------------------------------------------------------
+
+_Q94_SQL = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS bucket_ts,
+    COUNT(*) AS n_events,
+    SUM(CAST(value AS DECIMAL(38,6))) AS v
+  FROM events GROUP BY 1
+), daily AS (
+  SELECT DATE_TRUNC('day', bucket_ts) AS bucket_ts,
+    SUM(n_events) AS n_events, SUM(v) AS v
+  FROM hourly GROUP BY 1
+)
+SELECT 'hour' AS level, bucket_ts, CAST(n_events AS BIGINT) AS n_events,
+       CAST(v AS DOUBLE) AS total_value
+FROM hourly
+UNION ALL
+SELECT 'day' AS level, bucket_ts, CAST(n_events AS BIGINT) AS n_events,
+       CAST(v AS DOUBLE) AS total_value
+FROM daily
+"""
+
+
+@query("q94_hierarchical_time_rollup", _Q94_SQL)
+def q94_hierarchical_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (hour + day) in ONE pass:
+    GROUPING SETS ((hour), (day)) compiles to a single scan + Expand +
+    partial aggregation, so the raw table is read once and the shuffle
+    carries only per-partition (hour ∪ day) partial aggregates. The naive
+    union-of-two-aggregations plan was measured to scan raw twice (Spark
+    does not dedupe the shared subtree under union); the two-level
+    rollup-from-pre-aggregate form is what you'd *materialize* in a real
+    hypertable — as a single query, Expand wins. Sums stay DECIMAL(38,6)
+    until the final projection, so the oracle's rollup-from-hourly plan is
+    value-identical (decimal addition is associative; double's is not)."""
+    e = _t(spark, sf_dir, "events")
+    keyed = e.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+    )
+    return (
+        keyed.groupingSets([["h"], ["d"]], "h", "d")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
+            F.grouping("h").alias("g_h"),
+        )
+        .select(
+            F.when(F.col("g_h") == 0, "hour").otherwise("day").alias("level"),
+            F.coalesce("h", "d").alias("bucket_ts"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binned interval join: large x large time-proximity join without BNLJ
+# ---------------------------------------------------------------------------
+
+
+def binned_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance_expr: str,
+) -> DataFrame:
+    """Join rows whose timestamps fall within +/- tolerance of each other,
+    at shuffle-join cost instead of a broadcast-nested-loop cartesian.
+
+    Technique: bucket both sides into tolerance-width time bins
+    (`F.window`), explode the LEFT side to its bin and both neighbors, and
+    equi-join on the bin — every within-tolerance pair shares one of the
+    three bins, and each pair matches exactly once because the right side
+    keeps its single home bin. The residual |l-r| <= tolerance predicate
+    runs after the equi-join. This is the standard rewrite that makes a
+    range-only join scale: a pure range predicate gives Spark no equi keys,
+    so the planner falls back to BroadcastNestedLoopJoin (fine vs a small
+    dim — q31 — catastrophic large x large). Cost: 3x left shuffle volume,
+    one shuffle each side, SMJ/SHJ on the bin.
+
+    tolerance_expr: SQL interval literal body, e.g. "INTERVAL 5 MINUTES" —
+    must equal the bin width passed below.
+    """
+    dur = tolerance_expr.replace("INTERVAL", "").strip().lower()
+    l = left.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.expr(f"{_w_start(left_ts, dur)} - {tolerance_expr}"),
+                F.expr(_w_start(left_ts, dur)),
+                F.expr(f"{_w_start(left_ts, dur)} + {tolerance_expr}"),
+            )
+        ),
+    )
+    r = right.withColumn("bin", F.expr(_w_start(right_ts, dur)))
+    cond = (
+        (F.col("bin") == F.col("rbin"))
+        & (F.col(right_ts) >= F.expr(f"{left_ts} - {tolerance_expr}"))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + {tolerance_expr}"))
+    )
+    return l.join(r.withColumnRenamed("bin", "rbin"), cond)
+
+
+def _w_start(ts: str, dur: str) -> str:
+    return f"window({ts}, '{dur}').start"
+
+
+_Q97_SQL = """
+SELECT
+  CAST(DATE_TRUNC('day', e.ts) AS TIMESTAMP) AS day,
+  COUNT(*) AS n_pairs,
+  COUNT(DISTINCT e.event_id) AS n_errors_with_purchase
+FROM events e
+JOIN events p
+  ON p.event_type = 'purchase'
+ AND p.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY day
+ORDER BY day
+"""
+
+
+@query("q97_binned_interval_join", _Q97_SQL)
+def q97_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-proximity join of two large event streams (errors x purchases
+    within +/- 5 minutes) via binned_interval_join — the batch twin of the
+    stream-stream interval join, and the plan that survives 100 TB where
+    the naive range-only join (the oracle's form) degenerates to a
+    nested-loop cartesian."""
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    pairs = binned_interval_join(err, pur, "e_ts", "p_ts", "INTERVAL 5 MINUTES")
+    return (
+        pairs.groupBy(F.date_trunc("day", "e_ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("e_id").alias("n_errors_with_purchase"),
+        )
+        .orderBy("day")
+    )

@@ -376,3 +376,59 @@ def q92_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_batches,
         "doc_id bigint, min_kgram_hash bigint, n_distinct_kgrams bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon sentiment via broadcast join (SURVEY §2.10: sentiment ≙ lexicon
+# broadcast-join, cf. the EDBT'16 Spark sentiment pattern in PAPERS.md)
+# ---------------------------------------------------------------------------
+
+# Public-knowledge valence lexicon over the corpus vocabulary (integer
+# scores -> exact aggregation, no float accumulation concerns).
+SENTIMENT_LEXICON = [("fast", 2), ("big", 1), ("small", -1), ("slow", -2)]
+
+_Q93_SQL = """
+WITH lex(word, score) AS (
+  VALUES ('fast', 2), ('big', 1), ('small', -1), ('slow', -2)
+), toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT
+  t.doc_id,
+  COUNT(*) AS n_sentiment_tokens,
+  CAST(SUM(l.score) AS BIGINT) AS sentiment_sum,
+  CAST(ROUND(SUM(l.score)::DOUBLE / COUNT(*), 6) AS DOUBLE) AS sentiment_mean,
+  CASE WHEN SUM(l.score) > 0 THEN 'positive'
+       WHEN SUM(l.score) < 0 THEN 'negative'
+       ELSE 'neutral' END AS sentiment_label
+FROM toks t
+JOIN lex l ON t.tok = l.word
+GROUP BY t.doc_id
+"""
+
+
+@query("q93_lexicon_sentiment", _Q93_SQL)
+def q93_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring: tokenize -> explode -> broadcast-join
+    the valence lexicon -> per-document aggregate. The lexicon is the
+    canonical tiny-dim broadcast (bytes vs a 100 TB corpus: the join is a
+    map-side hash probe, zero shuffle before the per-doc group-by). Integer
+    scores keep the aggregation exact."""
+    d = _t(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(SENTIMENT_LEXICON, "word string, score int")
+    toks = d.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    ssum = F.sum("score")
+    return (
+        toks.join(F.broadcast(lex), toks.tok == lex.word)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentiment_tokens"),
+            ssum.cast("bigint").alias("sentiment_sum"),
+            F.round(ssum.cast("double") / F.count("*"), 6).alias("sentiment_mean"),
+            F.when(ssum > 0, "positive")
+            .when(ssum < 0, "negative")
+            .otherwise("neutral")
+            .alias("sentiment_label"),
+        )
+    )

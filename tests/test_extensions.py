@@ -263,3 +263,94 @@ def test_train_val_split_invariants(spark):
     val_ids = {r["doc_id"] for r in val.collect()}
     _, val2 = train_val_split(d.repartition(7), "doc_id", val_fraction=0.1)
     assert {r["doc_id"] for r in val2.collect()} == val_ids
+
+
+def test_approx_percentile_tolerance(spark):
+    """q95: sketch estimates must land near the exact interpolated
+    percentiles (1% of the group's value range at accuracy=10000)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics2 import (
+        q95_approx_percentile,
+    )
+
+    rows = q95_approx_percentile(spark, SF).collect()
+    assert rows
+    for r in rows:
+        for a, e in (
+            (r["approx_median"], r["exact_median"]),
+            (r["approx_p90"], r["exact_p90"]),
+        ):
+            assert abs(a - e) / max(abs(e), 1.0) <= 0.01, (r["l_returnflag"], a, e)
+
+
+def test_int8_quantization_roundtrip(spark):
+    """q96: codes must be in [-127, 127] and dequantized vectors must
+    reconstruct the original within half a quantization step."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.similarity import (
+        q96_embedding_quantize_int8,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    q = q96_embedding_quantize_int8(spark, SF).collect()
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    assert q
+    for r in q:
+        scale, codes = r["scale"], r["qvec"]
+        emb = orig[r["vec_id"]]
+        assert scale is not None and scale > 0
+        assert max(abs(c) for c in codes) == 127  # max|x| maps to full range
+        step = 1.0 / scale
+        for c, x in zip(codes, emb):
+            assert abs(c) <= 127
+            assert abs(c * step - x) <= step / 2 + 1e-9
+
+
+def test_binned_interval_join_equivalence(spark):
+    """binned_interval_join must produce exactly the naive theta-join's
+    pairs on randomized timestamps (seeded), including tolerance-boundary
+    and cross-bin matches."""
+    import random
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.temporal import (
+        binned_interval_join,
+    )
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    lrows = [(i, base + rng.randint(0, 3600)) for i in range(200)]
+    rrows = [(1000 + i, base + rng.randint(0, 3600)) for i in range(200)]
+    # include exact-boundary pairs (diff == tolerance) and same-instant pairs
+    lrows += [(900, base + 10_000), (901, base + 20_000)]
+    rrows += [(1900, base + 10_000 + 300), (1901, base + 20_000)]
+    l = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(t)) for i, t in lrows],
+        "l_id long, l_ts timestamp_ntz",
+    )
+    r = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(t)) for i, t in rrows],
+        "r_id long, r_ts timestamp_ntz",
+    )
+    binned = {
+        (row["l_id"], row["r_id"])
+        for row in binned_interval_join(
+            l, r, "l_ts", "r_ts", "INTERVAL 5 MINUTES"
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    naive = {
+        (row["l_id"], row["r_id"])
+        for row in l.crossJoin(r)
+        .filter(
+            (F.col("r_ts") >= F.expr("l_ts - INTERVAL 5 MINUTES"))
+            & (F.col("r_ts") <= F.expr("l_ts + INTERVAL 5 MINUTES"))
+        )
+        .collect()
+    }
+    assert binned == naive
+    assert (900, 1900) in binned  # boundary diff == tolerance
+    assert (901, 1901) in binned  # same instant
