@@ -36,6 +36,28 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footers
     entry_mod.entry(spark).collect()
 
+    def release_session_state() -> None:
+        """Drop state a query may have pinned (cache/localCheckpoint RDD
+        blocks), so each query is measured from a clean session. Without
+        this, the connected-components/curation queries' checkpointed
+        blocks stay resident for the remaining ~90 queries and
+        memory-starve them (measured: q48 2.4s solo vs 20s late-session)."""
+        spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values().toArray():
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+        try:
+            # ContextCleaner frees broadcast + shuffle blocks only when the
+            # driver GCs their references; a 128 GiB heap may not GC for the
+            # whole session, so dead blocks from ~90 queries accumulate and
+            # memory-starve later ones. Force the collection each query.
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     qs = entry_mod.queries()
     for name, fn in qs.items():
@@ -43,6 +65,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_session_state()
 
     # reference-parity pipeline over a synthetic raw batch (~20k events)
     from project_1_greentech_logistics_data_pipeline_spark import testing

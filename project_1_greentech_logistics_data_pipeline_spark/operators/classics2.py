@@ -634,3 +634,90 @@ def q95_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.5).alias("exact_median"),
         F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (double aggregation)
+# ---------------------------------------------------------------------------
+
+_Q98_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("q98_tpch_q13_custdist", _Q98_SQL)
+def q98_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of per-customer order counts — a LEFT OUTER join
+    whose ON clause carries a non-key predicate (the filter must live in the
+    join condition, not WHERE, to preserve zero-order customers), then two
+    aggregation levels: count-per-customer, then customers-per-count.
+    COUNT(o_orderkey) counts only matched rows, so no-order customers land
+    in the c_count=0 bucket. The second aggregation's input is one row per
+    customer — the second shuffle is tiny; AQE coalesces it."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate Pandas UDF (the scalar UDAF surface of SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+_Q99_SQL = """
+SELECT
+  l_returnflag,
+  CAST(ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS DOUBLE) AS geomean_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q99_pandas_udaf_geomean", _Q99_SQL)
+def q99_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric-mean UDAF as a grouped-aggregate Pandas UDF — the scalar
+    custom-aggregate API (vs q75's grouped-MAP applyInPandas): one Arrow
+    batch per group feeds a numpy reduction, the result is a scalar per
+    group. exp(mean(log)) in float64 matches the oracle's EXP(AVG(LN(...)))
+    at 4 rounded digits (both sides mean over float64 logs; rounding absorbs
+    the accumulation-order ulps). At 100 TB: Spark still runs partial
+    aggregation per partition? No — grouped-agg Pandas UDFs require the
+    whole group on one node (no partial merge), so this surface is for
+    moderate group cardinality x size; unboundable groups should use an
+    algebraic reformulation (exactly what the oracle's EXP(AVG(LN)) is,
+    expressible JVM-side as exp(avg(ln(c)))) — documented trade-off."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(prices):
+        import numpy as np
+
+        return float(np.exp(np.log(prices.to_numpy(dtype="float64")).mean()))
+
+    # real type objects, not strings: this module's `from __future__ import
+    # annotations` would stringify inline hints and break eval-type inference
+    _geomean.__annotations__ = {"prices": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(geomean("l_extendedprice"), 4).alias("geomean_price"))
+        .orderBy("l_returnflag")
+    )

@@ -117,3 +117,22 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     parquet — supported as an interchange format, parquet stays the default
     sink)."""
     return spark.read.schema(schema).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest opaque media files via Spark's built-in binaryFile source —
+    the filesystem entry point for the multimodal column pipeline
+    (operators/multimodal.py): each file becomes one row of
+    (path, modificationTime, length, content binary), which
+    `media_table`-shaped selects can project into the
+    (content, mime, meta) contract. Filter with pathGlobFilter at the
+    SOURCE (partition-prune level — unmatched files are never opened);
+    spark.sql.files.maxPartitionBytes governs how many small media files
+    pack into one task at 100 TB."""
+    tune(spark)
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

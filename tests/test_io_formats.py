@@ -82,3 +82,38 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     after_files = len(glob.glob(f"{p}/*.parquet"))
     assert before_files > 20 and after_files == n_out == 1
     assert spark.read.parquet(p).count() == before_count
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile source: one row per file, exact bytes, glob filtering."""
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        read_binary_files,
+    )
+
+    payloads = {
+        "a.jpg": b"\xff\xd8\xff\xe0fakejpeg",
+        "b.jpg": b"\xff\xd8\xff\xe1other",
+        "c.txt": b"not media",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.jpg")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}
+    assert bytes(rows["a.jpg"]["content"]) == payloads["a.jpg"]
+    assert rows["b.jpg"]["length"] == len(payloads["b.jpg"])
+
+    # feeds the multimodal contract: project into (content, mime, meta)
+    from pyspark.sql import functions as F
+
+    media = df.select(
+        F.col("content"),
+        F.lit("image/jpeg").alias("mime"),
+        F.create_map(F.lit("src"), F.col("path")).alias("meta"),
+    )
+    assert [f.dataType.simpleString() for f in media.schema.fields][:2] == [
+        "binary",
+        "string",
+    ]
+    assert media.count() == 2
