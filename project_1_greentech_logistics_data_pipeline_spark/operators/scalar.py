@@ -345,3 +345,41 @@ def q77_json_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.to_json(F.struct("n_name", "n_regionkey")).alias("payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe try_* family: NULL-on-failure arithmetic/casts (q100)
+# ---------------------------------------------------------------------------
+
+_Q100_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_discount,
+  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+  CAST(NULL AS TIMESTAMP) AS bad_ts,
+  [l_quantity][8] AS qty_oob
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+"""
+
+
+@query("q100_try_functions", _Q100_SQL)
+def q100_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-safe scalar family: try_divide / try_cast / try_to_timestamp
+    / try_element_at return NULL where strict ANSI evaluation would raise —
+    the per-cell analogue of the pipeline's PERMISSIVE parse (corrupt input
+    degrades to NULL and flows to the rejected branch instead of failing a
+    100 TB job at row 10^12). Oracle encodes the same semantics with the
+    portable forms (x / NULLIF(y,0), TRY_CAST, out-of-bounds list index)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0.0))).alias(
+            "price_per_discount"
+        ),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias("flag_as_int"),
+        F.try_to_timestamp(F.lit("not a timestamp")).alias("bad_ts"),
+        F.try_element_at(F.array("l_quantity"), F.lit(8)).alias("qty_oob"),
+    )

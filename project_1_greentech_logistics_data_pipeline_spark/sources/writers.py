@@ -66,3 +66,48 @@ def compact_table(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return n_out
+
+
+def upsert_by_key(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Key-based upsert (MERGE .. WHEN MATCHED UPDATE / NOT MATCHED INSERT)
+    on a plain-file table: survivors = target anti-join updates on the keys,
+    result = survivors ∪ updates, atomically swapped in via a staging dir.
+
+    This is the copy-on-write merge Delta/Iceberg implement per-file; without
+    a transaction log the rewrite unit is the whole table, so at scale call
+    it per partition directory (the anti-join prunes to partitions present
+    in `updates`). The swap keeps the old data until the new write has
+    fully succeeded — a failed job leaves the target untouched (the staging
+    dir is abandoned, never half-applied).
+
+    Reference parity: the curated `overwrite` (Glue_job.py:125) is the
+    degenerate upsert where every key matches; this generalizes it to
+    incremental loads the reference re-runs from scratch.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(target_path):
+        target = spark.read.format(fmt).load(target_path)
+        survivors = target.join(
+            updates.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
+        )
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
+    else:
+        merged = updates
+    staging = target_path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+    backup = target_path.rstrip("/") + "._old"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(target_path):
+        os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)

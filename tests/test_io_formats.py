@@ -117,3 +117,28 @@ def test_binary_file_source(spark, tmp_path):
         "string",
     ]
     assert media.count() == 2
+
+
+def test_upsert_by_key(spark, tmp_path):
+    """upsert_by_key: matched keys replaced, new keys inserted, others kept;
+    a second identical upsert is idempotent."""
+    from project_1_greentech_logistics_data_pipeline_spark.sources.writers import (
+        upsert_by_key,
+    )
+
+    target = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    upsert_by_key(spark, target, base, keys=["id"])  # bootstrap: all inserts
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    upsert_by_key(spark, target, updates, keys=["id"])
+    rows = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    upsert_by_key(spark, target, updates, keys=["id"])  # idempotent re-run
+    rows2 = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert rows2 == rows

@@ -127,3 +127,35 @@ def test_q65_notin_is_anti_join(spark):
 
     plan = explain_str(q65_notin_anti_subquery(spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A date-partitioned table scanned with a partition filter must show
+    the filter in PartitionFilters (pruned at file-listing time, before any
+    IO) — the 100 TB behavior the curated layer's date partitioning buys,
+    and exactly what the reference's unpartitioned writes forfeit."""
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.writers import (
+        write_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_table(e, path, mode="overwrite", partition_by=["event_date"])
+
+    df = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-03")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in seg, f"partition filter not pushed: {seg!r}"
+    # and the pruned read returns exactly the partition's rows
+    expected = e.filter(F.col("event_date") == "2024-01-03").count()
+    assert df.count() == expected > 0
