@@ -142,3 +142,38 @@ def test_upsert_by_key(spark, tmp_path):
     upsert_by_key(spark, target, updates, keys=["id"])  # idempotent re-run
     rows2 = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert rows2 == rows
+
+
+def test_python_datasource_telemetry_gen(spark):
+    """Spark-4 Python Data Source: distributed deterministic telemetry
+    generator — partition-parallel, reproducible, ~15% anomaly mix."""
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.sources.datasource_gen import (
+        register,
+    )
+
+    register(spark)
+    reader = (
+        spark.read.format("telemetry_gen")
+        .option("rows", 4000)
+        .option("partitions", 8)
+        .option("seed", 7)
+    )
+    df = reader.load()
+    assert df.count() == 4000
+    assert df.rdd.getNumPartitions() == 8
+    # deterministic: same options -> identical dataset
+    h1 = df.orderBy("truck_id", "timestamp").agg(
+        F.md5(F.concat_ws("|", F.collect_list(F.concat_ws(",", *df.columns))))
+    ).collect()[0][0]
+    h2 = reader.load().orderBy("truck_id", "timestamp").agg(
+        F.md5(F.concat_ws("|", F.collect_list(F.concat_ws(",", *df.columns))))
+    ).collect()[0][0]
+    assert h1 == h2
+    # anomaly mix near the reference's 15% (Producer.py:138-139)
+    frac = df.filter(F.col("injected_anomaly").isNotNull()).count() / 4000
+    assert 0.11 <= frac <= 0.19, frac
+    # anomalous rows really carry anomalies: out-of-range fuel present
+    assert df.filter(F.col("fuel_level") > 100).count() > 0
+    assert df.filter(F.isnan("temperature")).count() > 0

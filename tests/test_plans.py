@@ -159,3 +159,50 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # and the pruned read returns exactly the partition's rows
     expected = e.filter(F.col("event_date") == "2024-01-03").count()
     assert df.count() == expected > 0
+
+
+def test_q82_q7_fact_never_shuffles_for_joins(spark):
+    """Q7 shape: every join must be broadcast; the only shuffle is the final
+    group-by (plus its AQE reads)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics2 import (
+        q82_tpch_q7_volume_shipping,
+    )
+
+    plan = explain_str(q82_tpch_q7_volume_shipping(spark, SF))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q94_rollup_is_single_scan_expand(spark):
+    """Multi-granularity rollup must compile to one scan + Expand, not a
+    union of two aggregations re-scanning raw."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.temporal import (
+        q94_hierarchical_time_rollup,
+    )
+
+    plan = explain_str(q94_hierarchical_time_rollup(spark, SF))
+    assert "Expand" in plan
+    # formatted mode: one numbered "Scan parquet" node in the tree section
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Union" not in plan
+
+
+def test_q97_interval_join_avoids_bnlj(spark):
+    """Binned interval join must never plan a nested-loop cartesian."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.temporal import (
+        q97_binned_interval_join,
+    )
+
+    plan = explain_str(q97_binned_interval_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q86_q21_semi_and_anti_self_joins(spark):
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics2 import (
+        q86_tpch_q21_waiting_supplier,
+    )
+
+    plan = explain_str(q86_tpch_q21_waiting_supplier(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
