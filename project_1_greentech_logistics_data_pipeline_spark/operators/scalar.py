@@ -383,3 +383,71 @@ def q100_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_timestamp(F.lit("not a timestamp")).alias("bad_ts"),
         F.try_element_at(F.array("l_quantity"), F.lit(8)).alias("qty_oob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order transformations (q101) — the mutation surface over q26's
+# construction/access surface
+# ---------------------------------------------------------------------------
+
+_Q101_SQL = """
+WITH pc AS (
+  SELECT o_orderstatus, o_orderpriority AS k, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), tot AS (
+  SELECT o_orderstatus, SUM(cnt) AS total FROM pc GROUP BY 1
+)
+SELECT
+  pc.o_orderstatus,
+  STRING_AGG(pc.k || '=' || (pc.cnt * 2), ',' ORDER BY pc.k) AS doubled,
+  STRING_AGG(pc.k || '=' || pc.cnt, ',' ORDER BY pc.k)
+    FILTER (WHERE pc.cnt > 100) AS big_only,
+  STRING_AGG(pc.k || '=' || ROUND(pc.cnt::DOUBLE / tot.total, 4), ','
+             ORDER BY pc.k) AS share
+FROM pc JOIN tot USING (o_orderstatus)
+GROUP BY pc.o_orderstatus
+ORDER BY pc.o_orderstatus
+"""
+
+
+@query("q101_map_transformations", _Q101_SQL)
+def q101_map_transformations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — transform_values, map_filter, and
+    map_zip_with (counts zipped with a same-keyed totals map into shares) —
+    scalarized to sorted 'k=v' strings so the DuckDB oracle (which has no
+    comparable MAP) can reproduce the values relationally. All lambdas
+    execute JVM-side inside codegen."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderpriority", "cnt")))
+            ).alias("m"),
+            F.sum("cnt").alias("total"),
+        )
+    )
+    doubled = F.transform_values("m", lambda k, v: v * 2)
+    big_only = F.map_filter("m", lambda k, v: v > 100)
+    total_map = F.transform_values("m", lambda k, v: F.col("total"))
+    share = F.map_zip_with(
+        "m", total_map, lambda k, v1, v2: F.round(v1.cast("double") / v2, 4)
+    )
+
+    def render(mcol):
+        return F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(mcol)),
+                lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        )
+
+    return m.select(
+        "o_orderstatus",
+        render(doubled).alias("doubled"),
+        F.nullif(render(big_only), F.lit("")).alias("big_only"),
+        render(share).alias("share"),
+    ).orderBy("o_orderstatus")

@@ -220,3 +220,50 @@ def enrich_stream_with_dim(
     from pyspark.sql import functions as F  # noqa: F811  (local: module import order)
 
     return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], how)
+
+
+def run_upsert_stream(
+    spark,
+    input_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    schema: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming CDC-style MERGE: each micro-batch is upserted into the
+    target by key (writers.upsert_by_key) — later batches overwrite matched
+    keys, new keys insert. Combined with the checkpointed file source this
+    gives effectively-once table maintenance on plain files: a replayed
+    batch re-applies the same upsert, which is idempotent, so failure +
+    restart cannot duplicate rows (the reference's rejected `append` sink
+    accumulates duplicates on every re-run — Glue_job.py:128, SURVEY §3).
+
+    Within a batch, duplicate keys are resolved deterministically before the
+    merge (max row per key) because micro-batch files may carry multiple
+    updates for one key.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.writers import upsert_by_key
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w_cols = [c for c in batch_df.columns if c not in keys]
+        latest = batch_df.groupBy(*keys).agg(
+            *[F.max(c).alias(c) for c in w_cols]
+        )
+        upsert_by_key(batch_df.sparkSession, target_path, latest, keys=keys)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

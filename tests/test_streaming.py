@@ -209,3 +209,47 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     assert len(out) == 3
     assert out[1] is not None and out[2] is not None  # matched dim rows
     assert out[999999] is None  # left join keeps unmatched stream rows
+
+
+def test_streaming_upsert_merge(spark, tmp_path):
+    """foreachBatch + upsert_by_key: later micro-batches overwrite matched
+    keys; unmatched keys persist; within-batch duplicate keys resolve to the
+    max row."""
+    import json as _json
+    import os
+    import time as _time
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        run_upsert_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    f1 = [
+        {"truck_id": "T1", "fuel": 90.0, "seq": 1},
+        {"truck_id": "T2", "fuel": 80.0, "seq": 1},
+    ]
+    f2 = [
+        {"truck_id": "T2", "fuel": 70.0, "seq": 2},
+        {"truck_id": "T2", "fuel": 75.0, "seq": 3},  # within-batch dup key
+        {"truck_id": "T3", "fuel": 60.0, "seq": 2},
+    ]
+    (d / "a1.json").write_text("\n".join(_json.dumps(r) for r in f1))
+    (d / "b2.json").write_text("\n".join(_json.dumps(r) for r in f2))
+    now = _time.time()
+    os.utime(d / "a1.json", (now - 60, now - 60))
+    os.utime(d / "b2.json", (now, now))
+
+    target = str(tmp_path / "tbl")
+    q = run_upsert_stream(
+        spark,
+        str(d),
+        target,
+        str(tmp_path / "ckpt"),
+        keys=["truck_id"],
+        schema="truck_id string, fuel double, seq long",
+    )
+    q.awaitTermination()
+
+    rows = {r["truck_id"]: (r["fuel"], r["seq"]) for r in spark.read.parquet(target).collect()}
+    assert rows == {"T1": (90.0, 1), "T2": (75.0, 3), "T3": (60.0, 2)}
