@@ -9,6 +9,7 @@ UDFs; at 100 TB these run inside whole-stage codegen on the scan.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..session import tune
@@ -431,4 +432,115 @@ def q93_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("neutral")
             .alias("sentiment_label"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed-size token windows with overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 50
+_STRIDE = 40  # 10-token overlap
+
+_Q102_SQL = f"""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+    UNNEST(RANGE(0, GREATEST(CAST(CEIL((LEN(toks) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1, 1))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+  CAST(LEN(toks[(chunk_id * {_STRIDE} + 1):(chunk_id * {_STRIDE} + {_CHUNK})]) AS BIGINT) AS n_tokens,
+  ARRAY_TO_STRING(toks[(chunk_id * {_STRIDE} + 1):(chunk_id * {_STRIDE} + {_CHUNK})], ' ') AS chunk_text
+FROM c
+"""
+
+
+@query("q102_document_chunking", _Q102_SQL)
+def q102_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-length-fitting step of
+    an LLM training pipeline: 50-token chunks with a 10-token overlap
+    (stride 40), last partial chunk kept. sequence() builds the chunk ids,
+    posexplode-style explode fans out, slice() takes each window — all
+    JVM-side; rows fan out ~len/stride x, which is the intended output
+    volume, not overhead."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - _CHUNK) / F.lit(float(_STRIDE))).cast("bigint") + 1,
+        F.lit(1).cast("bigint"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.slice("toks", F.col("chunk_id") * _STRIDE + 1, _CHUNK))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice("toks", F.col("chunk_id") * _STRIDE + 1, _CHUNK), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget bins, deterministic sequential packing)
+# ---------------------------------------------------------------------------
+
+_BUDGET = 2048
+
+_Q103_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT lang, doc_id, n_tokens,
+    CAST(FLOOR(
+      (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / {_BUDGET}.0
+    ) AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT lang, pack_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
+@query("q103_sequence_packing", _Q103_SQL)
+def q103_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence-packing: assign docs (in deterministic doc_id
+    order per language) to ~2048-token training bins by windowed running
+    sum — pack_id = floor(tokens_before / budget). One window pass + one
+    aggregation; the deterministic order makes the packing reproducible
+    across runs and engines (greedy bin packing is order-dependent, so the
+    order IS the spec). The per-lang window shuffle is the same partitioning
+    the downstream per-pack aggregation needs — one exchange, reused."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    t = d.select("doc_id", "lang", F.size(toks).cast("bigint").alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = t.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(float(_BUDGET))).cast(
+            "bigint"
+        ),
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("lang", "pack_id")
     )
