@@ -605,3 +605,98 @@ def q18_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q18_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Window VALUE functions: first_value / last_value / nth_value over frames
+# ---------------------------------------------------------------------------
+
+_Q104_SQL = """
+SELECT * FROM (
+  SELECT
+    o_custkey,
+    ROW_NUMBER() OVER w AS rn,
+    FIRST_VALUE(o_totalprice) OVER w AS first_price,
+    LAST_VALUE(o_totalprice) OVER
+      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+    NTH_VALUE(o_totalprice, 2) OVER
+      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+    COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+) WHERE rn = 1
+"""
+
+
+@query("q104_window_value_functions", _Q104_SQL)
+def q104_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value — the window VALUE family over an
+    explicit full-partition frame (last_value under the default frame is the
+    classic running-frame footgun: it returns the CURRENT row; the
+    unbounded-following frame makes it the true per-key last). One shuffle
+    on the partition key serves all five window expressions."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    ordered = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = ordered.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            F.row_number().over(ordered).alias("rn"),
+            F.first("o_totalprice").over(ordered).alias("first_price"),
+            F.last("o_totalprice").over(full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+            F.count("*").over(W.partitionBy("o_custkey")).alias("n_orders"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode + argmin aggregates
+# ---------------------------------------------------------------------------
+
+_Q105_SQL = """
+WITH counts AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
+), m AS (
+  SELECT c_mktsegment, c_nationkey AS mode_nation,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY cnt DESC, c_nationkey) AS rn
+  FROM counts
+), am AS (
+  SELECT c_mktsegment, c_custkey AS poorest_cust,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer
+)
+SELECT m.c_mktsegment, m.mode_nation, am.poorest_cust
+FROM m JOIN am USING (c_mktsegment)
+WHERE m.rn = 1 AND am.rn = 1
+ORDER BY m.c_mktsegment
+"""
+
+
+@query("q105_mode_argmin", _Q105_SQL)
+def q105_mode_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent nation per segment, ties -> lowest
+    value: Spark's mode(col, deterministic=true) contract) and a
+    deterministic argmin via min_by over a composite (balance, key) struct —
+    single-pass aggregates where the oracle needs windowed row_number
+    reconstructions. At scale these are partial-aggregatable (mode merges
+    count maps; min_by merges a single struct) — no second shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.mode("c_nationkey", True).alias("mode_nation"),
+            F.min_by(
+                "c_custkey", F.struct("c_acctbal", "c_custkey")
+            ).alias("poorest_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
