@@ -721,3 +721,66 @@ def q99_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(geomean("l_extendedprice"), 4).alias("geomean_price"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth: window functions OVER an aggregate (two altitudes)
+# ---------------------------------------------------------------------------
+
+_Q106_SQL = """
+WITH yearly AS (
+  SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      AS revenue
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY nation, o_year
+)
+SELECT nation, o_year, revenue,
+  LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year) AS prev_revenue,
+  CAST(ROUND(
+    (revenue - LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year))
+      / NULLIF(LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year), 0.0), 6)
+    AS DOUBLE) AS yoy_growth
+FROM yearly
+ORDER BY nation, o_year
+"""
+
+
+@query("q106_yoy_growth", _Q106_SQL)
+def q106_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation: an aggregate
+    (fact scan -> grouped decimal-exact sums) feeding window functions at a
+    second altitude (lag over the yearly series). The window input is the
+    AGGREGATE's output — thousands of rows regardless of fact size — so the
+    window stage costs nothing at 100 TB; the plan is one fact pass + one
+    group-by shuffle + one tiny window exchange."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cd = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_name").alias("nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    yearly = (
+        li.join(F.broadcast(o.join(F.broadcast(cd), o.o_custkey == F.col("c_custkey"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(revenue).alias("revenue"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("nation").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation",
+        "o_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias(
+            "yoy_growth"
+        ),
+    ).orderBy("nation", "o_year")

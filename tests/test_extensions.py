@@ -354,3 +354,46 @@ def test_binned_interval_join_equivalence(spark):
     assert binned == naive
     assert (900, 1900) in binned  # boundary diff == tolerance
     assert (901, 1901) in binned  # same instant
+
+
+def test_chunking_conservation(spark):
+    """q102: chunks tile every document — first chunk starts at token 1,
+    consecutive chunks overlap by exactly chunk-stride tokens, and the
+    union of chunk tokens covers the whole document."""
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        _CHUNK,
+        _STRIDE,
+        q102_document_chunking,
+        tokens_expr,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    chunks = q102_document_chunking(spark, SF)
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(tokens_expr("text")).alias("n_doc_tokens")
+    )
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("sum_chunk_tokens"),
+            F.max("chunk_id").alias("last_chunk"),
+        )
+        .join(docs, "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        n, k = r["n_doc_tokens"], r["n_chunks"]
+        # every token covered: last chunk reaches the end
+        assert _STRIDE * r["last_chunk"] + _CHUNK >= n
+        # no superfluous trailing chunk (previous chunk must NOT reach the end)
+        if k > 1:
+            assert _STRIDE * (r["last_chunk"] - 1) + _CHUNK < n
+        # overlap accounting: sum of chunk sizes == n + overlap*(k-1) capped at end
+        overlap_total = r["sum_chunk_tokens"] - n
+        assert 0 <= overlap_total <= (_CHUNK - _STRIDE) * max(k - 1, 0)
