@@ -700,3 +700,73 @@ def q105_mode_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# unionByName with missing columns (the reference's U1, as a checked query)
+# ---------------------------------------------------------------------------
+
+_Q107_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_orderpriority
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderstatus, o_orderpriority, NULL AS o_totalprice
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("q107_union_by_name_missing", _Q107_SQL)
+def q107_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): name-based (not positional)
+    union where each side's absent columns become NULL — exactly the
+    reference's one multi-input operator (rejected ∪ GE-failed,
+    Glue_job.py:116) as a checked query. Positional UNION would silently
+    misalign here: the two sides share only a column-name prefix."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    right = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return left.unionByName(right, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+_Q108_SQL = """
+WITH a AS (
+  SELECT NULLIF(o_orderpriority, '5-LOW') AS k, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT NULLIF(o_orderpriority, '5-LOW') AS k,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+  FROM orders GROUP BY 1
+)
+SELECT a.k, a.n_orders, b.total
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY a.k NULLS FIRST
+"""
+
+
+@query("q108_null_safe_join", _Q108_SQL)
+def q108_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (eqNullSafe / <=>): NULL keys MATCH each other
+    instead of vanishing under 3VL — the join-side counterpart of the
+    pipeline's coalesce(flag,false) correction (SURVEY §4 fix 1). Still a
+    hash-joinable equality (NULL hashes like any value under <=>), so the
+    plan is a normal equi join, not a nested loop."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.nullif("o_orderpriority", F.lit("5-LOW"))
+    a = o.groupBy(k.alias("k")).agg(F.count("*").alias("n_orders"))
+    b = o.groupBy(k.alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total")
+    )
+    bb = b.withColumnRenamed("k", "bk")
+    return (
+        a.join(bb, a.k.eqNullSafe(F.col("bk")))
+        .select("k", "n_orders", "total")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
