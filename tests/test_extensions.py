@@ -397,3 +397,45 @@ def test_chunking_conservation(spark):
         # overlap accounting: sum of chunk sizes == n + overlap*(k-1) capped at end
         overlap_total = r["sum_chunk_tokens"] - n
         assert 0 <= overlap_total <= (_CHUNK - _STRIDE) * max(k - 1, 0)
+
+
+def test_sequence_packing_invariants(spark):
+    """q103: packs partition the corpus per language; every pack except
+    possibly the last stays under budget + one document (sequential packing
+    bound); pack ids are dense from 0."""
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        _BUDGET,
+        q103_sequence_packing,
+        tokens_expr,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    packs = q103_sequence_packing(spark, SF).collect()
+    docs = (
+        load_table(spark, SF, "documents")
+        .select("lang", F.size(tokens_expr("text")).alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("total"),
+             F.max("n").alias("max_doc"))
+        .collect()
+    )
+    by_lang = {r["lang"]: r for r in docs}
+    from collections import defaultdict
+
+    lang_packs = defaultdict(list)
+    for p in packs:
+        lang_packs[p["lang"]].append(p)
+    assert set(lang_packs) == set(by_lang)
+    for lang, plist in lang_packs.items():
+        ids = sorted(p["pack_id"] for p in plist)
+        assert ids == list(range(len(ids)))  # dense from 0
+        # conservation: packs partition the language's docs and tokens
+        assert sum(p["n_docs"] for p in plist) == by_lang[lang]["n_docs"]
+        assert sum(p["total_tokens"] for p in plist) == by_lang[lang]["total"]
+        # sequential-packing bound: a pack overflows by at most one doc
+        for p in plist:
+            assert p["total_tokens"] < _BUDGET + by_lang[lang]["max_doc"]
