@@ -711,3 +711,53 @@ def q78_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: drop docs whose canonical fingerprint appears
+# in a contamination (eval-set) list
+# ---------------------------------------------------------------------------
+
+_Q109_SQL = """
+WITH fp AS (
+  SELECT doc_id, lang,
+    MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), benchmark AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 50 = 0
+)
+SELECT f.doc_id, f.lang
+FROM fp f
+WHERE NOT EXISTS (SELECT 1 FROM benchmark b WHERE b.fingerprint = f.fingerprint)
+"""
+
+
+@query("q109_decontamination", _Q109_SQL)
+def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-corpus hygiene step that
+    removes documents whose canonical fingerprint (q41's
+    whitespace-collapse + lowercase + md5) appears in an evaluation-set
+    list. Here the 'benchmark' is a deterministic slice of the corpus
+    (doc_id % 50 == 0), standing in for an external eval-set fingerprint
+    file; note exact-dup copies of a benchmarked doc are removed too —
+    that's the point of matching on the canonical form, not the id.
+
+    Plan: the benchmark set is tiny relative to the corpus, so the anti
+    join broadcasts it — a map-side hash probe per document, no corpus
+    shuffle. For eval sets too big to broadcast, pre-partition both sides
+    on the fingerprint prefix (the q41 shard_key)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+    benchmark = (
+        fp.filter(F.col("doc_id") % 50 == 0).select("fingerprint").distinct()
+    )
+    return fp.join(
+        F.broadcast(benchmark), "fingerprint", "left_anti"
+    ).select("doc_id", "lang")
