@@ -544,3 +544,49 @@ def q103_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
         .orderBy("lang", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (bounded edit distance against a probe list)
+# ---------------------------------------------------------------------------
+
+_Q110_SQL = """
+WITH probes AS (
+  SELECT c_custkey AS probe_id,
+    REPLACE(c_name, 'Customer', 'Custmer') AS probe_name
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT p.probe_id, p.probe_name, c.c_custkey AS matched_custkey,
+  CAST(LEVENSHTEIN(p.probe_name, c.c_name) AS INTEGER) AS distance
+FROM probes p
+JOIN customer c ON LEVENSHTEIN(p.probe_name, c.c_name) <= 1
+ORDER BY p.probe_id, matched_custkey
+"""
+
+
+@query("q110_fuzzy_entity_match", _Q110_SQL)
+def q110_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: resolve corrupted keys (one-character
+    deletions here) back to their canonical entities by bounded
+    levenshtein distance — the record-linkage / data-cleaning op. The probe
+    list is tiny, so the plan is a broadcast nested-loop with the distance
+    predicate evaluated JVM-side; for probe sets too large to broadcast,
+    block first (length band + shared prefix/suffix bucket, cf. q41's
+    shard_key) so the distance only runs inside blocks."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    probes = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.regexp_replace("c_name", "Customer", "Custmer").alias("probe_name"),
+    )
+    dist = F.levenshtein("probe_name", "c_name")
+    return (
+        c.join(F.broadcast(probes), dist <= 1)
+        .select(
+            "probe_id",
+            "probe_name",
+            F.col("c_custkey").alias("matched_custkey"),
+            dist.cast("int").alias("distance"),
+        )
+        .orderBy("probe_id", "matched_custkey")
+    )
