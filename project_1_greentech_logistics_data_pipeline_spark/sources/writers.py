@@ -111,3 +111,57 @@ def upsert_by_key(
     os.rename(staging, target_path)
     if os.path.exists(backup):
         shutil.rmtree(backup)
+
+
+def incremental_agg(
+    spark,
+    state_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: keep a
+    persisted (keys, cnt, total) state and fold each new batch in WITHOUT
+    rescanning history — O(batch + state), not O(all data ever).
+
+    The batch is partially aggregated first (map-side combine on the
+    incoming data only), unioned with the previous state, and re-merged:
+    count and decimal-sum are associative/commutative, so fold(state,
+    batch) == full recompute — the equivalence test pins that. The state
+    swap reuses the staged-rename pattern (upsert_by_key), so a failed
+    update leaves the previous state intact. Algebraic aggregates (avg =
+    total/cnt) derive at read time; holistic ones (exact median) need the
+    raw data and are out of scope by design — use sketches (q95's
+    approx_percentile is mergeable and could be folded the same way).
+
+    Returns the new state DataFrame (keys, cnt bigint, total decimal)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    partial = batch.groupBy(*keys).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("total"),
+    )
+    if os.path.exists(state_path):
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(*keys)
+            .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+        )
+    else:
+        merged = partial
+    staging = state_path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = state_path.rstrip("/") + "._old"
+    import shutil
+
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    if os.path.exists(state_path):
+        os.rename(state_path, backup)
+    os.rename(staging, state_path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    return spark.read.parquet(state_path)

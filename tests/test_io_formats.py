@@ -177,3 +177,42 @@ def test_python_datasource_telemetry_gen(spark):
     # anomalous rows really carry anomalies: out-of-range fuel present
     assert df.filter(F.col("fuel_level") > 100).count() > 0
     assert df.filter(F.isnan("temperature")).count() > 0
+
+
+def test_incremental_agg_equals_full_recompute(spark, tmp_path):
+    """Folding batches into the aggregate state must equal aggregating all
+    data at once (decimal sums are associative), across three batches."""
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.writers import (
+        incremental_agg,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    batches = [
+        li.filter(F.col("l_orderkey") % 3 == i).select(
+            "l_returnflag", "l_extendedprice"
+        )
+        for i in range(3)
+    ]
+    state = str(tmp_path / "state")
+    for b in batches:
+        result = incremental_agg(spark, state, b, ["l_returnflag"], "l_extendedprice")
+
+    got = {
+        r["l_returnflag"]: (r["cnt"], float(r["total"]))
+        for r in result.collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["cnt"], float(r["total"]))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
