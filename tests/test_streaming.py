@@ -253,3 +253,38 @@ def test_streaming_upsert_merge(spark, tmp_path):
 
     rows = {r["truck_id"]: (r["fuel"], r["seq"]) for r in spark.read.parquet(target).collect()}
     assert rows == {"T1": (90.0, 1), "T2": (75.0, 3), "T3": (60.0, 2)}
+
+
+def test_streaming_upsert_restart_is_noop(spark, tmp_path):
+    """Restarting the upsert stream against the same checkpoint must process
+    nothing new and leave the table byte-identical (effectively-once)."""
+    import json as _json
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        run_upsert_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "b.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"truck_id": "T1", "fuel": 10.0, "seq": 1},
+                {"truck_id": "T2", "fuel": 20.0, "seq": 1},
+            ]
+        )
+    )
+    target = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "truck_id string, fuel double, seq long"
+
+    q = run_upsert_stream(spark, str(d), target, ckpt, ["truck_id"], schema)
+    q.awaitTermination()
+    before = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+
+    # restart with the same checkpoint: no new files -> no upsert applied
+    q2 = run_upsert_stream(spark, str(d), target, ckpt, ["truck_id"], schema)
+    q2.awaitTermination()
+    after = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+    assert after == before
