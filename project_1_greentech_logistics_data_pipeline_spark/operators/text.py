@@ -568,20 +568,31 @@ ORDER BY p.probe_id, matched_custkey
 def q110_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching: resolve corrupted keys (one-character
     deletions here) back to their canonical entities by bounded
-    levenshtein distance — the record-linkage / data-cleaning op. The probe
-    list is tiny, so the plan is a broadcast nested-loop with the distance
-    predicate evaluated JVM-side; for probe sets too large to broadcast,
-    block first (length band + shared prefix/suffix bucket, cf. q41's
-    shard_key) so the distance only runs inside blocks."""
+    levenshtein distance — the record-linkage / data-cleaning op.
+
+    Scale structure: BLOCK first, verify distance only inside blocks. The
+    block key is the digit suffix (after '#'), and for this corruption
+    class the blocking is provably lossless: probes differ from their
+    source only in the alpha prefix (1 deletion), so any name within
+    distance 1 of a probe must spend its single edit restoring the prefix —
+    a digit difference would require a second edit. That turns the naive
+    probes x corpus nested loop (measured 14.5s at sf0.1: ~2.3M full
+    levenshtein evaluations) into an equi join + ~1 distance check per
+    corpus row (0.5s). The oracle keeps the unblocked theta-join form,
+    which doubles as the losslessness check."""
     tune(spark)
     c = load_table(spark, sf_dir, "customer")
     probes = c.filter(F.col("c_custkey") % 97 == 0).select(
         F.col("c_custkey").alias("probe_id"),
         F.regexp_replace("c_name", "Customer", "Custmer").alias("probe_name"),
     )
+    digits = lambda col: F.substring_index(col, "#", -1)  # noqa: E731
     dist = F.levenshtein("probe_name", "c_name")
     return (
-        c.join(F.broadcast(probes), dist <= 1)
+        c.join(
+            F.broadcast(probes.withColumn("block", digits(F.col("probe_name")))),
+            (digits(F.col("c_name")) == F.col("block")) & (dist <= 1),
+        )
         .select(
             "probe_id",
             "probe_name",
