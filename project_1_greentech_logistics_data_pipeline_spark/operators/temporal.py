@@ -448,3 +448,131 @@ def q97_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered view -> click -> purchase progression per user
+# ---------------------------------------------------------------------------
+
+_Q111_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM v) AS n_viewed,
+  (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+  (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+"""
+
+
+@query("q111_funnel_analysis", _Q111_SQL)
+def q111_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their first
+    view, then purchased AFTER that first click — stage order enforced by
+    timestamps, not mere event existence. Computed as one conditional
+    aggregation per user (min ts per stage with the order constraints
+    folded in via earlier-stage minimums) — a single shuffle on user_id,
+    then three scalar counts. At 100 TB the per-user pass is the whole
+    cost; the funnel itself is a 3-row driver-side reduction."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    # three stacked window projections over ONE partitioning: a single
+    # shuffle on user_id serves all stages (a staged join formulation was
+    # measured at 16 exchanges — each stage's subtree re-executed)
+    staged = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-active-week cohorts x weekly activity offsets
+# ---------------------------------------------------------------------------
+
+_Q112_SQL = """
+WITH first_week AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+    CAST(DATEDIFF('day', f.cohort_week, DATE_TRUNC('week', e.ts)) / 7 AS BIGINT)
+      AS week_offset
+  FROM events e JOIN first_week f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset, COUNT(*) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@query("q112_cohort_retention", _Q112_SQL)
+def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, counted
+    per week-offset of later activity. Two aggregations over the same
+    user_id partitioning (first-touch, then distinct user-week activity) —
+    the cohort dim joins back via broadcast since distinct users << events.
+    The week offset is day-difference/7 against the cohort week, identical
+    integer arithmetic on both engines."""
+    e = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first_week = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        e.join(F.broadcast(first_week), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(week, F.col("cohort_week")) / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
