@@ -451,3 +451,81 @@ def q101_map_transformations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(render(big_only), F.lit("")).alias("big_only"),
         render(share).alias("share"),
     ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named binds) — the injection-safe SQL entry point
+# ---------------------------------------------------------------------------
+
+_Q113_SQL = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_totalprice > 150000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q113_parameterized_sql", _Q113_SQL)
+def q113_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql with named parameter binding (Spark 3.4+/4.x): the
+    injection-safe SQL entry point — parameters are bound as typed literals
+    by the parser, never string-spliced, and Catalyst constant-folds them so
+    pushdown/pruning work exactly as with inline literals. The oracle
+    inlines the same values."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q113_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM q113_orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"cutoff": "1997-01-01", "min_price": 150000.0},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral column aliases + inline VALUES relation
+# ---------------------------------------------------------------------------
+
+_Q114_SQL = """
+WITH rates(status, fee_rate) AS (
+  VALUES ('O', 0.01), ('F', 0.02), ('P', 0.015)
+)
+SELECT o.o_orderkey,
+  o.o_totalprice * r.fee_rate AS fee,
+  (o.o_totalprice * r.fee_rate) * 2 AS fee_doubled,
+  o.o_totalprice + (o.o_totalprice * r.fee_rate) AS total_with_fee
+FROM orders o JOIN rates r ON o.o_orderstatus = r.status
+WHERE o.o_orderkey % 500 = 0
+"""
+
+
+@query("q114_lateral_alias_values", _Q114_SQL)
+def q114_lateral_alias_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT-list expression refers
+    to a sibling alias (`fee`) instead of repeating the expression — the
+    engine inlines it, so the plan is identical to the written-out form (the
+    oracle's). Joined against an inline VALUES relation (broadcast, the
+    tiny-dim literal table pattern)."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q114_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+          o.o_totalprice * r.fee_rate AS fee,
+          fee * 2 AS fee_doubled,
+          o.o_totalprice + fee AS total_with_fee
+        FROM q114_orders o
+        JOIN VALUES ('O', 0.01), ('F', 0.02), ('P', 0.015) AS r(status, fee_rate)
+          ON o.o_orderstatus = r.status
+        WHERE o.o_orderkey % 500 = 0
+        """
+    )
