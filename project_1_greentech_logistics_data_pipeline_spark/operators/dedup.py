@@ -558,6 +558,12 @@ def connected_components(
         "comp", F.col("node")
     )
     labels = labels.localCheckpoint()
+    # Convergence check without a per-round self-join: min-label propagation
+    # is MONOTONE (every comp only ever decreases), so the exact integer sum
+    # of labels strictly decreases until the fixpoint — equal sum ⟺ no
+    # label changed. One scalar aggregate per round over the checkpointed
+    # relation replaces join + filter + count.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("comp")
@@ -568,15 +574,11 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "comp_new")
-            .join(labels, "node")
-            .filter(F.col("comp_new") != F.col("comp"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
