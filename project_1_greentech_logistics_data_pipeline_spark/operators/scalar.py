@@ -117,8 +117,8 @@ SELECT
   l_orderkey,
   l_linenumber,
   ABS(l_discount - 0.05) AS disc_dev,
-  CEIL(l_extendedprice) AS price_ceil,
-  FLOOR(l_extendedprice) AS price_floor,
+  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
   ROUND(l_extendedprice, 1) AS price_round1,
   ROUND(POW(l_quantity, 2), 6) AS qty_sq,
   ROUND(LN(l_extendedprice), 6) AS price_ln,

@@ -32,7 +32,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # Tag floats so int != float (the driver's serialized hash
+        # distinguishes 44474 from 44474.0; Python == does not).
+        return ("f", round(v, 9))
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):
