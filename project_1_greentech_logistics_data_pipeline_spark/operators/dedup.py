@@ -304,8 +304,13 @@ def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = minhash_docs(spark, sf_dir).cache()
+    # lang rides along: the exact-verify bitmaps are dictionary-encoded PER
+    # LANG, so a cross-lang candidate pair would popcount meaningless bit
+    # overlap (or zip_with a NULL). Same-lang candidates only — matching
+    # q44's within-lang-block semantics.
     bands = docs.select(
         "doc_id",
+        "lang",
         F.explode(
             F.array(
                 *[
@@ -319,7 +324,7 @@ def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "lang", "band.band_id", "band.band_hash")
 
     cand = (
         bands.alias("x")
@@ -327,6 +332,7 @@ def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands.alias("y"),
             (F.col("x.band_id") == F.col("y.band_id"))
             & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.lang") == F.col("y.lang"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
@@ -468,28 +474,53 @@ def q47_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocked_cosine_pairs(spark, e, COSINE_DUP_THRESHOLD)
 
 
-def _blocked_cosine_pairs(
-    spark: SparkSession, emb: DataFrame, threshold: float
-) -> DataFrame:
-    """All-pairs cosine >= threshold via blocked matrix multiply: the corpus
-    matrix is broadcast (N x 64 doubles — small); each partition of rows
-    multiplies its block against it with one numpy GEMM inside mapInPandas.
-    2M pair-dots drop from ~22s (per-pair JVM fold) to sub-second.
+_COSINE_TILES = 8  # all-pairs tiling factor; each task holds <=2 tiles
 
-    Scale note: 'broadcast one side' requires that side to fit in executor
-    memory (~1e6 x 64 doubles = 0.5 GB is the practical ceiling); beyond
-    that, tile BOTH sides — outer pipeline over right-side tiles of the same
-    shape — or switch to the LSH/IVF candidates path (q49).
-    """
+
+def _blocked_cosine_pairs(
+    spark: SparkSession, emb: DataFrame, threshold: float, tiles: int = _COSINE_TILES
+) -> DataFrame:
+    """All-pairs cosine >= threshold via a TRIANGLE-TILED distributed GEMM —
+    no driver-side collect, no full-corpus broadcast.
+
+    Each vector lands in tile t = hash(vec_id) mod T. The T*(T+1)/2
+    unordered tile pairs (i <= j) each become one applyInPandas group
+    holding tile i as the 'left' block and tile j as the 'right' block; the
+    group does ONE numpy GEMM (L x d @ d x R) and emits thresholded pairs.
+    Every unordered vector pair is covered exactly once: cross-tile pairs
+    in group (min_tile, max_tile), same-tile pairs under vec_id ordering.
+
+    Scale shape: per-task memory is O(2 * N/T * d) — pick T so a tile fits
+    an executor (N=1e8, d=64, T=1024 -> ~100 MB/tile); data volume is
+    O(N * T) rows shuffled, flops stay the intrinsic O(N^2 * d) of the
+    exact baseline. For corpora where even that flop count is too much,
+    the candidates path (q49 LSH / q74 IVF) replaces this oracle baseline.
+    2M pair-dots: sub-second as GEMM vs ~22s as per-pair JVM fold."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = emb.select("vec_id", "embedding").toPandas()
-    order = rows["vec_id"].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in rows["embedding"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((order, mat))
+    t_col = F.pmod(F.xxhash64("vec_id"), F.lit(tiles)).cast("int")
+    base = emb.select("vec_id", "embedding", t_col.alias("tile"))
+    # left role: vector of tile t serves groups (t, j) for j >= t
+    left = base.select(
+        "vec_id",
+        "embedding",
+        F.lit(0).alias("role"),
+        F.col("tile").alias("ti"),
+        F.explode(
+            F.sequence(F.col("tile"), F.lit(tiles - 1))
+        ).alias("tj"),
+    )
+    # right role: vector of tile t serves groups (i, t) for i <= t
+    right = base.select(
+        "vec_id",
+        "embedding",
+        F.lit(1).alias("role"),
+        F.explode(F.sequence(F.lit(0), F.col("tile"))).alias("ti"),
+        F.col("tile").alias("tj"),
+    )
+    tiled = left.unionByName(right)
 
     out_schema = T.StructType(
         [
@@ -499,28 +530,33 @@ def _blocked_cosine_pairs(
         ]
     )
 
-    def _block(batches):
-        ids_r, m_r = bc.value
-        for pdf in batches:
-            ids_l = pdf["vec_id"].to_numpy()
-            m_l = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    def _tile_gemm(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ti, tj = key
+        lp = pdf[pdf["role"] == 0]
+        rp = pdf[pdf["role"] == 1]
+        if not len(lp) or not len(rp):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
-            m_l = m_l / np.linalg.norm(m_l, axis=1, keepdims=True)
-            sims = m_l @ m_r.T
-            li, ri = np.nonzero(
-                (np.round(sims, 6) >= threshold)
-                & (ids_l[:, None] < ids_r[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": ids_l[li],
-                    "vec_b": ids_r[ri],
-                    "cosine": np.round(sims[li, ri], 6),
-                }
-            )
+        ids_l = lp["vec_id"].to_numpy()
+        ids_r = rp["vec_id"].to_numpy()
+        m_l = np.array([np.asarray(v, dtype=np.float64) for v in lp["embedding"]])
+        m_r = np.array([np.asarray(v, dtype=np.float64) for v in rp["embedding"]])
+        m_l = m_l / np.linalg.norm(m_l, axis=1, keepdims=True)
+        m_r = m_r / np.linalg.norm(m_r, axis=1, keepdims=True)
+        sims = m_l @ m_r.T
+        keep = np.round(sims, 6) >= threshold
+        if ti == tj:
+            keep &= ids_l[:, None] < ids_r[None, :]
+        li, ri = np.nonzero(keep)
+        a, b = ids_l[li], ids_r[ri]
+        # cross-tile groups: orient output by vec_id (oracle order)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[li, ri], 6)}
+        )
 
-    return emb.select("vec_id", "embedding").mapInPandas(_block, schema=out_schema)
+    return tiled.groupBy("ti", "tj").applyInPandas(_tile_gemm, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -531,19 +567,22 @@ def _blocked_cosine_pairs(
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
-    """(node, comp): connected components by iterative min-label propagation.
+    """(node, comp): connected components by iterative min-label propagation,
+    with an automatic large-star/small-star fallback for high-diameter
+    graphs.
 
     Each round every node takes the min label among itself and its
     neighbors; convergence in O(diameter) rounds. Near-dup clusters are
-    near-cliques (diameter 1-2), so this terminates in a handful of rounds;
-    for high-diameter graphs at scale, switch to the alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC'14), which converges in O(log^2 n).
+    near-cliques (diameter 1-2), so this terminates in a handful of rounds.
+    If the label-sum fixpoint is NOT reached within max_iter (a chain-shaped
+    pair graph deeper than max_iter hops), the function does not return
+    partial components — it reruns with connected_components_star, whose
+    round count is O(log^2 n) regardless of diameter.
 
     Each iteration localCheckpoints the label relation — without cutting
     lineage, iterative Spark plans grow exponentially and re-execute the
-    whole history every round. The per-round driver action is a count()
-    over the (tiny) changed-label set; all real work is distributed.
+    whole history every round. The per-round driver action is a 1-row scalar
+    aggregate; all real work is distributed.
     """
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -564,6 +603,7 @@ def connected_components(
     # label changed. One scalar aggregate per round over the checkpointed
     # relation replaces join + filter + count.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("comp")
@@ -577,9 +617,110 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Diameter exceeded max_iter: returning here would silently emit
+        # split components. Fall back to the diameter-independent algorithm.
+        import warnings
+
+        warnings.warn(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            "(graph diameter too high); falling back to large-star/small-star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_star(sym)
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """(node, comp): connected components by alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — O(log^2 n) rounds INDEPENDENT of graph
+    diameter, the scale path for chain- or mesh-shaped graphs where
+    min-label propagation needs O(diameter) rounds.
+
+      large-star: each node u links every strictly-LARGER neighbor to
+                  m(u) = min(N(u) ∪ {u})
+      small-star: orient edges to the larger endpoint, then each node u
+                  links its (all smaller) neighbors and itself to m(u)
+
+    Both steps are a groupBy-min plus a join — pure shuffles, no driver
+    data. At the fixpoint the edge set is a union of stars: every node
+    points at its component's minimum, which is exactly the (node, comp)
+    labeling. Fixpoint detection uses an order-insensitive edge-set
+    checksum (sum of xxhash64(src,dst)) plus the edge count — one 1-row
+    aggregate per round, same hygiene as connected_components."""
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode (Spark 4 default) raises on long overflow
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        m = e.groupBy("src").agg(F.min("dst").alias("min_nbr"))
+        return (
+            e.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least(F.col("src"), F.col("min_nbr")).alias("dst"),
+            )
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient every edge toward its larger endpoint: src > dst
+        o = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        m = o.groupBy("src").agg(F.min("dst").alias("m"))
+        relink = (
+            o.join(m, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        self_link = m.select("src", F.col("m").alias("dst"))
+        return relink.unionByName(self_link)
+
+    prev = _checksum(cur)
+    for _ in range(max_iter):
+        stepped = _small_star(_large_star(cur))
+        cur = (
+            stepped.union(stepped.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        now = _checksum(cur)
+        if now == prev:
+            break
+        prev = now
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds"
+        )
+    # Star fixpoint: every edge points from a member to its component min.
+    oriented = cur.select(
+        F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("comp")
+    )
+    roots = oriented.select(F.col("comp").alias("node"), F.col("comp"))
+    return (
+        oriented.unionByName(roots).groupBy("node").agg(F.min("comp").alias("comp"))
+    )
 
 
 _Q73_SQL = f"""
@@ -614,10 +755,31 @@ def q73_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component's min doc_id, so results are deterministic. The oracle is
     a DuckDB recursive-CTE transitive closure — the iterative Spark
     algorithm is exactly checked, not rows-only."""
-    pairs = q44_ngram_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = neardup_pairs(spark, sf_dir)
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair source for clustering/curation (q73/q78), switchable
+    via SPARK_GRAFT_NEARDUP_CANDIDATES:
+
+      exact (default) — q44's within-lang blocked all-pairs: the oracle
+        baseline, exact by construction, quadratic per lang block.
+      lsh — q45's MinHash-LSH candidates + exact-Jaccard verify: the
+        100 TB path (shuffle-on-band-hash, never a cartesian). Verified
+        pairs are exact (precision 1.0); recall at threshold 0.95 is
+        1-(1-s^8)^4 ≈ 0.99 at the boundary, ~1.0 above it —
+        tests/test_dedup_properties.py pins LSH-vs-exact parity on the
+        testdata corpus.
+    """
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES", "exact")
+    if mode == "lsh":
+        return q45_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    return q44_ngram_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

@@ -359,6 +359,10 @@ def q92_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, s in zip(pdf["doc_id"], pdf["norm"]):
+                if s is None:
+                    # NULL text: same 3VL degradation as the oracle
+                    out.append((doc_id, None, 0))
+                    continue
                 # utf-32 codepoints == ascii()/unicode codepoint in SQL
                 codes = np.frombuffer(
                     s.encode("utf-32-le"), dtype=np.uint32

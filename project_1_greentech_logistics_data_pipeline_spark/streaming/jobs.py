@@ -240,8 +240,9 @@ def run_upsert_stream(
     accumulates duplicates on every re-run — Glue_job.py:128, SURVEY §3).
 
     Within a batch, duplicate keys are resolved deterministically before the
-    merge (max row per key) because micro-batch files may carry multiple
-    updates for one key.
+    merge by picking ONE whole row per key — max_by over the non-key struct —
+    never per-column maxima, which could stitch fields from different source
+    rows into a record that never existed.
     """
     from pyspark.sql import functions as F
 
@@ -251,8 +252,14 @@ def run_upsert_stream(
         if not batch_df.take(1):
             return
         w_cols = [c for c in batch_df.columns if c not in keys]
-        latest = batch_df.groupBy(*keys).agg(
-            *[F.max(c).alias(c) for c in w_cols]
+        # One whole winning row per key: order by the non-key struct
+        # (field-by-field, deterministic) and keep it intact.
+        latest = (
+            batch_df.groupBy(*keys)
+            .agg(
+                F.max(F.struct(*w_cols)).alias("_row")
+            )
+            .select(*keys, *[F.col(f"_row.{c}").alias(c) for c in w_cols])
         )
         upsert_by_key(batch_df.sparkSession, target_path, latest, keys=keys)
 

@@ -15,6 +15,7 @@ from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
     _jaccard_mask_expr,
     bitmask_token_sets,
     connected_components,
+    connected_components_star,
     hashed_token_sets,
 )
 
@@ -91,3 +92,109 @@ def test_connected_components_matches_union_find(spark):
         }
         expected = _uf_components(n, edges)
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_star_components_matches_union_find(spark):
+    """large-star/small-star must agree with union-find on random graphs,
+    including one with multiple components and isolated chain segments."""
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 80
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(50)})
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["comp"] for r in connected_components_star(df).collect()
+        }
+        expected = _uf_components(n, edges)
+        assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_star_components_deep_chain(spark):
+    """A 120-hop chain: diameter far beyond label-prop's default max_iter.
+    Star converges in O(log^2 n) rounds and must still label every node
+    with the chain's minimum."""
+    n = 121
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_label_prop_falls_back_on_deep_chain(spark):
+    """connected_components must NOT return partial components when the
+    diameter exceeds max_iter — it warns and falls back to star."""
+    import warnings
+
+    n = 40
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df, max_iter=3).collect()
+        }
+    assert got == {i: 0 for i in range(n)}
+    assert any("falling back" in str(x.message) for x in w)
+
+
+def test_lsh_candidates_are_same_lang_only(spark):
+    """Regression for the cross-lang candidate gap: q45's verified pairs
+    must all be within-lang (the verify bitmaps are dictionary-encoded per
+    lang, so cross-lang pairs would popcount garbage)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q45_minhash_lsh_neardup,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    pairs = q45_minhash_lsh_neardup(spark, SF)
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"))
+    cross = (
+        pairs.join(a, "doc_a").join(b, "doc_b").filter("lang_a <> lang_b")
+    )
+    assert cross.count() == 0
+
+
+def test_lsh_pairs_match_exact_pairs(spark):
+    """On the testdata corpus the LSH path (q45) must find exactly the
+    pair set of the exact baseline (q44) — precision 1.0 by construction,
+    and recall 1.0 here because near-dup pairs sit far above the 0.95
+    S-curve knee. Pins the q73/q78 lsh-flag path to oracle semantics."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q44_ngram_jaccard_neardup,
+        q45_minhash_lsh_neardup,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in q44_ngram_jaccard_neardup(spark, SF).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in q45_minhash_lsh_neardup(spark, SF).collect()
+    }
+    assert lsh == exact
+
+
+def test_q73_lsh_flag_matches_exact_path(spark, monkeypatch):
+    """q73 with SPARK_GRAFT_NEARDUP_CANDIDATES=lsh must produce the same
+    clustering as the default exact path."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q73_neardup_clusters,
+    )
+
+    base = {
+        (r["doc_id"], r["cluster_id"])
+        for r in q73_neardup_clusters(spark, SF).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_CANDIDATES", "lsh")
+    via_lsh = {
+        (r["doc_id"], r["cluster_id"])
+        for r in q73_neardup_clusters(spark, SF).collect()
+    }
+    assert via_lsh == base
