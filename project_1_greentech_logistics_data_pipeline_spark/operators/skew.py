@@ -8,8 +8,22 @@ streaming joins). Semantics-preserving: verified against the plain join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..session import tune
+from ..sources.readers import load_table
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
 
 
 def salted_join(
@@ -35,3 +49,64 @@ def salted_join(
     salted_right = right.withColumn("_salt", salts)
     out = salted_left.join(salted_right, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q116: salted join under pathological key skew, oracle = the plain join.
+#
+# events.event_type has 5 distinct values, each owning ~20% of the table —
+# the textbook hot-key distribution where an unsalted shuffle join puts a
+# fifth of the fact table on one reducer. Salting spreads each hot key over
+# salt_buckets partitions; because the (tiny) dim side is replicated per
+# salt, the join RESULT is independent of the salt assignment, so the plain
+# join is an exact oracle. The final agg re-merges salted partials
+# map-side, so the extra shuffle column costs nothing downstream.
+# ---------------------------------------------------------------------------
+
+_Q116_SQL = """
+WITH dim AS (
+  SELECT DISTINCT event_type, LENGTH(event_type) AS type_weight FROM events
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value * d.type_weight AS DECIMAL(38,6))) AS DOUBLE)
+         AS weighted_value,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@query("q116_skew_salted_join", _Q116_SQL)
+def q116_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key (20%-per-key) fact-to-dim join via salted_join, then a
+    per-key weighted aggregate. Scale shape: the dim is 5 rows ×
+    salt_buckets replicas, so even forced through a shuffle join no
+    reducer sees more than ~1/(keys·buckets) of the fact table; in
+    practice AQE broadcast-converts the dim and the salt is free
+    insurance for the streaming/non-AQE paths this helper exists for.
+    Semantics-preserving vs the unsalted plan by construction
+    (oracle = plain join)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+    joined = salted_join(ev, dim, "event_type", salt_buckets=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.col("type_weight")).alias("weighted_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -43,13 +43,47 @@ _R01_STAMPED = frozenset(
 
 
 def _priority(name: str, sql: str | None) -> int:
-    """Driver-verification priority: unstamped oracles first, then q22
-    (round-1 fail, fixed), then already-stamped oracles, rows-only last."""
+    """Driver-verification priority for the first-50 stamping window:
+    q22 (round-1 fail, fixed) and the 47 round-1-unstamped oracles are
+    guaranteed in (48 rows); oracles added in round 2+ fill the remaining
+    slots and rotate into later rounds; already-stamped oracles next;
+    rows-only queries last."""
     if sql is None:
-        return 3
+        return 4
     if name == "q22_math_funcs":
-        return 1
-    return 0 if name not in _R01_STAMPED else 2
+        return 0
+    if name in _R01_STAMPED:
+        return 3
+    return 1 if name in _R01_UNSTAMPED else 2
+
+
+# Oracle queries that existed in round 1 but sat past the driver's 50-row
+# window (no CORRECTNESS row yet) — must be stamped in round 2.
+_R01_UNSTAMPED = frozenset(
+    {
+        "q35_pivot", "q36_unpivot", "q82_tpch_q7_volume_shipping",
+        "q83_tpch_q8_market_share", "q88_tpch_q9_profit",
+        "q84_tpch_q10_returned_items", "q85_tpch_q19_disjunctive",
+        "q86_tpch_q21_waiting_supplier", "q87_tpch_q22_dormant_customers",
+        "q89_variant_semistructured", "q90_udtf_leading_tokens",
+        "q98_tpch_q13_custdist", "q99_pandas_udaf_geomean", "q106_yoy_growth",
+        "q62_correlated_scalar_subquery", "q63_having_large_volume_orders",
+        "q64_scalar_subquery_threshold", "q65_notin_anti_subquery",
+        "q66_conditional_agg_promo_share", "q67_exists_group_priority",
+        "q68_window_range_frame", "q69_collect_sorted_arrays",
+        "q70_groupmin_joinback", "q71_sliding_window_agg",
+        "q72_full_outer_join", "q80_join_right_outer",
+        "q81_window_distribution", "q43_dedup_exact_docs",
+        "q43b_dedup_exact_events", "q44_ngram_jaccard_neardup",
+        "q47_embedding_cosine_neardup", "q73_neardup_clusters",
+        "q78_training_data_prep", "q109_decontamination", "q48_knn_bruteforce",
+        "q96_embedding_quantize_int8", "q40_text_stats", "q41_fingerprint",
+        "q42_lang_id", "q91_bpe_token_count", "q92_rolling_hash_fingerprint",
+        "q93_lexicon_sentiment", "q102_document_chunking",
+        "q103_sequence_packing", "q110_fuzzy_entity_match",
+        "q50_multimodal_meta", "q75_grouped_zscore_pandas",
+    }
+)
 
 
 def _collect() -> dict[str, tuple[Callable, str | None]]:
@@ -57,7 +91,7 @@ def _collect() -> dict[str, tuple[Callable, str | None]]:
     from .operators import relational
 
     modules = [relational]
-    for modname in ("scalar", "temporal", "classics", "classics2", "subqueries", "dedup", "similarity", "text", "multimodal", "pipeline_queries"):
+    for modname in ("scalar", "temporal", "classics", "classics2", "subqueries", "dedup", "similarity", "text", "multimodal", "pipeline_queries", "merge", "skew"):
         try:
             mod = __import__(f"{__package__}.operators.{modname}", fromlist=[modname])
             modules.append(mod)

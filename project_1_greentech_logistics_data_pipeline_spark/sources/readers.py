@@ -119,6 +119,20 @@ def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).orc(path)
 
 
+def read_evolved(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a table whose files were appended under EVOLVED schemas
+    (columns added over time) as one unified relation: mergeSchema unions
+    the per-file schemas, older files surface NULL for later-added columns.
+
+    This mirrors Delta's mergeSchema=true read/write semantics
+    (reference Glue_job.py:128) on plain parquet/ORC files. Note the
+    footer-merge costs one extra pass over file metadata (not data) at
+    planning time — at 100 TB prefer a table format (Delta/Iceberg) whose
+    log stores the authoritative schema; this is the no-dependency
+    equivalent."""
+    return spark.read.option("mergeSchema", "true").format(fmt).load(path)
+
+
 def read_binary_files(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:

@@ -216,3 +216,57 @@ def test_incremental_agg_equals_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_schema_evolution_append_then_merged_read(spark, tmp_path):
+    """Delta mergeSchema semantics mirrored on the parquet path
+    (reference writes format('delta').option('mergeSchema','true')):
+    a later append adds a column; read_evolved surfaces the union schema
+    with NULLs for pre-evolution rows, and no rows are lost."""
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        read_evolved,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.writers import (
+        write_table,
+    )
+
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    write_table(v1, p, mode="append")
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)], ["id", "name", "score"]
+    )
+    write_table(v2, p, mode="append")
+
+    merged = read_evolved(spark, p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5), 4: ("d", 0.9)}
+
+
+def test_overwrite_replaces_append_accumulates(spark, tmp_path):
+    """Overwrite/append parity on write_table: append accumulates rows
+    across runs (the reference's rerun-duplication hazard), overwrite is
+    idempotent — rerunning yields the same table."""
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        read_evolved,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.writers import (
+        write_table,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    p_app = str(tmp_path / "app")
+    write_table(df, p_app, mode="append")
+    write_table(df, p_app, mode="append")
+    assert spark.read.parquet(p_app).count() == 4  # duplication hazard
+
+    p_ovr = str(tmp_path / "ovr")
+    write_table(df, p_ovr, mode="overwrite")
+    write_table(df, p_ovr, mode="overwrite")
+    assert spark.read.parquet(p_ovr).count() == 2  # idempotent
+
+    # evolution composes with overwrite: the new schema fully replaces
+    df2 = spark.createDataFrame([(9, "z", True)], ["id", "v", "flag"])
+    write_table(df2, p_ovr, mode="overwrite")
+    assert set(read_evolved(spark, p_ovr).columns) == {"id", "v", "flag"}
