@@ -1,0 +1,420 @@
+"""Warehouse-analytics operators beyond the reference's ETL surface:
+SCD Type-2 dimension builds, time-series gap-fill with interpolation,
+histogramming, one-pass data profiling, one-pass correlation matrices,
+and Markov transition analysis.
+
+The reference pipeline only appends/overwrites fact rows
+(Glue/Glue_job.py:125,128); a consumer of that data immediately needs the
+shapes here — slowly-changing dimensions over the entity stream, dense
+daily series from sparse facts, column profiles for data-quality triage.
+All plans are single-scan / single-shuffle where the semantics allow, and
+every float aggregate goes through the deterministic decimal path
+(functions/deterministic.py) so results are order-independent and
+exactly comparable to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..session import tune
+from ..sources.readers import load_table
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q117: SCD Type-2 dimension build from an event stream.
+# ---------------------------------------------------------------------------
+
+_Q117_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM changes
+ORDER BY user_id, valid_from
+"""
+
+
+@query("q117_scd2_dimension", _Q117_SQL)
+def q117_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: collapse each user's event_type
+    history to change points, then effective-date them (valid_from /
+    valid_to, open-ended row = is_current). Two window passes over the
+    same (user_id; ts, event_id) ordering — Spark plans ONE shuffle and
+    sorts once; the change filter runs between them without re-shuffling.
+    At 100 TB the partition key is the entity id, so state never
+    concentrates; no driver involvement."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    valid_to = F.lead("ts").over(w)
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118: calendar-spine gap fill + linear interpolation over sparse days.
+# ---------------------------------------------------------------------------
+
+_Q118_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+  FROM events WHERE value > 300 GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, CAST(UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1)
+),
+j AS (
+  SELECT s.event_type, s.day, d.n, d.day_value
+  FROM spine s LEFT JOIN daily d USING (event_type, day)
+),
+f AS (
+  SELECT event_type, day, n, day_value,
+    LAST_VALUE(day_value IGNORE NULLS) OVER w AS prev_v,
+    LAST_VALUE(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+      OVER w AS prev_d,
+    FIRST_VALUE(day_value IGNORE NULLS) OVER w2 AS next_v,
+    FIRST_VALUE(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+      OVER w2 AS next_d
+  FROM j
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day, COALESCE(n, 0) AS n_events,
+  CASE WHEN day_value IS NOT NULL THEN day_value
+       WHEN prev_v IS NULL OR next_v IS NULL THEN COALESCE(prev_v, next_v)
+       ELSE prev_v + ((next_v - prev_v) * (CAST(day - prev_d AS DOUBLE)
+                                           / CAST(next_d - prev_d AS DOUBLE)))
+  END AS value_interp,
+  day_value IS NULL AS is_filled
+FROM f
+ORDER BY event_type, day
+"""
+
+
+@query("q118_gapfill_interpolate", _Q118_SQL)
+def q118_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify a sparse per-(type, day) series onto its min..max calendar
+    spine, then linearly interpolate interior gaps (endpoints extend the
+    nearest observation). The spine comes from sequence() per group — no
+    driver-side date math and no cross join; forward/backward neighbor
+    lookups are last/first IGNORE NULLS over one window ordering, so the
+    whole fill is a single shuffle on event_type. Interpolation arithmetic
+    is shaped identically to the oracle (exact decimal day-sums, one
+    double multiply/divide) for bit-equality."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 300)
+    daily = (
+        ev.groupBy("event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("day_value"))
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    j = spine.join(daily, on=["event_type", "day"], how="left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    f = j.select(
+        "event_type",
+        "day",
+        "n",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("prev_v"),
+        F.last(present_day, ignorenulls=True).over(w).alias("prev_d"),
+        F.first("day_value", ignorenulls=True).over(w2).alias("next_v"),
+        F.first(present_day, ignorenulls=True).over(w2).alias("next_d"),
+    )
+    frac = F.datediff("day", "prev_d").cast("double") / F.datediff(
+        "next_d", "prev_d"
+    ).cast("double")
+    interp = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(
+            F.col("prev_v").isNull() | F.col("next_v").isNull(),
+            F.coalesce("prev_v", "next_v"),
+        )
+        .otherwise(F.col("prev_v") + ((F.col("next_v") - F.col("prev_v")) * frac))
+    )
+    return f.select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        interp.alias("value_interp"),
+        F.col("day_value").isNull().alias("is_filled"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# q120: fixed-width histogram (engine-agnostic width_bucket).
+# ---------------------------------------------------------------------------
+
+_Q120_SQL = """
+SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+       CAST(CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) * 5000.0 AS DOUBLE)
+         AS bucket_lo,
+       CAST((CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) + 1) * 5000.0 AS DOUBLE)
+         AS bucket_hi,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q120_histogram_fixed_bins", _Q120_SQL)
+def q120_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram: bucket = floor(x / width), computed
+    with the same IEEE double divide on both engines (width_bucket exists
+    in Spark but not DuckDB; floor-div is the portable identical form).
+    One map-side-combinable groupBy — the canonical distributed histogram;
+    at 100 TB the bucket cardinality (~21) makes the shuffle negligible."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("bigint")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 5000.0).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * 5000.0).alias("bucket_hi"),
+            "n",
+            "total_price",
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121: one-pass data profile (per-column null/distinct/min/max).
+# ---------------------------------------------------------------------------
+
+_Q121_SQL = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), NULL, NULL,
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority), NULL, NULL,
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+ORDER BY col_name
+"""
+
+
+@query("q121_data_profile", _Q121_SQL)
+def q121_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: null count, distinct count, min/max per column,
+    emitted as one row per column. Spark computes ALL columns' stats in a
+    single aggregate pass (one scan, one 1-row shuffle) and pivots the
+    wide row to tall with stack() — the oracle's UNION ALL restates it as
+    per-column scans for clarity. Numeric min/max surface as double,
+    string min/max as varchar, so one schema fits every column type."""
+    o = _t(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"{c}__cnt"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+        ]
+    wide = o.agg(*aggs)
+    parts = []
+    for c in num_cols:
+        parts.append(
+            f"'{c}', n_rows, n_rows - {c}__cnt, {c}__nd, "
+            f"CAST({c}__mn AS DOUBLE), CAST({c}__mx AS DOUBLE), "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        parts.append(
+            f"'{c}', n_rows, n_rows - {c}__cnt, {c}__nd, "
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            f"{c}__mn, {c}__mx"
+        )
+    stack = (
+        f"stack({len(parts)}, " + ", ".join(parts) + ") AS "
+        "(col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return wide.selectExpr(stack).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# q122: one-pass pairwise correlation/covariance matrix.
+# ---------------------------------------------------------------------------
+
+_Q122_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+_Q122_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
+       CAST(ROUND(CORR({x}, {y}), 6) AS DOUBLE) AS corr6,
+       CAST(ROUND(COVAR_SAMP({x}, {y}), 4) AS DOUBLE) AS covar4
+FROM lineitem"""
+    for x, y in _Q122_PAIRS
+) + "\nORDER BY col_x, col_y"
+
+
+@query("q122_corr_matrix", _Q122_SQL)
+def q122_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle correlation + sample-covariance matrix over the four
+    numeric lineitem measures, all 12 statistics in ONE aggregation pass
+    (one scan, 1-row shuffle), then stacked tall. Rounded to 6/4 decimals
+    on both engines — moment accumulations are order-dependent in the last
+    ulps (q19 precedent). At 100 TB this is the only sane shape: never one
+    scan per pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, (x, y) in enumerate(_Q122_PAIRS):
+        aggs += [
+            F.round(F.corr(x, y), 6).alias(f"c{i}"),
+            F.round(F.covar_samp(x, y), 4).alias(f"v{i}"),
+        ]
+    wide = li.agg(*aggs)
+    rows = ", ".join(
+        f"'{x}', '{y}', c{i}, v{i}" for i, (x, y) in enumerate(_Q122_PAIRS)
+    )
+    return wide.selectExpr(
+        f"stack({len(_Q122_PAIRS)}, {rows}) AS (col_x, col_y, corr6, covar4)"
+    ).orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# q123: Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+_Q123_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n_trans,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type)
+         AS p_trans
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q123_markov_transitions", _Q123_SQL)
+def q123_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    LEAD per user (one shuffle on user_id), count per (from, to) pair
+    (map-side combinable), row-normalize with a window over the tiny
+    (5×5) result. Probabilities are exact-int / exact-int in one double
+    divide — deterministic. The classic session-behavior model at any
+    scale: state size is |event_type|², independent of row count."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (F.col("n_trans").cast("double") / F.sum("n_trans").over(norm)).alias(
+            "p_trans"
+        ),
+    ).orderBy("from_type", "to_type")

@@ -1,0 +1,216 @@
+"""Corpus-statistics text operators (round 2): TF-IDF keyword extraction,
+bigram language statistics, and frequency-based quality scoring.
+
+Extends operators/text.py's per-document signals with corpus-relative ones
+— the scores an LLM-data curation pipeline derives from global token
+statistics (rarity-weighted keywords, n-gram distributions, OOV rates).
+Tokenization is the engine-wide whitespace form (text.tokens_expr ⟷
+STRING_SPLIT_REGEX(TRIM(text), '\\s+')) so results compose with
+q27/q40/q91.
+
+Determinism note: idf is the RATIONAL form (n_docs+1)/(df+1), not
+log-scaled — monotone in 1/df, so top-k ranking is unaffected, and it
+avoids cross-engine libm last-ulp drift in ln() that would make exact
+hash comparison flaky. All divisions are exact-int numerator/denominator
+in one double op, identically shaped on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources.readers import load_table
+from .text import tokens_expr
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+_TOKS_SQL = """
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q119: TF-IDF top-k keywords per document.
+# ---------------------------------------------------------------------------
+
+_Q119_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         t.tf * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))
+           AS tfidf
+  FROM tf t JOIN df d USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, tfidf, rk
+FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@query("q119_tfidf_keywords", _Q119_SQL)
+def q119_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 rarity-weighted keywords per document. Three aggregations
+    over one tokenized scan: per-(doc,term) tf, per-term df, corpus size
+    as a 1-row broadcast scalar; df (|vocab| rows, small) broadcasts into
+    the tf join, and the top-k is a per-doc window on the already
+    doc-partitioned frame — shuffles on (doc,tok) and tok only, never on
+    the raw text. At 100 TB the vocab-side stays broadcastable after a
+    mincount cut; tf dominates and is map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # corpus size as a lazy 1-row broadcast (no separate driver job)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * (
+        (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        tf.join(F.broadcast(df), on="tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124: corpus-wide top bigrams.
+# ---------------------------------------------------------------------------
+
+_Q124_SQL = """
+WITH bi AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l
+        FROM documents)
+)
+SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM bi
+GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT 25
+"""
+
+
+@query("q124_top_bigrams", _Q124_SQL)
+def q124_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-25 bigrams. Adjacent pairs come from zip_with over the
+    token array and its tail slice — pure JVM higher-order functions, no
+    shuffle until the (map-side combinable) count, then a global top-25
+    TakeOrderedAndProject. The n-gram generalization of q27; at 100 TB
+    the only shuffle is |bigram-vocab| partial counts."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125: frequency-based quality score (token commonness + OOV rate).
+# ---------------------------------------------------------------------------
+
+_Q125_SQL = f"""
+WITH toks AS ({_TOKS_SQL}),
+freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+vocab AS (
+  SELECT tok, n FROM (
+    SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk FROM freq
+  ) WHERE rk <= 1000
+),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_toks,
+         COUNT(v.tok) AS n_invocab,
+         SUM(COALESCE(v.n, 0)) AS freq_mass
+  FROM toks t LEFT JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_toks,
+       CAST(n_toks - n_invocab AS DOUBLE) / CAST(n_toks AS DOUBLE) AS oov_rate,
+       CAST(freq_mass AS DOUBLE) / CAST(n_toks AS DOUBLE) AS mean_vocab_freq
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("q125_token_commonness", _Q125_SQL)
+def q125_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals from corpus frequency: OOV rate
+    against the top-1000 vocabulary and mean in-vocab token frequency —
+    the no-transcendental stand-in for unigram-LM surprisal (monotone in
+    it for ranking). The vocab is a windowed top-k of the corpus counts
+    (tiny) broadcast into the token stream; per-doc sums are exact ints,
+    divided once. Identical shape at 100 TB: vocab stays O(k), the
+    groupBy(doc_id) shuffle is the only large one."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 1000)
+        .select("tok", "n")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.count("n").alias("n_invocab"),
+            F.sum(F.coalesce("n", F.lit(0))).alias("freq_mass"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        (
+            (F.col("n_toks") - F.col("n_invocab")).cast("double")
+            / F.col("n_toks").cast("double")
+        ).alias("oov_rate"),
+        (F.col("freq_mass").cast("double") / F.col("n_toks").cast("double")).alias(
+            "mean_vocab_freq"
+        ),
+    ).orderBy("doc_id")
