@@ -23,9 +23,33 @@ from ..schemas import PHYSICAL_SCHEMAS, TABLE_NAMES, TELEMETRY_SCHEMA, TESTDATA_
 from ..session import tune
 
 
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Parquet timestamp unit of events.ts at ``path`` ('ns' or 'us').
+
+    The driver's testdata has shipped events.ts both as TIMESTAMP(NANOS)
+    (which Spark cannot scan natively) and TIMESTAMP(MICROS); one footer
+    read per path decides which scan to plan. Driver-side and O(1) — at any
+    data scale this reads a single footer, never data pages.
+    """
+    unit = _EVENTS_TS_UNIT.get(path)
+    if unit is None:
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.ParquetDataset(path).schema
+            unit = "ns" if "timestamp[ns" in str(schema.field("ts").type) else "us"
+        except Exception:
+            unit = "us"
+        _EVENTS_TS_UNIT[path] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_unit(path) == "ns":
         # parquet TIMESTAMP(NANOS) -> scan as long (nanosAsLong conf, set by
         # tune()), then exact integer ns->us conversion to timestamp_ntz.
         tune(spark)
