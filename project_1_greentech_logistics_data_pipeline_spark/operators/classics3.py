@@ -1,0 +1,246 @@
+"""TPC-H gap shapes (round 2): Q6, Q12, Q15, Q20 equivalents.
+
+Completes the classic-warehouse coverage begun in classics.py/classics2.py
+with the four canonical shapes those modules did not yet declare:
+
+- Q6  — single-table selective scan + global aggregate (pure
+  pushdown/codegen showcase: no join, no group-by shuffle).
+- Q12 — fact-fact join + conditional aggregation. The testdata has no
+  l_shipmode/l_commitdate/l_receiptdate, so the grouping key is a derived
+  ship-latency bucket (datediff(l_shipdate, o_orderdate)) — same shape:
+  join, CASE-bucketed counts per group.
+- Q15 — aggregate-then-argmax: per-supplier revenue view, top supplier(s)
+  by a global MAX scalar (decorrelated as a 1-row broadcast, never a
+  second fact scan).
+- Q20 — nested correlated-threshold semi-join chain. No partsupp table, so
+  "availqty > 0.5 * shipped" becomes "supplier shipped > 50% of a part's
+  total" — identical plan shape: two fact aggregates, correlated
+  threshold, semi-join up to the dimension.
+
+All aggregates use the decimal(38,6) deterministic-sum convention
+(functions/deterministic.py) so exact hash comparison vs DuckDB holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum
+from ..session import tune
+from ..sources.readers import load_table
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q126: TPC-H Q6 — forecast revenue change (scan + filter + global agg).
+# ---------------------------------------------------------------------------
+
+_Q126_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q126_tpch_q6_forecast_revenue", _Q126_SQL)
+def q126_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6. The whole query is one scan: every predicate reaches the
+    parquet reader (min/max row-group skipping on l_shipdate at scale), the
+    projection prunes to 4 columns, and the aggregate is a partial+final
+    pair with no group key — a two-row exchange. The 100 TB cost is the IO
+    the pushdown skips, nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127: TPC-H Q12 shape — ship-latency buckets x order-priority counts.
+# ---------------------------------------------------------------------------
+
+_Q127_SQL = """
+SELECT
+  CASE
+    WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) < 0 THEN 'early'
+    WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'ontime'
+    ELSE 'late'
+  END AS ship_bucket,
+  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_bucket
+ORDER BY ship_bucket
+"""
+
+
+@query("q127_tpch_q12_ship_latency", _Q127_SQL)
+def q127_tpch_q12_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-bucketed conditional counts. Both
+    inputs are fact tables, but orders projects to 3 columns before the
+    join; at sf the filtered side still broadcasts under AQE, and at 100 TB
+    this is the one query here that earns a shuffle join on l_orderkey —
+    which bucketing (sources/bucketing.py) amortizes across runs. The
+    group-by has 3 groups: partial aggregation collapses it map-side."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag < 0, "early").when(lag <= 90, "ontime").otherwise("late")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(bucket.alias("ship_bucket"), high.alias("is_high"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128: TPC-H Q15 — top supplier by quarterly revenue.
+# ---------------------------------------------------------------------------
+
+_Q128_SQL = """
+WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("q128_tpch_q15_top_supplier", _Q128_SQL)
+def q128_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15. The revenue view is one fact aggregate (|suppliers|
+    rows); the global MAX is a 1-row aggregate of THAT view, broadcast
+    into an equality filter — the decorrelated form that never rescans
+    lineitem. Ties are kept, as the spec requires. Revenue equality is
+    exact because both sides sum in decimal(38,6)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129: TPC-H Q20 shape — dominant suppliers of red parts.
+# ---------------------------------------------------------------------------
+
+_Q129_SQL = """
+WITH part_totals AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_partkey
+),
+supplier_part AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sup_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT sp.l_suppkey
+  FROM supplier_part sp
+  JOIN part_totals pt ON sp.l_partkey = pt.l_partkey
+  JOIN part p ON p.p_partkey = sp.l_partkey
+  WHERE p.p_name LIKE '%red%'
+    AND sp.sup_qty > 0.5 * pt.total_qty
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("q129_tpch_q20_dominant_supplier", _Q129_SQL)
+def q129_tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: correlated quantity threshold -> semi-join chain.
+    Scale-first decorrelation: BOTH aggregates come from one shuffle of
+    lineitem by (partkey, suppkey) — the per-part total is a re-aggregate
+    of the finer one (no second fact scan), the red-part filter broadcasts
+    into the survivor set, and the supplier lookup is a broadcast semi
+    join. Quantity sums are decimal-exact so the 50% threshold is not
+    subject to float accumulation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    sp = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("sup_qty"))
+    )
+    # per-part totals from the (part, supplier) aggregate — decimal-exact
+    # re-sum of already-exact doubles (each a sum of <=2-dp values)
+    pt = sp.groupBy("l_partkey").agg(dsum("sup_qty").alias("total_qty"))
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    dominant = (
+        sp.join(pt, on="l_partkey")
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("sup_qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
