@@ -1,0 +1,396 @@
+"""Training-data quality operators (round 2): repetition metrics, blocklist
+scrubbing, n-gram decontamination, sketch rollups, clustered semantic dedup.
+
+The curation signals a large-scale LLM-data pipeline computes AFTER basic
+text stats (operators/text.py) and near-dup removal (operators/dedup.py):
+
+- q130 repetition metrics — Gopher-style quality rules (most-common-token
+  fraction, most-common-bigram fraction, distinct-token ratio). High
+  values mean degenerate/boilerplate text.
+- q131 blocklist scrub — redact a broadcast term blocklist with counts
+  (the same plumbing as PII redaction; the synthetic corpus has no
+  digits/emails, so a term blocklist keeps the query non-vacuous).
+- q134 n-gram decontamination — flag training docs sharing any 8-gram
+  with a benchmark/eval set (the GPT-3/Llama eval-contamination check;
+  the fingerprint anti-join variant is q109).
+- q133 HLL sketch rollup — DataSketches HLL per (lang, source), merged
+  with hll_union_agg to per-lang estimates: the re-aggregatable sketch
+  layer a 100 TB warehouse stores instead of raw distinct counts.
+  Rows-only (DuckDB's approx_count_distinct is a different HLL).
+- q132 clustered semantic dedup — full-data distributed Lloyd's k-means
+  over embeddings (bounded k x dim driver state per round), then exact
+  cosine verification WITHIN clusters only: the candidates+verify shape
+  for semantic dedup at scale. Rows-only (iterative; pytest pins
+  precision vs the exact all-pairs baseline).
+
+Tokenization is the engine-wide whitespace form (text.tokens_expr ⟷
+STRING_SPLIT_REGEX(TRIM(text), '\\s+')) so results compose with q27/q40.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources.readers import load_table
+from .text import tokens_expr
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q130: repetition quality metrics per document (Gopher rules).
+# ---------------------------------------------------------------------------
+
+_Q130_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+tok_rank AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rk
+  FROM tc
+),
+tok_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM tc GROUP BY 1
+),
+top_tok AS (
+  SELECT doc_id, tok AS top_token, c AS top_c FROM tok_rank WHERE rk = 1
+),
+bi AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l
+        FROM documents)
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+bi_stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS max_bc
+  FROM bc GROUP BY 1
+)
+SELECT t.doc_id,
+       t.n_tokens,
+       tt.top_token,
+       CAST(tt.top_c AS DOUBLE) / t.n_tokens AS top_token_frac,
+       CAST(b.max_bc AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+       CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS distinct_ratio
+FROM tok_stats t
+JOIN top_tok tt USING (doc_id)
+JOIN bi_stats b USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@query("q130_repetition_metrics", _Q130_SQL)
+def q130_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition scores. Two explode->count passes (tokens,
+    bigrams) shuffled by doc_id only — both aggregates are map-side
+    combinable, the per-doc top token is a window on the already
+    doc-partitioned counts (no extra shuffle), and every division is a
+    single int/int -> double op, bit-identical on both engines. At 100 TB
+    this is the cheapest useful quality gate: no joins wider than doc_id,
+    no Python."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "tok")
+    tok_stats = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    top_tok = (
+        tc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), F.col("c").alias("top_c"))
+    )
+    t = tokens_expr("text")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bc = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi_stats = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bc")
+    )
+    return (
+        tok_stats.join(top_tok, on="doc_id")
+        .join(bi_stats, on="doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_token",
+            (F.col("top_c").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+            (F.col("max_bc").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131: blocklist term scrubbing with hit counts.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("customer", "supplier", "query")
+_SCRUB_PATTERN = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+
+_Q131_SQL = f"""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_SCRUB_PATTERN}')) AS INT) AS n_hits,
+       REGEXP_REPLACE(text, '{_SCRUB_PATTERN}', '[REDACTED]', 'g') AS scrubbed,
+       LENGTH(REGEXP_REPLACE(text, '{_SCRUB_PATTERN}', '[REDACTED]', 'g'))
+         AS n_chars_after
+FROM documents
+WHERE REGEXP_MATCHES(text, '{_SCRUB_PATTERN}')
+ORDER BY doc_id
+"""
+
+
+@query("q131_blocklist_scrub", _Q131_SQL)
+def q131_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact a broadcast term blocklist (word-boundary alternation) and
+    count hits — the PII-redaction plumbing (emails/SSNs are the same
+    regexp_replace with different patterns; this corpus has neither, so a
+    term blocklist exercises the path non-vacuously). Narrow per-row ops
+    only: regexp in whole-stage codegen, no shuffle, no Python. The
+    pattern is a pre-compiled literal on both engines (Java regex and RE2
+    agree on this alternation subset)."""
+    d = _t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", _SCRUB_PATTERN, "[REDACTED]")
+    return (
+        d.filter(F.col("text").rlike(_SCRUB_PATTERN))
+        .select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_SCRUB_PATTERN)).alias("n_hits"),
+            scrubbed.alias("scrubbed"),
+            F.length(scrubbed).alias("n_chars_after"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134: n-gram decontamination vs a benchmark/eval source.
+# ---------------------------------------------------------------------------
+
+_EVAL_SOURCE = "src0"
+_NGRAM = 8
+
+
+_Q134_SQL = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_TRANSFORM(
+           RANGE(1, LEN(l) - {_NGRAM - 2}),
+           i -> ARRAY_TO_STRING(l[i:i+{_NGRAM - 1}], ' '))) AS ng
+  FROM (SELECT doc_id, source, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l
+        FROM documents)
+),
+eval_g AS (SELECT DISTINCT ng FROM g WHERE source = '{_EVAL_SOURCE}'),
+train_g AS (SELECT DISTINCT doc_id, ng FROM g WHERE source <> '{_EVAL_SOURCE}')
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM train_g t
+JOIN eval_g e USING (ng)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("q134_ngram_decontamination", _Q134_SQL)
+def q134_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any 8-gram with the eval source — the
+    eval-set contamination sweep run before training. The eval side
+    (benchmarks are small by nature) reduces to distinct 8-grams and
+    BROADCASTS into a semi-style join against the training side's distinct
+    (doc, 8-gram) pairs; the only big shuffle is the per-doc distinct+count,
+    keyed by doc_id. Exact-match n-grams, no normalization beyond the
+    engine-wide tokenizer — deliberately conservative (oracle-exact);
+    q109 is the fingerprint variant for whole-doc containment."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens_expr("text")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (_NGRAM - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, _NGRAM)),
+    )
+    g = d.select("doc_id", "source", F.explode(ngrams).alias("ng"))
+    eval_g = (
+        g.filter(F.col("source") == _EVAL_SOURCE).select("ng").distinct()
+    )
+    train_g = (
+        g.filter(F.col("source") != _EVAL_SOURCE).select("doc_id", "ng").distinct()
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), on="ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133: HLL sketch rollup (build per-group, merge upward).
+# ---------------------------------------------------------------------------
+
+
+@query("q133_hll_sketch_rollup", None)  # rows-only: DuckDB's HLL differs
+def q133_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: build a DataSketches HLL of user_id per
+    (event_type, day), then merge WITH hll_union_agg to per-event_type
+    estimates — the two-level sketch layer a warehouse materializes so
+    any rollup of distinct counts is a cheap sketch merge, never a
+    re-scan of raw data. That re-aggregatability is exactly what exact
+    count_distinct lacks at 100 TB. Estimates are deterministic for a
+    given input (pytest pins tolerance vs exact)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    per_day = (
+        e.select(F.col("event_type"), day, F.col("user_id"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        per_day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132: clustered semantic dedup (distributed k-means -> in-cluster verify).
+# ---------------------------------------------------------------------------
+
+
+def _top_m_centroids_expr(emb_col: str, centroids: list[list[float]], m: int) -> F.Column:
+    """Array of the m nearest centroid ids (by dot on unit vectors), JVM-side:
+    k (dot, id) structs, sort_array desc on the struct ordering, slice m."""
+    from ..functions.vectors import dot_expr
+
+    structs = F.array(
+        *[
+            F.struct(
+                dot_expr(F.col(emb_col), F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.sort_array(structs, asc=False), 1, m), lambda s: s["i"]
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    probe: int = 1,
+) -> DataFrame:
+    """Full-data distributed Lloyd's k-means over unit-normalized
+    embeddings; returns (vec_id, nemb, clusters) where ``clusters`` is the
+    ``probe`` nearest cluster ids (probe=1 -> hard assignment).
+
+    Per round: assignment is a JVM argmax-dot against k broadcast literal
+    centroids (no Python in the row path), the centroid update is one
+    posexplode + groupBy(cluster, dim) avg — a k*dim-row aggregate — and
+    only those k*dim numbers ever reach the driver (bounded, like IVF
+    training; NOT a data collect). Init is the k lowest vec_ids:
+    deterministic, no RNG. Spherical variant: means are re-normalized, so
+    argmax-dot == min-cosine-distance. Training always hard-assigns;
+    ``probe`` > 1 only widens the RETURNED assignment (soft/multi-probe
+    candidates for recall)."""
+    from .similarity import _nearest_centroid_expr, _normalized
+
+    import math
+
+    n = emb.select("vec_id", _normalized("embedding").alias("nemb"))
+    seed_rows = (
+        n.orderBy("vec_id").limit(k).select("nemb").collect()
+    )  # k rows, bounded
+    centroids = [list(r["nemb"]) for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = n.withColumn("cluster", _nearest_centroid_expr("nemb", centroids))
+        sums = (
+            assigned.select("cluster", F.posexplode("nemb").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )  # k*dim rows, bounded
+        by_cluster: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        dim = len(centroids[0])
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["dim"]] = r["s"]
+            counts[r["cluster"]] = r["c"]
+        for ci, vec in by_cluster.items():
+            mean = [x / counts[ci] for x in vec]
+            nrm = math.sqrt(sum(x * x for x in mean)) or 1.0
+            centroids[ci] = [x / nrm for x in mean]
+    return n.withColumn("clusters", _top_m_centroids_expr("nemb", centroids, probe))
+
+
+@query("q132_semantic_dedup_clustered", None)  # rows-only: iterative k-means
+def q132_semantic_dedup_clustered(
+    spark: SparkSession, sf_dir: str, threshold: float | None = None
+) -> DataFrame:
+    """Semantic near-dup pairs via cluster-bucketed candidates + exact
+    verify: k-means partitions the corpus, the pair join runs WITHIN
+    clusters only (equi-join on cluster id — never the all-pairs
+    cartesian), and candidates are verified with the exact cosine. The
+    scale path for what q47 computes exactly: expected candidate volume
+    drops from N^2 to sum over clusters of |c|^2, and every stage is an
+    equi-join or bounded-state k-means round. Precision is 1.0 by
+    construction (exact verify); recall misses only pairs k-means split
+    across clusters (pytest pins it on testdata)."""
+    from ..functions.vectors import dot_expr
+    from .dedup import COSINE_DUP_THRESHOLD
+
+    if threshold is None:
+        threshold = COSINE_DUP_THRESHOLD  # q47's exact baseline threshold
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, probe=2).localCheckpoint(eager=False)
+    # multi-probe candidates: a pair is a candidate if ANY of each side's
+    # top-2 clusters coincide — explode to (cluster, vec) postings and
+    # equi-join, then dedup pairs before the exact verify
+    postings = assigned.select(
+        "vec_id", "nemb", F.explode("clusters").alias("cluster")
+    )
+    a = postings.alias("a")
+    b = postings.alias("b")
+    cos = dot_expr(F.col("a.nemb"), F.col("b.nemb"))  # unit vectors: dot == cosine
+    return (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).cast("double").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )
