@@ -418,3 +418,94 @@ def q123_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_trans"
         ),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# q135: per-group exact median over a window, with per-row deviation.
+# ---------------------------------------------------------------------------
+
+_Q135_SQL = """
+SELECT event_id, event_type, value,
+       MEDIAN(value) OVER (PARTITION BY event_type) AS med_value,
+       value - MEDIAN(value) OVER (PARTITION BY event_type) AS deviation
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("q135_window_median_deviation", _Q135_SQL)
+def q135_window_median_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median as a window aggregate: each event scored against its
+    type's median without collapsing the rows (outlier triage keeps full
+    detail). One shuffle on event_type; within a partition the median
+    sorts once and fans out to every row. Both engines interpolate even
+    counts as the midpoint of the same two sorted doubles, so the result
+    is bit-identical. At 100 TB the window key must be the partition
+    key anyway, and a skewed event_type is exactly what AQE skew-split
+    handles — no driver-side percentile collection."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    med = F.median("value").over(w)
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            "value",
+            med.alias("med_value"),
+            (F.col("value") - med).alias("deviation"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136: gaps-and-islands — consecutive-day activity streaks per user.
+# ---------------------------------------------------------------------------
+
+_Q136_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+numbered AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+),
+islands AS (
+  SELECT user_id, d, d - CAST(rn AS INT) AS grp FROM numbered
+)
+SELECT user_id,
+       MIN(d) AS streak_start,
+       MAX(d) AS streak_end,
+       CAST(COUNT(*) AS BIGINT) AS streak_days
+FROM islands
+GROUP BY user_id, grp
+ORDER BY user_id, streak_start
+"""
+
+
+@query("q136_activity_streaks", _Q136_SQL)
+def q136_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day streaks via the date-minus-
+    row_number constant-group trick — the set-based form that needs no
+    self-join and no iteration. Everything shuffles once on user_id
+    (distinct, window, and group-by all share the key, so Catalyst reuses
+    the partitioning); at 100 TB this is a single exchange over the
+    distinct (user, day) pairs, which are orders of magnitude smaller
+    than the raw events."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp", F.date_sub(F.col("d"), F.col("rn").cast("int"))
+    )
+    return (
+        islands.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("grp")
+        .orderBy("user_id", "streak_start")
+    )
