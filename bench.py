@@ -44,8 +44,12 @@ def main() -> None:
         memory-starve them (measured: q48 2.4s solo vs 20s late-session)."""
         spark.catalog.clearCache()
         try:
+            # py4j JavaMap: values() is directly iterable (NOT .toArray() —
+            # that raised AttributeError and silently skipped the unpersist,
+            # leaving every localCheckpoint block resident; measured: q73
+            # 9 s solo vs 89 s mid-bench before this fix)
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in jmap.values().toArray():
+            for jrdd in jmap.values():
                 jrdd.unpersist(False)
         except Exception:
             pass

@@ -394,3 +394,56 @@ def q132_semantic_dedup_clustered(
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q137: deterministic source-mixture resampling (data mixing).
+# ---------------------------------------------------------------------------
+
+# target keep-rates per source bucket: rebalance a skewed crawl toward a
+# training mixture. Knuth multiplicative hash on doc_id — pure BIGINT
+# arithmetic, bit-identical on any engine, no RNG, stable under reruns
+# and repartitioning.
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.1
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def _mix_rate_sql() -> str:
+    branches = "\n    ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+    )
+    return f"CASE {branches} ELSE {_MIX_DEFAULT} END"
+
+
+_Q137_SQL = f"""
+SELECT doc_id, source,
+       CAST(({_mix_rate_sql()}) AS DOUBLE) AS keep_rate
+FROM documents
+WHERE (doc_id * {_KNUTH}) % {_MOD}
+      < CAST(({_mix_rate_sql()}) * {_MOD} AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+@query("q137_source_mixture_sample", _Q137_SQL)
+def q137_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: resample each source to a target keep-rate so the
+    training mixture matches a recipe instead of the crawl's skew. The
+    keep decision is a Knuth multiplicative hash of doc_id — exact BIGINT
+    arithmetic, so the sample is deterministic, repartition-stable,
+    engine-independent (oracle-exact, unlike RNG sampling), and
+    consistent across reruns — a doc's fate never changes, which is what
+    incremental pipeline re-runs need. Narrow ops only: no shuffle, no
+    UDF, fully pushdown-friendly."""
+    d = _t(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    keep = (F.col("doc_id") * _KNUTH) % _MOD < (rate * _MOD).cast("bigint")
+    return (
+        d.select("doc_id", "source", rate.alias("keep_rate"))
+        .filter(keep)
+        .orderBy("doc_id")
+    )
