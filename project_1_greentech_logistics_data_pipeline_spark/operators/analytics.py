@@ -509,3 +509,67 @@ def q136_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("user_id", "streak_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q138: time-weighted average value per event_type (TWAP).
+# ---------------------------------------------------------------------------
+
+_Q138_SQL = """
+WITH seg AS (
+  SELECT event_type, value, ts,
+         LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+w AS (
+  SELECT event_type, value,
+         EPOCH_US(next_ts) - EPOCH_US(ts) AS dur_us
+  FROM seg WHERE next_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(SUM(CAST(value * dur_us AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(SUM(dur_us) AS DOUBLE) AS twap,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM w
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q138_time_weighted_average", _Q138_SQL)
+def q138_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each reading holds until the next one
+    of its type, so its weight is the segment duration — the correct mean
+    for irregularly sampled series (the plain AVG over-weights bursts).
+    One shuffle on event_type shared by the lead() window and the final
+    aggregate (Catalyst reuses the partitioning); weights are exact integer
+    epoch-microsecond durations, value*dur sums in decimal — order-independent
+    and oracle-exact. The final division is one double op per group."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = (
+        e.select("event_type", "value", "ts", F.col("event_id"))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (
+                F.unix_micros(F.col("next_ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("dur_us")  # ntz->timestamp is identity under the UTC session,
+        )
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            (
+                dsum(F.col("value") * F.col("dur_us"))
+                / F.sum("dur_us").cast("double")
+            ).alias("twap"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("event_type")
+    )

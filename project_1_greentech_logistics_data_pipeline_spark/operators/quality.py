@@ -328,7 +328,10 @@ def kmeans_assign(
 
     import math
 
-    n = emb.select("vec_id", _normalized("embedding").alias("nemb"))
+    # checkpoint once: every training round (and the final assignment) scans
+    # this relation; without cutting lineage each round re-reads parquet and
+    # re-normalizes (measured ~30% of q132 at sf0.1)
+    n = emb.select("vec_id", _normalized("embedding").alias("nemb")).localCheckpoint()
     seed_rows = (
         n.orderBy("vec_id").limit(k).select("nemb").collect()
     )  # k rows, bounded
