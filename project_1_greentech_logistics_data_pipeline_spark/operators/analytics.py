@@ -573,3 +573,123 @@ def q138_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q141: conversion attribution (first-touch / last-touch per purchase).
+# ---------------------------------------------------------------------------
+
+_Q141_SQL = """
+WITH h AS (
+  SELECT user_id, event_id, ts, event_type,
+         FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch,
+         COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS n_prior_touches
+  FROM events
+)
+SELECT event_id, user_id, first_touch, last_touch,
+       CAST(n_prior_touches AS BIGINT) AS n_prior_touches
+FROM h
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@query("q141_conversion_attribution", _Q141_SQL)
+def q141_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: for every purchase, the user's first and
+    most recent non-purchase touch before it, plus the touch count. All
+    three signals ride ONE window (partition user_id, order ts) with an
+    UNBOUNDED-to-1-PRECEDING frame and conditional ignore-null
+    first/last — no self-join against the history, which is the naive
+    O(n^2) formulation. One shuffle on user_id; the purchase filter
+    happens after the window (it must see the full history) but prunes
+    before any further stage."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+            F.count(touch).over(w).alias("n_prior_touches"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142: rolling 7-day distinct users per event_type.
+# ---------------------------------------------------------------------------
+
+_Q142_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT DISTINCT event_type, day,
+       CAST(COUNT(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS users_7d
+FROM d
+ORDER BY event_type, day
+"""
+
+
+@query("q142_rolling_distinct_users", _Q142_SQL)
+def q142_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users — the metric windowed COUNT(DISTINCT)
+    computes, which Spark windows don't support directly. Spark-first
+    rewrite: collapse to per-(type, day) user SETS first (the only
+    corpus-sized shuffle, map-side combinable), then a 7-row RANGE frame
+    over DAYS merges at most 7 small arrays per output row
+    (distinct-of-flatten). State per frame is |7-day users|, not 7 days
+    of raw events — the same collapse a 100 TB rollup needs. Exact, not
+    a sketch; the HLL variant for wider frames is q133."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("event_type", "day")
+        .agg(F.collect_set("user_id").alias("users"))
+        .withColumn("day_num", F.datediff("day", F.lit("2024-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+            .cast("bigint")
+            .alias("users_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
