@@ -12,10 +12,11 @@ with the four canonical shapes those modules did not yet declare:
 - Q15 — aggregate-then-argmax: per-supplier revenue view, top supplier(s)
   by a global MAX scalar (decorrelated as a 1-row broadcast, never a
   second fact scan).
-- Q20 — nested correlated-threshold semi-join chain. No partsupp table, so
-  "availqty > 0.5 * shipped" becomes "supplier shipped > 50% of a part's
-  total" — identical plan shape: two fact aggregates, correlated
-  threshold, semi-join up to the dimension.
+- Q20 — nested correlated-aggregate join chain. No partsupp table (and a
+  fixed share threshold is vacuous on this testdata), so the correlated
+  predicate is the per-part argmax supplier share — identical plan shape:
+  fact aggregates + correlated per-part aggregate threshold + join chain
+  up to the dimensions, all from one lineitem shuffle.
 
 All aggregates use the decimal(38,6) deterministic-sum convention
 (functions/deterministic.py) so exact hash comparison vs DuckDB holds.
@@ -199,48 +200,64 @@ supplier_part AS (
   SELECT l_partkey, l_suppkey,
          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sup_qty
   FROM lineitem GROUP BY l_partkey, l_suppkey
-)
-SELECT s.s_suppkey, s.s_name
-FROM supplier s
-WHERE s.s_suppkey IN (
-  SELECT sp.l_suppkey
+),
+dominant AS (
+  SELECT sp.l_partkey, sp.l_suppkey, sp.sup_qty / pt.total_qty AS share
   FROM supplier_part sp
   JOIN part_totals pt ON sp.l_partkey = pt.l_partkey
-  JOIN part p ON p.p_partkey = sp.l_partkey
-  WHERE p.p_name LIKE '%red%'
-    AND sp.sup_qty > 0.5 * pt.total_qty
+  WHERE sp.sup_qty = (SELECT MAX(sup_qty) FROM supplier_part m
+                      WHERE m.l_partkey = sp.l_partkey)
 )
-ORDER BY s.s_suppkey
+SELECT d.l_partkey AS p_partkey, s.s_suppkey, s.s_name, d.share
+FROM dominant d
+JOIN part p ON p.p_partkey = d.l_partkey
+JOIN supplier s ON s.s_suppkey = d.l_suppkey
+WHERE p.p_name LIKE '%red%'
+ORDER BY p_partkey, s_suppkey
 """
 
 
 @query("q129_tpch_q20_dominant_supplier", _Q129_SQL)
 def q129_tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: correlated quantity threshold -> semi-join chain.
-    Scale-first decorrelation: BOTH aggregates come from one shuffle of
-    lineitem by (partkey, suppkey) — the per-part total is a re-aggregate
-    of the finer one (no second fact scan), the red-part filter broadcasts
-    into the survivor set, and the supplier lookup is a broadcast semi
-    join. Quantity sums are decimal-exact so the 50% threshold is not
-    subject to float accumulation order."""
+    """TPC-H Q20 shape: correlated per-part aggregate threshold (argmax
+    supplier share) -> join chain up to the dimensions. Decorrelated the
+    scale-first way: the correlated subquery becomes WINDOW aggregates
+    (per-part total and max) over the one (part, supplier) aggregate —
+    lineitem is scanned and shuffled exactly once BY CONSTRUCTION, with
+    no self-join (the join-back form plans two scans because each branch
+    gets different pushed null-filters, defeating exchange reuse). The
+    window sum goes through decimal so the share and the max-equality
+    tie-keeping are bit-identical on both engines. Red-part filter and
+    supplier lookup broadcast. (The original Q20 'availqty > 50% of
+    shipped' predicate is vacuous on this testdata — no supplier reaches
+    50% at any sf — so the threshold is the always-defined per-part
+    argmax, the same correlated-aggregate shape.)"""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     sp = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(dsum("l_quantity").alias("sup_qty"))
     )
-    # per-part totals from the (part, supplier) aggregate — decimal-exact
-    # re-sum of already-exact doubles (each a sum of <=2-dp values)
-    pt = sp.groupBy("l_partkey").agg(dsum("sup_qty").alias("total_qty"))
-    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    dominant = (
-        sp.join(pt, on="l_partkey")
-        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
-        .filter(F.col("sup_qty") > 0.5 * F.col("total_qty"))
-        .select("l_suppkey")
+    wp = Window.partitionBy("l_partkey")
+    enriched = sp.select(
+        "l_partkey",
+        "l_suppkey",
+        "sup_qty",
+        F.sum(F.col("sup_qty").cast("decimal(38,6)")).over(wp).cast("double").alias("total_qty"),
+        F.max("sup_qty").over(wp).alias("max_qty"),
     )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = _t(spark, sf_dir, "supplier")
     return (
-        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+        enriched.filter(F.col("sup_qty") == F.col("max_qty"))
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            (F.col("sup_qty") / F.col("total_qty")).alias("share"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
     )

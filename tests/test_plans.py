@@ -206,3 +206,79 @@ def test_q86_q21_semi_and_anti_self_joins(spark):
 
     plan = explain_str(q86_tpch_q21_waiting_supplier(spark, SF))
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q126_q6_all_predicates_pushed_no_join(spark):
+    """TPC-H Q6 must be scan -> filter -> two-phase agg: every predicate in
+    PushedFilters, 4-column ReadSchema, no join or wide shuffle at all."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics3 import (
+        q126_tpch_q6_forecast_revenue,
+    )
+
+    plan = explain_str(q126_tpch_q6_forecast_revenue(spark, SF))
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} not pushed"
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q129_q20_single_lineitem_scan(spark):
+    """The Q20 shape computes the (part, supplier) aggregate and the
+    correlated per-part total/max in one pass: exactly ONE lineitem scan
+    (window form — no self-join to defeat exchange reuse), dimensions
+    broadcast."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics3 import (
+        q129_tpch_q20_dominant_supplier,
+    )
+
+    import re
+
+    df = q129_tpch_q20_dominant_supplier(spark, SF)
+    assert df.count() > 0  # non-vacuous at every sf (50%-threshold form was not)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3  # li + part + supplier
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_q134_eval_side_broadcasts(spark):
+    """Decontamination: the eval n-gram set must broadcast; the training
+    side must never shuffle for the join."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.quality import (
+        q134_ngram_decontamination,
+    )
+
+    plan = explain_str(q134_ngram_decontamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q141_single_window_no_self_join(spark):
+    """Attribution must be one window pass — no join of events to events."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.analytics import (
+        q141_conversion_attribution,
+    )
+
+    import re
+
+    plan = explain_str(q141_conversion_attribution(spark, SF))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_q142_collapses_before_window(spark):
+    """Rolling distinct must aggregate to per-(type,day) sets BEFORE the
+    range-frame window — the window input is the collapsed relation."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.analytics import (
+        q142_rolling_distinct_users,
+    )
+
+    import re
+
+    plan = explain_str(q142_rolling_distinct_users(spark, SF))
+    assert "collect_set" in plan and "Window" in plan
+    assert "Join" not in plan  # the collapse means no events self-join
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
