@@ -282,3 +282,46 @@ def test_q142_collapses_before_window(spark):
     assert "collect_set" in plan and "Window" in plan
     assert "Join" not in plan  # the collapse means no events self-join
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Runtime bloom-filter join pruning: when a selective filter sits on
+    the build side of a SHUFFLE join, Spark injects might_contain() on the
+    probe side so non-matching fact rows drop before the exchange — at
+    100 TB this is the difference between shuffling the whole fact table
+    and shuffling the ~matching fraction. Enabled by default (verified);
+    the size thresholds are scaled down here because the local testdata is
+    far below the 10 GB application-side default that gates injection in
+    production."""
+    from pyspark.sql import functions as F
+
+    old_bjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in explain_str(j).lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bjt)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
