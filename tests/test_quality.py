@@ -86,3 +86,73 @@ def test_q133_hll_estimates_within_tolerance(spark):
     for et, row in est.items():
         assert abs(row.est_distinct_users - exact[et]) <= 0.05 * exact[et], et
         assert row.n_days >= 1
+
+
+def test_q136_streaks_conserve_active_days(spark):
+    """Gaps-and-islands invariants: streak day-counts sum to the number of
+    distinct (user, day) pairs, streaks span exactly their day count, and
+    no user has overlapping or adjacent (mergeable) streaks."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.analytics import (
+        q136_activity_streaks,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    rows = q136_activity_streaks(spark, SF).collect()
+    active = (
+        load_table(spark, SF, "events")
+        .selectExpr("user_id", "to_date(ts) AS d")
+        .distinct()
+        .count()
+    )
+    assert sum(r.streak_days for r in rows) == active
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert (r.streak_end - r.streak_start).days + 1 == r.streak_days
+        by_user.setdefault(r.user_id, []).append(r)
+    for streaks in by_user.values():
+        streaks.sort(key=lambda r: r.streak_start)
+        for a, b in zip(streaks, streaks[1:]):
+            # a gap of at least one day separates consecutive streaks
+            assert (b.streak_start - a.streak_end).days >= 2
+
+
+def test_q137_mixture_is_exactly_the_hash_rule(spark):
+    """The deterministic sampler keeps EXACTLY the rows the Knuth-hash rule
+    selects — recomputed independently in Python — and is stable across
+    runs."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.quality import (
+        _KNUTH,
+        _MIX_DEFAULT,
+        _MIX_RATES,
+        _MOD,
+        q137_source_mixture_sample,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source").collect()
+    expected = {
+        r.doc_id
+        for r in docs
+        if (r.doc_id * _KNUTH) % _MOD
+        < int(_MIX_RATES.get(r.source, _MIX_DEFAULT) * _MOD)
+    }
+    got = {r.doc_id for r in q137_source_mixture_sample(spark, SF).collect()}
+    assert got == expected
+    assert got == {r.doc_id for r in q137_source_mixture_sample(spark, SF).collect()}
+
+
+def test_q130_metric_bounds(spark):
+    """Repetition metrics are well-formed probabilities/ratios."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.quality import (
+        q130_repetition_metrics,
+    )
+
+    for r in q130_repetition_metrics(spark, SF).collect():
+        assert 0 < r.top_token_frac <= 1
+        assert 0 < r.top_bigram_frac <= 1
+        assert 0 < r.distinct_ratio <= 1
+        assert r.n_tokens > 0
