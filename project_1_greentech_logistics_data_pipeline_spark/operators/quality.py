@@ -450,3 +450,66 @@ def q137_source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q143: substring-containment dedup (candidates + exact verify).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_K = 32  # char k-gram width; sound because min doc length is 48
+
+
+_Q143_SQL = """
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+FROM documents a
+JOIN documents b
+  ON a.doc_id <> b.doc_id AND CONTAINS(b.text, a.text)
+ORDER BY contained_id, container_id
+"""
+
+
+@query("q143_substring_containment", _Q143_SQL)
+def q143_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-containment dedup (the 'doc A is a verbatim slice
+    of doc B' case n-gram Jaccard under-scores): candidates + verify, not
+    the quadratic CONTAINS join the oracle runs.
+
+    Soundness of the candidate scheme: if A is a substring of B and
+    len(A) >= k, EVERY char k-gram of A is a char k-gram of B — so A's
+    MINIMUM k-gram hash appears among B's k-gram hashes. The probe side
+    therefore carries ONE hash per doc, the build side explodes to its
+    distinct k-gram hashes (O(n_chars) per doc — winnowing-sampled in the
+    q92 style if that blow-up mattered, at the cost of a coarser k), and
+    the equi-join yields every true containment plus hash-collision noise
+    that the exact contains() verify removes. All JVM: murmur3 over
+    substring windows via transform(sequence(...)), no Python. The only
+    shuffle is the candidate equi-join on the 32-bit hash."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (_CONTAIN_K - 1), F.lit(1))),
+        lambda i: F.hash(F.substring(F.col("text"), F.lit(0) + i, _CONTAIN_K)),
+    )
+    probe = d.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.array_min(grams).alias("g"),
+    )
+    build = d.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.explode(F.array_distinct(grams)).alias("g"),
+    )
+    return (
+        probe.join(build, on="g")
+        .filter(
+            (F.col("a_id") != F.col("b_id"))
+            & F.col("b_text").contains(F.col("a_text"))
+        )
+        .select(
+            F.col("a_id").alias("contained_id"),
+            F.col("b_id").alias("container_id"),
+        )
+        .distinct()
+        .orderBy("contained_id", "container_id")
+    )
