@@ -274,3 +274,77 @@ def run_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_incremental_dedup_stream(
+    spark,
+    input_dir: str,
+    output_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming incremental exact-dedup: documents arrive continuously;
+    each micro-batch keeps only docs whose canonical fingerprint (q43's
+    md5 of whitespace-normalized text) has never been seen, appends the
+    survivors to ``output_path`` and their fingerprints to the
+    ``state_path`` store — the streaming form of the corpus curation
+    pass, where the 'already seen' set grows across micro-batches instead
+    of requiring a full-corpus re-scan per arrival.
+
+    Exactly-once without a transaction log: BOTH sinks are key-idempotent
+    (upsert_by_key on fingerprint), so a replayed micro-batch re-applies
+    the same upserts and changes nothing — the checkpointed source plus
+    idempotent sinks compose to effectively-once, the same argument as
+    run_upsert_stream. Within a batch, the kept doc per fingerprint is
+    the min-doc_id row (deterministic, matches q43/q78's keeper rule).
+
+    At scale the state store is a fingerprint-partitioned table and the
+    anti-join prunes to the partitions the batch touches; the per-batch
+    work is O(batch) + one broadcast-able lookup, never O(corpus)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.writers import upsert_by_key
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+        b = batch_df.withColumn("fingerprint", fp)
+        other = [c for c in b.columns if c != "fingerprint"]
+        # one deterministic keeper per fingerprint within the batch:
+        # min of the whole row struct == min doc_id row (doc_id leads)
+        keep = (
+            b.groupBy("fingerprint")
+            .agg(F.min(F.struct(*other)).alias("_row"))
+            .select("fingerprint", *[F.col(f"_row.{c}").alias(c) for c in other])
+        )
+        try:
+            seen = sess.read.parquet(state_path).select("fingerprint")
+            fresh = keep.join(seen, on="fingerprint", how="left_anti")
+        except Exception:  # first batch: no state yet
+            fresh = keep
+        fresh = fresh.localCheckpoint()  # both sinks reuse one computation
+        if not fresh.take(1):
+            return
+        upsert_by_key(sess, output_path, fresh, keys=["fingerprint"])
+        upsert_by_key(
+            sess,
+            state_path,
+            fresh.select("fingerprint", F.lit(batch_id).alias("first_batch_id")),
+            keys=["fingerprint"],
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

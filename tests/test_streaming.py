@@ -288,3 +288,63 @@ def test_streaming_upsert_restart_is_noop(spark, tmp_path):
     q2.awaitTermination()
     after = sorted(tuple(r) for r in spark.read.parquet(target).collect())
     assert after == before
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Incremental dedup across micro-batches: a text re-arriving in a
+    later file (or duplicated within one) is dropped; restarting the
+    stream over the same checkpoint changes nothing; new unique docs
+    still flow through."""
+    import json as _json
+    import os
+    import time as _time
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        run_incremental_dedup_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    f1 = [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "delta epsilon zeta"},
+        {"doc_id": 3, "text": "alpha  beta   gamma"},  # in-batch dup (ws-normalized)
+    ]
+    f2 = [
+        {"doc_id": 4, "text": "ALPHA beta gamma"},  # cross-batch dup (case-normalized)
+        {"doc_id": 5, "text": "eta theta iota"},
+    ]
+    (d / "a1.json").write_text("\n".join(_json.dumps(r) for r in f1))
+    (d / "b2.json").write_text("\n".join(_json.dumps(r) for r in f2))
+    now = _time.time()
+    os.utime(d / "a1.json", (now - 60, now - 60))
+    os.utime(d / "b2.json", (now, now))
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id LONG, text STRING"
+
+    def run():
+        q = run_incremental_dedup_stream(
+            spark, str(d), out, state, ckpt, schema, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+    run()
+    rows = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 5}  # 3 dropped in-batch, 4 dropped cross-batch
+    assert spark.read.parquet(state).count() == 3
+
+    # restart over the same checkpoint: no new input -> nothing changes
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 5}
+
+    # a third file: one old text again, one genuinely new
+    f3 = [
+        {"doc_id": 6, "text": "delta epsilon zeta"},
+        {"doc_id": 7, "text": "kappa lambda mu"},
+    ]
+    (d / "c3.json").write_text("\n".join(_json.dumps(r) for r in f3))
+    run()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 5, 7}
