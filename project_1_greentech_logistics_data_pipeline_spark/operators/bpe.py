@@ -139,3 +139,48 @@ def q140_bpe_learn_merges(
     return spark.createDataFrame(
         rows, "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     )
+
+
+def apply_bpe_merges(col: F.Column, merges: list[tuple[str, str, int]]) -> F.Column:
+    """Encode a symbol array with a learned merge table: apply each merge
+    in rank order (the BPE encode rule). Builds a chained JVM expression —
+    merge depth is the table length, so keep tables O(10-100) per
+    expression; longer tables would batch through intermediate columns."""
+    out = col
+    for a, b, _ in merges:
+        out = _merge_pair(out, a, b)
+    return out
+
+
+@query("q144_bpe_encode", None)  # rows-only: depends on the learned table
+def q144_bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Tokenize the corpus with the merges q140 learned: per document,
+    symbol counts before/after and the compression ratio — the encode
+    half of tokenizer training, run as ONE chained JVM expression over
+    each word's character array (no Python row path, no shuffle beyond
+    the explode/count pair). Composes with q140's learn step exactly the
+    way a production pipeline stages them: learn once on the corpus,
+    broadcast the merge table (here: constant-folded into the plan),
+    encode everywhere."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=n_merges)
+    chars = F.expr("filter(split(word, ''), x -> x <> '')")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("word")
+    ).withColumn("chars", chars)
+    encoded = toks.withColumn("enc", apply_bpe_merges(F.col("chars"), merges))
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.sum(F.size("chars")).alias("n_symbols_before"),
+            F.sum(F.size("enc")).alias("n_symbols_after"),
+        )
+        .withColumn(
+            "compression",
+            F.col("n_symbols_after").cast("double") / F.col("n_symbols_before"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,97 @@
+"""Graph analytics over derived edge lists (round 2): PageRank.
+
+Connected components (dedup.connected_components / _star) answered
+"which docs are the same"; PageRank answers "which doc is the most
+central representative" — the canonical-doc selection signal when a
+near-dup cluster should keep its most-connected member instead of the
+min-id one. The same iterative-DataFrame discipline as the CC and
+k-means operators applies:
+
+  - the edge relation is localCheckpointed ONCE and reused every round;
+  - each round is one join (ranks -> edges) + one groupBy-sum — pure
+    shuffles keyed by node id, no driver-side data beyond a 1-row
+    convergence scalar;
+  - per-round ranks are localCheckpointed so lineage stays flat.
+
+At 100 TB both per-round shuffles key on node id, so a cluster
+partitions the graph once and every round reuses that exchange. Rank
+mass is conserved exactly in expectation (no dangling nodes in a
+symmetric pair graph), which the tests pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+QUERIES: dict = {}
+
+
+def query(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 12,
+) -> DataFrame:
+    """(node, rank) by power iteration over the symmetrized edge list.
+
+    rank'(v) = (1-d) + d * sum_{u in N(v)} rank(u) / deg(u), init 1.0 —
+    the per-node-mean formulation whose total mass stays |V| (symmetric
+    graphs have no dangling nodes: every node has degree >= 1)."""
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    ranks = ranks.localCheckpoint()
+    out = sym.join(deg, on="src")  # (src, dst, deg) — checkpointed parent
+    for _ in range(n_iter):
+        contrib = out.join(
+            ranks, out.src == ranks.node
+        ).select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        ranks = (
+            contrib.groupBy("node")
+            .agg((F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@query("q145_neardup_pagerank", None)  # rows-only: iterative power method
+def q145_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact near-dup pair graph: per doc, its
+    centrality within its duplicate neighborhood plus its cluster id —
+    the 'keep the most central duplicate' ranking, joined against the
+    same components q73 emits so downstream keep-one policies can pick
+    argmax(rank) per cluster instead of min(doc_id)."""
+    from .dedup import connected_components, neardup_pairs
+
+    tune(spark)
+    pairs = neardup_pairs(spark, sf_dir).localCheckpoint()
+    ranks = pagerank(pairs, "doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "c_node"
+    )
+    return (
+        ranks.join(comps, ranks.node == F.col("c_node"))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.round("rank", 9).alias("rank"),
+            F.col("comp").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -91,7 +91,7 @@ def _collect() -> dict[str, tuple[Callable, str | None]]:
     from .operators import relational
 
     modules = [relational]
-    for modname in ("scalar", "temporal", "classics", "classics2", "classics3", "quality", "subqueries", "dedup", "similarity", "text", "multimodal", "pipeline_queries", "merge", "skew", "analytics", "text2", "bpe"):
+    for modname in ("scalar", "temporal", "classics", "classics2", "classics3", "quality", "subqueries", "dedup", "similarity", "text", "multimodal", "pipeline_queries", "merge", "skew", "analytics", "text2", "bpe", "graph"):
         try:
             mod = __import__(f"{__package__}.operators.{modname}", fromlist=[modname])
             modules.append(mod)

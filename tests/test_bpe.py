@@ -66,3 +66,40 @@ def test_q140_query_shape(spark):
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     assert all(r.merged == r.left + r.right for r in rows)
     assert all(rows[i].pair_count > 0 for i in range(len(rows)))
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Applying the learned merges in Spark gives the same per-word symbol
+    sequences as the Python reference encode."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+        word_vocabulary,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    merges = learn_bpe_merges(docs, n_merges=8)
+    words = word_vocabulary(docs).select("word")
+    enc = words.withColumn(
+        "enc",
+        apply_bpe_merges(F.expr("filter(split(word, ''), x -> x <> '')"), merges),
+    )
+    for r in enc.collect():
+        s = list(r.word)
+        for a, b, _ in merges:
+            s = _ref_merge_word(s, a, b)
+        assert list(r.enc) == s, r.word
+
+
+def test_q144_compression_bounds(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q144_bpe_encode"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_symbols_after <= r.n_symbols_before
+        assert 0 < r.compression <= 1

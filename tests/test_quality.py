@@ -156,3 +156,37 @@ def test_q130_metric_bounds(spark):
         assert 0 < r.top_bigram_frac <= 1
         assert 0 < r.distinct_ratio <= 1
         assert r.n_tokens > 0
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """Power-iteration invariants on a known star+path graph: total rank
+    mass == |V| (no dangling nodes in a symmetric graph), the star hub
+    out-ranks its leaves, and the result is deterministic."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (6, 7)], "src LONG, dst LONG"
+    )
+    r1 = {r.node: r.rank for r in pagerank(edges).collect()}
+    r2 = {r.node: r.rank for r in pagerank(edges).collect()}
+    assert r1 == r2
+    assert abs(sum(r1.values()) - 8) < 1e-6
+    assert r1[0] > r1[1] > 0  # hub beats leaf
+    assert r1[6] > r1[5]  # path middle beats endpoint
+
+
+def test_q145_rows_and_cluster_consistency(spark):
+    """Every ranked doc belongs to a cluster, and within each cluster the
+    rank-argmax is unique-or-tied — usable as a keep-one policy."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q145_neardup_pagerank"](spark, SF).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r.rank > 0
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        assert len(members) >= 2  # pair graph: no singleton clusters
