@@ -513,3 +513,76 @@ def q143_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("contained_id", "container_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146: per-source corpus health report (composition of quality signals).
+# ---------------------------------------------------------------------------
+
+_Q146_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, source,
+         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+dup AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT fingerprint) AS n_unique
+  FROM fp GROUP BY source
+),
+tok_stats AS (
+  SELECT source,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+  FROM toks GROUP BY source
+),
+lang_mix AS (
+  SELECT source, COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY source
+)
+SELECT d.source,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       t.total_tokens,
+       t.mean_tokens,
+       CAST(d.n_docs - d.n_unique AS BIGINT) AS n_exact_dups,
+       CAST(l.n_langs AS BIGINT) AS n_langs
+FROM dup d
+JOIN tok_stats t USING (source)
+JOIN lang_mix l USING (source)
+ORDER BY d.source
+"""
+
+
+@query("q146_corpus_health_report", _Q146_SQL)
+def q146_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: volume, token mass, exact-dup rate,
+    language mix — the rollup a curation pipeline publishes after every
+    ingest so a skewed or degenerate source is caught before training.
+    ONE scan of documents feeds three source-keyed aggregates (Catalyst
+    shares the shuffle key); fingerprints are computed inside the
+    aggregate, never materialized per-doc downstream. The mean is
+    int-sum / count in one double op — oracle-exact."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    base = d.select(
+        "source",
+        "lang",
+        F.size(tokens_expr("text")).alias("n_tokens"),
+        fp.alias("fingerprint"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_exact_dups"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
