@@ -770,3 +770,85 @@ def q108_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "n_orders", "total")
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# q147: bitwise aggregates + ordered string aggregation.
+# ---------------------------------------------------------------------------
+
+_Q147_SQL = """
+SELECT event_type,
+       BIT_AND(user_id) AS users_and,
+       BIT_OR(user_id) AS users_or,
+       BIT_XOR(user_id) AS users_xor,
+       STRING_AGG(DISTINCT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d'), ','
+                  ORDER BY STRFTIME(CAST(ts AS DATE), '%Y-%m-%d')) AS active_days
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q147_bitwise_stringagg", _Q147_SQL)
+def q147_bitwise_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and/bit_or/bit_xor — flag-mask
+    rollups) plus deterministic ordered string aggregation (LISTAGG ≙
+    concat_ws over a SORTED collect_set: collect order is
+    partition-nondeterministic, so the sort is what makes the result
+    reproducible and oracle-comparable). One shuffle on event_type;
+    everything partial-aggregatable except the bounded per-group
+    day set."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    return (
+        e.select("event_type", "user_id", day.alias("day"))
+        .groupBy("event_type")
+        .agg(
+            F.bit_and("user_id").alias("users_and"),
+            F.bit_or("user_id").alias("users_or"),
+            F.bit_xor("user_id").alias("users_xor"),
+            F.concat_ws(",", F.array_sort(F.collect_set("day"))).alias("active_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148: multiset EXCEPT ALL / INTERSECT ALL (duplicate multiplicities).
+# ---------------------------------------------------------------------------
+
+_Q148_SQL = """
+SELECT 'except_all' AS op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'view'
+)
+UNION ALL
+SELECT 'intersect_all' AS op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT ALL
+  SELECT user_id FROM events WHERE event_type = 'view'
+)
+ORDER BY op, user_id
+"""
+
+
+@query("q148_multiset_ops", _Q148_SQL)
+def q148_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics on inputs that really carry duplicates: a user with
+    5 clicks and 3 views keeps 2 rows in EXCEPT ALL and 3 in INTERSECT
+    ALL — multiplicity arithmetic, not membership (q17 covers the
+    distinct forms). Spark plans both as hash aggregates over
+    (value, count) pairs — same single-shuffle shape as the oracle."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    return (
+        clicks.exceptAll(views).select(F.lit("except_all").alias("op"), "user_id")
+        .unionByName(
+            clicks.intersectAll(views).select(
+                F.lit("intersect_all").alias("op"), "user_id"
+            )
+        )
+        .orderBy("op", "user_id")
+    )
