@@ -852,3 +852,48 @@ def q148_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q149: correlated LATERAL subquery join (SQL surface of top-k-per-key).
+# ---------------------------------------------------------------------------
+
+_Q149_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t ON TRUE
+WHERE c.c_acctbal > 9000
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("q149_lateral_topk", _Q149_SQL)
+def q149_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — the SQL-surface twin of the
+    window top-k (q13): per qualifying customer, their 2 highest-price
+    orders. Spark decorrelates the LATERAL LIMIT into a partitioned
+    rank filter, so the physical plan is the same single orders shuffle
+    as the window form — declared through spark.sql to pin that the SQL
+    entry point handles correlated table subqueries, not just the
+    DataFrame API. Ties break on o_orderkey (deterministic)."""
+    tune(spark)
+    from ..sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9000
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
