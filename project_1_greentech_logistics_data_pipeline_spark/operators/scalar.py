@@ -529,3 +529,71 @@ def q114_lateral_alias_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey % 500 = 0
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q150: nested struct construction and surgical mutation.
+# ---------------------------------------------------------------------------
+
+_Q150_SQL = """
+WITH built AS (
+  SELECT o_orderkey,
+         STRUCT_PACK(
+           key := o_custkey,
+           status := o_orderstatus,
+           money := STRUCT_PACK(total := o_totalprice,
+                                tax := ROUND(o_totalprice * 0.1, 2))
+         ) AS info
+  FROM orders WHERE o_totalprice > 400000
+),
+mutated AS (
+  SELECT o_orderkey,
+         STRUCT_INSERT(info, priority := 'audit') AS info2,
+         info.money.total AS total,
+         ROUND(info.money.tax, 2) AS tax
+  FROM built
+)
+SELECT o_orderkey,
+       info2.key AS cust_key,
+       info2.status AS status,
+       info2.priority AS priority,
+       total, tax
+FROM mutated
+ORDER BY o_orderkey
+"""
+
+
+@query("q150_nested_struct_ops", _Q150_SQL)
+def q150_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct construction + surgical mutation: build a two-level
+    struct, add a field with withField (no rebuild of the whole struct —
+    the Catalyst optimization that matters when the struct has dozens of
+    fields and you touch one), read through dotted paths. Output is
+    scalarized (struct cells don't hash-compare across engines). All
+    narrow ops in codegen; the filter pushes to the scan."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    built = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("total"),
+                F.round(F.col("o_totalprice") * 0.1, 2).alias("tax"),
+            ).alias("money"),
+        ).alias("info"),
+    )
+    mutated = built.select(
+        "o_orderkey",
+        F.col("info").withField("priority", F.lit("audit")).alias("info2"),
+        F.col("info.money.total").alias("total"),
+        F.round(F.col("info.money.tax"), 2).alias("tax"),
+    )
+    return mutated.select(
+        "o_orderkey",
+        F.col("info2.key").alias("cust_key"),
+        F.col("info2.status").alias("status"),
+        F.col("info2.priority").alias("priority"),
+        "total",
+        "tax",
+    ).orderBy("o_orderkey")
