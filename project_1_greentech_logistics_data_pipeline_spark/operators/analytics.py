@@ -693,3 +693,47 @@ def q142_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q151: equi-depth (decile) histogram per event_type.
+# ---------------------------------------------------------------------------
+
+_Q151_SQL = """
+WITH t AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS decile
+  FROM events
+)
+SELECT event_type, decile,
+       MIN(value) AS lo,
+       MAX(value) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t
+GROUP BY event_type, decile
+ORDER BY event_type, decile
+"""
+
+
+@query("q151_equidepth_histogram", _Q151_SQL)
+def q151_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (the CBO/monitoring complement of q120's
+    fixed-width bins): NTILE deciles per event_type, then per-bucket
+    bounds and counts. The window and the aggregate share the
+    event_type shuffle; ties are made deterministic by the event_id
+    tiebreak, which is what makes NTILE comparable across engines at
+    all. Equi-depth bounds are what a query optimizer stores — skew
+    shows up as wide buckets, not empty ones."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "decile")
+    )

@@ -597,3 +597,39 @@ def q150_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         "tax",
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q151b: explode_outer — empty/NULL collections keep their row.
+# ---------------------------------------------------------------------------
+
+_Q151B_SQL = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O'
+              THEN STRING_SPLIT(o_orderpriority, '-')
+              ELSE [] END AS parts
+  FROM orders WHERE o_orderkey <= 200
+)
+SELECT s.o_orderkey, u.part
+FROM src s
+LEFT JOIN LATERAL UNNEST(s.parts) AS u(part) ON TRUE
+ORDER BY o_orderkey, part
+"""
+
+
+@query("q151b_explode_outer", _Q151B_SQL)
+def q151b_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose collection is empty (or NULL) survive
+    with a NULL element instead of vanishing — the LEFT-JOIN-LATERAL
+    semantics plain explode silently breaks (inner-join behavior drops
+    the row, the same class of silent loss as the reference's 3VL split
+    bug). Narrow generator op, no shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    parts = F.when(
+        F.col("o_orderstatus") == "O", F.split("o_orderpriority", "-")
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        o.select("o_orderkey", F.explode_outer(parts).alias("part"))
+        .orderBy("o_orderkey", "part")
+    )
