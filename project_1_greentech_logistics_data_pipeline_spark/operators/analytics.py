@@ -737,3 +737,49 @@ def q151_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q152: robust outlier detection via median absolute deviation (MAD).
+# ---------------------------------------------------------------------------
+
+_Q152_SQL = """
+WITH med AS (
+  SELECT event_id, event_type, value,
+         MEDIAN(value) OVER (PARTITION BY event_type) AS med
+  FROM events
+),
+mad AS (
+  SELECT *, MEDIAN(ABS(value - med)) OVER (PARTITION BY event_type) AS mad
+  FROM med
+)
+SELECT event_id, event_type, value, med, mad,
+       ABS(value - med) / (1.4826 * mad) AS robust_z
+FROM mad
+WHERE ABS(value - med) / (1.4826 * mad) > 3.0
+ORDER BY event_id
+"""
+
+
+@query("q152_mad_outliers", _Q152_SQL)
+def q152_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose |value - median| exceeds
+    3 scaled MADs — mean/stddev z-scores (q75) move with the outliers
+    they hunt; median/MAD do not break down until half the data is bad.
+    Two stacked windows on the SAME partition key (median, then median of
+    absolute deviations) — one event_type shuffle total, no driver-side
+    percentile collection. The 1.4826 constant rescales MAD to sigma
+    under normality; every arithmetic step is the same double op on both
+    engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    med = F.median("value").over(w)
+    step1 = e.select("event_id", "event_type", "value", med.alias("med"))
+    mad = F.median(F.abs(F.col("value") - F.col("med"))).over(w)
+    step2 = step1.withColumn("mad", mad)
+    robust_z = F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        step2.withColumn("robust_z", robust_z)
+        .filter(F.col("robust_z") > 3.0)
+        .orderBy("event_id")
+    )
