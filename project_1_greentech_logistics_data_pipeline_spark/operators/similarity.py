@@ -431,3 +431,80 @@ def q96_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qvec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q153: distributed PCA (partial Gram matrices -> driver eigh -> JVM project)
+# ---------------------------------------------------------------------------
+
+
+def pca_components(emb: DataFrame, k: int = 4) -> tuple[list[list[float]], list[float], list[float]]:
+    """(components[k][d], explained_variance[k], mean[d]) by exact
+    covariance PCA: each Arrow batch emits ONE partial row
+    (count, sum-vector, Gram matrix = X^T X from a single numpy GEMM),
+    the driver folds the bounded d + d^2 partials into the covariance and
+    eigen-decomposes the d x d matrix (d=64: trivial) — the classic
+    tree-aggregate shape where the data never moves, only d^2 numbers per
+    partition do. Eigenvector sign is fixed (largest-|coord| positive) so
+    results are deterministic across partitionings."""
+    import numpy as np
+
+    d_dim = len(emb.select("embedding").first()["embedding"])
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        _partials, schema="n long, s array<double>, g array<double>"
+    ).collect()  # one row per Arrow batch — bounded driver state
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(d_dim, d_dim) for r in parts], axis=0)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps, evs = [], []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
+            v = -v
+        comps.append([float(x) for x in v])
+        evs.append(float(vals[idx]))
+    return comps, evs, [float(x) for x in mean]
+
+
+@query("q153_pca_project", None)  # rows-only: eigen-decomposition step
+def q153_pca_project(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
+    """Project embeddings onto their top-k principal components — the
+    dimensionality-reduction step before clustering/visualization in an
+    embedding pipeline. Component fitting moves only d^2 numbers per
+    partition (see pca_components); the projection itself is k JVM dot
+    products against broadcast literal vectors over the centered
+    embedding — no Python in the row path, no shuffle."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, _evs, mean = pca_components(emb, k=k)
+    mean_lit = F.array(*[F.lit(x) for x in mean])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mean_lit, lambda a, b: a - b
+    )
+    cols = [
+        F.round(
+            dot_expr(centered, F.array(*[F.lit(x) for x in c])), 9
+        ).alias(f"pc{i + 1}")
+        for i, c in enumerate(comps)
+    ]
+    return emb.select("vec_id", *cols).orderBy("vec_id")

@@ -190,3 +190,55 @@ def test_q145_rows_and_cluster_consistency(spark):
         by_cluster.setdefault(r.cluster_id, []).append(r)
     for members in by_cluster.values():
         assert len(members) >= 2  # pair graph: no singleton clusters
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark):
+    """PCA invariants: components are orthonormal, explained variances
+    decrease, projections are deterministic across repartitionings, and
+    per-component projected variance equals the eigenvalue."""
+    import numpy as np
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.similarity import (
+        pca_components,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    comps, evs, mean = pca_components(emb, k=4)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-9)
+    assert all(evs[i] >= evs[i + 1] for i in range(len(evs) - 1))
+    comps2, evs2, _ = pca_components(emb.repartition(7), k=4)
+    assert np.allclose(C, np.array(comps2), atol=1e-9)
+    assert np.allclose(evs, evs2, atol=1e-9)
+    # projected variance per component == eigenvalue
+    X = np.array([np.asarray(r.embedding, dtype=float) for r in emb.collect()])
+    P = (X - np.array(mean)) @ C.T
+    assert np.allclose(P.var(axis=0, ddof=1), evs, rtol=1e-6)
+
+
+def test_q153_projection_matches_numpy(spark):
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from project_1_greentech_logistics_data_pipeline_spark.operators.similarity import (
+        pca_components,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    comps, _, mean = pca_components(emb, k=4)
+    want = {
+        r.vec_id: (np.asarray(r.embedding, dtype=float) - np.array(mean))
+        @ np.array(comps).T
+        for r in emb.collect()
+    }
+    got = entrymod.queries()["q153_pca_project"](spark, SF).collect()
+    for r in got:
+        np.testing.assert_allclose(
+            [r.pc1, r.pc2, r.pc3, r.pc4], want[r.vec_id], atol=1e-6
+        )
