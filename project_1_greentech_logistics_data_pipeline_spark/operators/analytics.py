@@ -783,3 +783,43 @@ def q152_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("robust_z") > 3.0)
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q154: grouping_id over grouping sets (which-level markers).
+# ---------------------------------------------------------------------------
+
+_Q154_SQL = """
+SELECT event_type,
+       STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       GROUPING(event_type) AS g_type,
+       GROUPING(STRFTIME(CAST(ts AS DATE), '%Y-%m-%d')) AS g_day,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (STRFTIME(CAST(ts AS DATE), '%Y-%m-%d')), ())
+ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST
+"""
+
+
+@query("q154_grouping_id_markers", _Q154_SQL)
+def q154_grouping_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish 'aggregated-away' NULLs from data
+    NULLs in grouping-sets output — without them a rollup consumer cannot
+    tell the all-types total from a NULL event_type group. Single Expand
+    + one aggregate (same single-scan plan as q11/q12/q18, which cover
+    the set shapes; this covers the marker functions)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    grouped = (
+        e.select("event_type", day.alias("day"))
+        .groupingSets([["event_type"], ["day"], []], "event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return grouped.select("event_type", "day", "g_type", "g_day", "n").orderBy(
+        "g_type", "g_day",
+        F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first(),
+    )
