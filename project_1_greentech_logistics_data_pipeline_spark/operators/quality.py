@@ -598,3 +598,45 @@ def q146_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q155: deterministic weighted sampling (Efraimidis-Spirakis A-ES).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 100
+
+
+_Q155_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         -LN((((doc_id * {_KNUTH}) % {_MOD}) + 1.0) / ({_MOD} + 1.0))
+           / n_chars AS es_key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, es_key
+FROM keyed
+ORDER BY es_key, doc_id
+LIMIT {_SAMPLE_K}
+"""
+
+
+@query("q155_weighted_sample", _Q155_SQL)
+def q155_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES:
+    keep the k smallest -ln(u)/w keys — inclusion probability
+    proportional to weight), with the uniform u derived from the Knuth
+    hash instead of an RNG, so the sample is deterministic,
+    repartition-stable, and ORACLE-EXACT — the property q79's
+    rand()-based sampler can't have. Plans as TakeOrderedAndProject:
+    per-partition top-k then a k-row merge, no global sort, no shuffle
+    of the corpus. ln() of identical doubles agrees bit-for-bit across
+    engines (both call the platform libm on the same value)."""
+    d = _t(spark, sf_dir, "documents")
+    u = (((F.col("doc_id") * _KNUTH) % _MOD) + 1.0) / (_MOD + 1.0)
+    es_key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(_SAMPLE_K)
+    )
