@@ -175,3 +175,70 @@ def track_fleet_status(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming TWAP (time-weighted average) with carry-over state
+# ---------------------------------------------------------------------------
+
+TWAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("acc_weighted_us", T.DoubleType()),
+        T.StructField("acc_dur_us", T.LongType()),
+        T.StructField("running_twap", T.DoubleType()),
+    ]
+)
+
+TWAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("acc_weighted_us", T.DoubleType()),
+        T.StructField("acc_dur_us", T.LongType()),
+    ]
+)
+
+
+def _twap_update(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: "GroupState"
+) -> "Iterator[pd.DataFrame]":
+    (event_type,) = key
+    if state.exists:
+        last_ts, last_value, acc_w, acc_d = state.get
+    else:
+        last_ts, last_value, acc_w, acc_d = None, None, 0.0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, value in zip(pdf["ts_us"], pdf["value"]):
+            if last_ts is not None:
+                dur = int(ts_us) - last_ts
+                acc_w += last_value * dur
+                acc_d += dur
+            last_ts, last_value = int(ts_us), float(value)
+    state.update((last_ts, last_value, acc_w, acc_d))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "acc_weighted_us": [acc_w],
+            "acc_dur_us": [acc_d],
+            "running_twap": [acc_w / acc_d if acc_d else None],
+        }
+    )
+
+
+def track_time_weighted_average(events: DataFrame) -> DataFrame:
+    """Streaming twin of q138 (batch TWAP): the cross-micro-batch segment
+    (a reading 'holds' until the NEXT one, which may arrive in a later
+    batch) is exactly the part batch windows can't see incrementally —
+    the per-key (last_ts, last_value) carry-over lives in the state
+    store. Input: streaming (event_type, ts_us, event_id, value); output
+    per key per micro-batch: running weighted sums + TWAP. State is 4
+    scalars per key, checkpointed; update mode."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _twap_update,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -162,3 +162,57 @@ def test_fleet_status_transform_with_state(spark, tmp_path):
     assert t2["total_events"] == 2
     assert t2["total_value"] == 12.0
     assert json.loads(t2["status_histogram"]) == {"delayed": 2}
+
+
+def test_streaming_twap_matches_batch_twin(spark, tmp_path):
+    """Streaming TWAP with state carry-over must equal the batch TWAP
+    (q138 formula) over the same closed input, even though the
+    cross-batch segment spans a micro-batch boundary."""
+    import os
+    import time
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.stateful import (
+        track_time_weighted_average,
+    )
+
+    # two types; B's 10->30 segment spans the file boundary
+    f1 = [
+        {"event_type": "A", "ts_us": 0, "event_id": 1, "value": 10.0},
+        {"event_type": "A", "ts_us": 1_000_000, "event_id": 2, "value": 20.0},
+        {"event_type": "B", "ts_us": 0, "event_id": 3, "value": 5.0},
+    ]
+    f2 = [
+        {"event_type": "A", "ts_us": 3_000_000, "event_id": 4, "value": 40.0},
+        {"event_type": "B", "ts_us": 4_000_000, "event_id": 5, "value": 15.0},
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a1.json").write_text("\n".join(json.dumps(r) for r in f1))
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in f2))
+    now = time.time()
+    os.utime(d / "a1.json", (now - 60, now - 60))
+    os.utime(d / "b2.json", (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts_us long, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    q = (
+        track_time_weighted_average(stream)
+        .writeStream.format("memory")
+        .queryName("twap")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM twap ORDER BY acc_dur_us").collect()
+    final = {r.event_type: r for r in rows}
+    # batch-twin expectations: A: 10*1s + 20*2s over 3s; B: 5*4s over 4s
+    assert final["A"].acc_dur_us == 3_000_000
+    assert abs(final["A"].running_twap - (10 * 1 + 20 * 2) / 3) < 1e-9
+    assert final["B"].acc_dur_us == 4_000_000
+    assert abs(final["B"].running_twap - 5.0) < 1e-9
