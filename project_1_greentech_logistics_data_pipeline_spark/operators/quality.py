@@ -640,3 +640,73 @@ def q155_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("es_key", "doc_id")
         .limit(_SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q157: curation pass v2 — repetition gate + containment dedup + mixture.
+# ---------------------------------------------------------------------------
+
+_REP_GATE = 0.15  # top-token fraction above this = boilerplate (p95 here)
+
+
+_Q157_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+  FROM tc GROUP BY doc_id
+),
+contained AS (
+  SELECT DISTINCT a.doc_id
+  FROM documents a
+  JOIN documents b ON a.doc_id <> b.doc_id AND CONTAINS(b.text, a.text)
+)
+SELECT d.doc_id, d.source, d.lang, r.top_token_frac
+FROM documents d
+JOIN rep r USING (doc_id)
+WHERE r.top_token_frac <= {_REP_GATE}
+  AND d.doc_id NOT IN (SELECT doc_id FROM contained)
+  AND (d.doc_id * {_KNUTH}) % {_MOD}
+      < CAST(({_mix_rate_sql()}) * {_MOD} AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+
+@query("q157_curation_v2", _Q157_SQL)
+def q157_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second end-to-end curation composition (q78 is gate->near-dup->
+    keep-one; this is the round-2 signal set): repetition-gate out
+    boilerplate (top-token fraction over the p95 threshold), drop docs
+    verbatim-contained in another doc (q143's candidates+verify as an
+    anti-join), then resample to the source mixture (q137's
+    deterministic hash rule). Every stage is oracle-exact, so the WHOLE
+    pipeline is — compositions are where silent semantic drift usually
+    hides, which is why this is declared as one query and not just its
+    parts. Plan: the repetition aggregate and the containment anti-join
+    are the only shuffles; the mixture filter is free at scan time."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    rep = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"))
+    )
+    contained = q143_substring_containment(spark, sf_dir).select(
+        F.col("contained_id").alias("doc_id")
+    ).distinct()
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    keep = (F.col("doc_id") * _KNUTH) % _MOD < (rate * _MOD).cast("bigint")
+    return (
+        d.join(rep, on="doc_id")
+        .filter(F.col("top_token_frac") <= _REP_GATE)
+        .join(contained, on="doc_id", how="left_anti")
+        .filter(keep)
+        .select("doc_id", "source", "lang", "top_token_frac")
+        .orderBy("doc_id")
+    )
