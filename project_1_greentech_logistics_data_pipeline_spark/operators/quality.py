@@ -710,3 +710,36 @@ def q157_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "top_token_frac")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158: deterministic corpus shuffle (epoch-stable training order).
+# ---------------------------------------------------------------------------
+
+_Q158_SQL = f"""
+SELECT doc_id,
+       (doc_id * {_KNUTH}) % {_MOD} AS shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY (doc_id * {_KNUTH}) % {_MOD}, doc_id)
+         AS position
+FROM documents
+ORDER BY position
+"""
+
+
+@query("q158_deterministic_shuffle", _Q158_SQL)
+def q158_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-stable corpus shuffle: training order = rank of a hash of
+    doc_id — reproducible across reruns and cluster layouts (rand()
+    cannot be), resumable mid-epoch by position, and changing the seed
+    constant gives an independent epoch permutation. The global
+    ROW_NUMBER is the one range-partitioned sort; at 100 TB you keep the
+    shuffle_key and skip the materialized rank (readers sort-merge on
+    the key), which is why both columns are emitted."""
+    d = _t(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * _KNUTH) % _MOD
+    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("position", F.row_number().over(w))
+        .orderBy("position")
+    )

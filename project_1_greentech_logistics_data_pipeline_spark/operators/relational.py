@@ -897,3 +897,72 @@ def q149_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q159: referential-integrity audit across the star schema.
+# ---------------------------------------------------------------------------
+
+_Q159_SQL = """
+SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_orphans,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation',
+       CAST((SELECT COUNT(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM supplier) AS BIGINT)
+ORDER BY fk_edge
+"""
+
+
+@query("q159_referential_integrity_audit", _Q159_SQL)
+def q159_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-count audit over every FK edge of the star schema — the
+    health check a warehouse runs after each load (files have no
+    enforced constraints, so RI is a job, not a guarantee). ONE
+    declarative plan: each edge contributes a 1-row aggregate (orphans
+    via conditional count over a broadcast LEFT join against the parent
+    key set, total from the same pass) and the rows union — no
+    driver-side counting loop. Emitting a row per edge whether or not
+    orphans exist keeps the report non-vacuous and alert-diffable. At
+    100 TB each edge is one child pass with a broadcast parent — no
+    fact-fact shuffle."""
+    def edge(label: str, child: str, ck: str, parent: str, pk: str) -> DataFrame:
+        c = _t(spark, sf_dir, child)
+        p_keys = _t(spark, sf_dir, parent).select(pk).distinct()
+        return (
+            c.join(F.broadcast(p_keys), c[ck] == F.col(pk), "left")
+            .agg(
+                F.lit(label).alias("fk_edge"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("n_orphans"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    edges = [
+        edge("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk_edge")
