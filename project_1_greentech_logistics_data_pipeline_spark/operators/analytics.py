@@ -823,3 +823,56 @@ def q154_grouping_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_type", "g_day",
         F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first(),
     )
+
+
+# ---------------------------------------------------------------------------
+# q160: Z-order (Morton) clustering key for multi-dimensional data skipping.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _morton_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_Q160_SQL = f"""
+WITH dims AS (
+  SELECT event_id,
+         CAST(user_id % 256 AS BIGINT) AS da,
+         CAST(LEAST(FLOOR(value * 2.55), 255) AS BIGINT) AS db
+  FROM events
+)
+SELECT event_id, da, db,
+       {_morton_sql('da', 'db')} AS zkey
+FROM dims
+ORDER BY zkey, event_id
+"""
+
+
+@query("q160_zorder_key", _Q160_SQL)
+def q160_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order/Morton clustering key: interleave the bits of two dims so
+    rows close in BOTH dimensions land close in the sort order — written
+    with repartitionByRange(zkey), every parquet row group gets tight
+    min/max ranges on BOTH user_id and value, and scans filtered on
+    EITHER dimension skip row groups (1-D sorting only ever helps one
+    column). The interleave is pure integer shift/mask arithmetic in
+    whole-stage codegen, bit-identical on both engines; the ORDER BY here
+    stands in for the range-partitioned write of the real layout job."""
+    e = _t(spark, sf_dir, "events")
+    da = (F.col("user_id") % 256).cast("bigint")
+    db = F.least(F.floor(F.col("value") * 2.55), F.lit(255)).cast("bigint")
+    dims = e.select("event_id", da.alias("da"), db.alias("db"))
+    zkey = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        zkey = zkey.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("da"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("db"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return dims.withColumn("zkey", zkey).orderBy("zkey", "event_id")
