@@ -103,3 +103,34 @@ def test_q144_compression_bounds(spark):
     for r in rows:
         assert 0 < r.n_symbols_after <= r.n_symbols_before
         assert 0 < r.compression <= 1
+
+
+def test_merge_pair_fold_property(spark):
+    """Property: the JVM aggregate()-fold merge equals the Python
+    reference on adversarial symbol arrays — overlapping runs ('aaa'),
+    pair-at-start/end, repeated pairs, and symbols absent entirely."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.bpe import (
+        _merge_pair,
+    )
+    from pyspark.sql import functions as F
+
+    sym = st.sampled_from(["a", "b", "c", "ab"])
+    arrays = st.lists(sym, min_size=0, max_size=12)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(arrays, min_size=1, max_size=8))
+    def check(batch):
+        df = spark.createDataFrame([(a,) for a in batch], "syms array<string>")
+        got = [
+            list(r.m)
+            for r in df.select(
+                _merge_pair(F.col("syms"), "a", "b").alias("m")
+            ).collect()
+        ]
+        want = [_ref_merge_word(a, "a", "b") for a in batch]
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    check()
