@@ -214,3 +214,91 @@ def q125_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_vocab_freq"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q161: bigram language-model perplexity per document (CCNet-style filter).
+# ---------------------------------------------------------------------------
+
+_LM_K = 0.5  # add-k smoothing
+
+
+_Q161_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i])) AS a,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i + 1])) AS b
+  FROM toks
+),
+big_c AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b),
+uni_c AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY a),
+vocab AS (SELECT COUNT(DISTINCT b) AS v FROM bi),
+lm AS (
+  SELECT bc.a, bc.b,
+         CAST(LN((bc.c_ab + {_LM_K}) / (uc.c_a + {_LM_K} * vc.v))
+              AS DECIMAL(38,18)) AS logp
+  FROM big_c bc JOIN uni_c uc USING (a) CROSS JOIN vocab vc
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(-CAST(SUM(lm.logp) AS DOUBLE) / COUNT(*) AS DOUBLE)
+         AS avg_neg_logp
+FROM bi d
+JOIN lm ON lm.a = d.a AND lm.b = d.b
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("q161_bigram_lm_perplexity", _Q161_SQL)
+def q161_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: train an add-k bigram LM on the
+    corpus (bigram + unigram counts, one tokenized scan), then score
+    every document by its average negative log-probability under that LM
+    — the CCNet/KenLM filtering signal for 'fluent vs degenerate' text,
+    here with the LM trained in the SAME engine instead of imported.
+    Scale shape: counts are map-side combinable; the LM relation is
+    |bigram vocab| rows and BROADCASTS into the scoring join, so the
+    corpus-sized side never shuffles for the join (here vocab^2 ~ 1e3;
+    at 100 TB a mincount cut keeps it broadcastable — CCNet's own LMs
+    are pruned the same way). Determinism: each ln() rounds to
+    decimal(38,18) BEFORE the per-doc sum, so the mean is
+    order-independent and bit-identical on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    t = tokens_expr("text")
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    big_c = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni_c = bi.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = bi.agg(F.countDistinct("b").alias("v"))
+    lm = (
+        big_c.join(uni_c, on="a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.log(
+                (F.col("c_ab") + _LM_K) / (F.col("c_a") + _LM_K * F.col("v"))
+            ).cast("decimal(38,18)").alias("logp"),
+        )
+    )
+    return (
+        bi.join(F.broadcast(lm), on=["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-(F.sum("logp").cast("double")) / F.count(F.lit(1))).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )
