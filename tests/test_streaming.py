@@ -348,3 +348,64 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     (d / "c3.json").write_text("\n".join(_json.dumps(r) for r in f3))
     run()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 5, 7}
+
+
+def test_watermark_drops_late_rows_with_metric_evidence(spark, tmp_path):
+    """A row arriving behind the advanced watermark must be DROPPED (not
+    merged into its window), with the state operator's
+    numRowsDroppedByWatermark metric as the operational evidence.
+
+    Observed Spark nuance this test pins: the drop applies from the batch
+    AFTER the closed window's state is evicted — a late row arriving in
+    the same batch in which the watermark first passes the window end
+    still merges into the not-yet-evicted state. Hence three batches:
+    (0) fill the window and advance event time, (1) a row that carries
+    the watermark forward while eviction happens, (2) the late row,
+    which must now be dropped."""
+    import os
+    import time
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        windowed_event_counts,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    f1 = [
+        {"ts": "2024-01-01T00:01:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T00:02:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T02:00:00", "event_type": "click", "value": 1.0},
+    ]
+    f2 = [{"ts": "2024-01-01T02:01:00", "event_type": "click", "value": 1.0}]
+    f3 = [{"ts": "2024-01-01T00:03:00", "event_type": "click", "value": 1.0}]
+    for i, f in enumerate((f1, f2, f3)):
+        path = d / f"f{i}.json"
+        path.write_text("\n".join(json.dumps(r) for r in f))
+        now = time.time()
+        os.utime(path, (now - 60 + i * 20, now - 60 + i * 20))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("wm_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        (so["numRowsDroppedByWatermark"] or 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped >= 1, "late row was not dropped by the watermark"
+    rows = spark.sql(
+        "SELECT * FROM wm_drop WHERE window_start = TIMESTAMP '2024-01-01 00:00:00'"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 2  # late row excluded from the closed window
