@@ -156,8 +156,9 @@ def stream_stream_interval_join(
     max_delay: str = "10 minutes",
     left_watermark: str = "20 minutes",
     right_watermark: str = "20 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with a watermark-bounded time-range condition
+    """Stream-stream join with a watermark-bounded time-range condition
     (impression->conversion attribution shape): right.ts in
     [left.ts, left.ts + max_delay].
 
@@ -166,7 +167,12 @@ def stream_stream_interval_join(
     max_delay, so state size is O(rate x window), not O(stream length).
     Without the time-range condition a stream-stream join must buffer
     everything forever; this is the only shape that survives an unbounded
-    stream at production rates."""
+    stream at production rates.
+
+    how="leftOuter" keeps unmatched left rows: they emit with NULL right
+    columns AT EVICTION TIME (when the watermark proves no match can
+    still arrive) — the impression-without-conversion output, which an
+    inner join silently discards."""
     lw = left.withWatermark("ts", left_watermark).select(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),
@@ -182,7 +188,7 @@ def stream_stream_interval_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
-        "inner",
+        how,
     )
 
 

@@ -409,3 +409,56 @@ def test_watermark_drops_late_rows_with_metric_evidence(spark, tmp_path):
     ).collect()
     assert len(rows) == 1
     assert rows[0].n_events == 2  # late row excluded from the closed window
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_eviction(spark, tmp_path):
+    """leftOuter stream-stream interval join: an impression with no
+    conversion inside its interval must STILL emit (NULL right side) once
+    the watermark proves no match can arrive — inner joins silently drop
+    it. The NULL-side row appears at state-eviction time, so a trailing
+    batch advances both watermarks past the interval."""
+    import os
+    import time
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        stream_stream_interval_join,
+    )
+
+    ld, rd = tmp_path / "left", tmp_path / "right"
+    ld.mkdir(), rd.mkdir()
+    # U1 converts; U2 never does
+    l1 = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "event_type": "view"},
+        {"user_id": 2, "ts": "2024-01-01T00:00:30", "event_type": "view"},
+    ]
+    r1 = [{"user_id": 1, "ts": "2024-01-01T00:02:00", "event_type": "purchase"}]
+    # trailing activity far past every interval + watermark
+    l2 = [{"user_id": 9, "ts": "2024-01-01T03:00:00", "event_type": "view"}]
+    r2 = [{"user_id": 9, "ts": "2024-01-01T03:00:01", "event_type": "purchase"}]
+    l3 = [{"user_id": 8, "ts": "2024-01-01T04:00:00", "event_type": "view"}]
+    r3 = [{"user_id": 8, "ts": "2024-01-01T04:00:01", "event_type": "purchase"}]
+    now = time.time()
+    for i, (d, rows) in enumerate(
+        ((ld, l1), (rd, r1), (ld, l2), (rd, r2), (ld, l3), (rd, r3))
+    ):
+        p = d / f"f{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (now - 60 + i * 10, now - 60 + i * 10))
+
+    schema = "user_id long, ts timestamp, event_type string"
+    left = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(ld))
+    right = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(rd))
+    q = (
+        stream_stream_interval_join(left, right, how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("ss_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ss_outer ORDER BY l_ts").collect()
+    by_user = {r.l_key: r for r in rows}
+    assert by_user[1].r_type == "purchase"  # matched pair joined
+    assert 2 in by_user, "unmatched impression was dropped (inner-join behavior)"
+    assert by_user[2].r_type is None and by_user[2].r_ts is None
