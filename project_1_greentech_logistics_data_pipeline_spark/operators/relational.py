@@ -966,3 +966,40 @@ def q159_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFr
     for e in edges[1:]:
         out = out.unionByName(e)
     return out.orderBy("fk_edge")
+
+
+# ---------------------------------------------------------------------------
+# q162: relational division — users covering ALL event types.
+# ---------------------------------------------------------------------------
+
+_Q162_SQL = """
+WITH n_types AS (SELECT COUNT(DISTINCT event_type) AS n FROM events)
+SELECT e.user_id,
+       CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e
+GROUP BY e.user_id
+HAVING COUNT(DISTINCT e.event_type) = (SELECT n FROM n_types)
+ORDER BY e.user_id
+"""
+
+
+@query("q162_relational_division", _Q162_SQL)
+def q162_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ('FOR ALL'): users whose event set covers EVERY
+    event type — the classic shape textbooks write with double NOT
+    EXISTS, decorrelated here to one distinct-count aggregate compared
+    against a 1-row broadcast divisor cardinality. One shuffle on
+    user_id; the divisor count is a 5-row aggregate."""
+    e = _t(spark, sf_dir, "events")
+    n_types = e.agg(F.countDistinct("event_type").alias("n"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types_hit"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .join(F.broadcast(n_types), F.col("n_types_hit") == F.col("n"))
+        .drop("n")
+        .orderBy("user_id")
+    )
