@@ -302,3 +302,62 @@ def q161_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q165: vocabulary indexing — encode documents as id sequences.
+# ---------------------------------------------------------------------------
+
+_Q165_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), 1) AS pos
+  FROM documents
+),
+freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS id FROM freq
+)
+SELECT t.doc_id,
+       LIST(v.id ORDER BY t.pos) AS ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("q165_vocab_encode", _Q165_SQL)
+def q165_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary indexing: rank tokens by corpus frequency (rank 1 =
+    most frequent — the id layout real tokenizers emit so frequent ids
+    compress well), then encode every document as its id sequence. The
+    vocab is one corpus aggregate + a |V|-row window; encoding is
+    explode-with-position, broadcast vocab join, and an order-preserving
+    re-collect (sort_array over (pos, id) structs — collect_list alone
+    has no order guarantee across partitions). Output rows carry int
+    arrays: the exact input shape of sequence packing (q103)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "id", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
+        )
+        .select("tok", "id")
+    )
+    return (
+        toks.join(F.broadcast(vocab), on="tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
