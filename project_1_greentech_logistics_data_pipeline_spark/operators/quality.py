@@ -743,3 +743,44 @@ def q158_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("position", F.row_number().over(w))
         .orderBy("position")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166: audience-overlap estimation via HLL sketch algebra.
+# ---------------------------------------------------------------------------
+
+
+@query("q166_hll_audience_overlap", None)  # rows-only: sketch estimates
+def q166_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types WITHOUT touching raw
+    rows twice: per-type HLL sketches of user_id are built once, then
+    every pairwise intersection is estimated driver-free by
+    inclusion-exclusion over sketch UNIONS (|A|+|B|-|A∪B|) — the sketch
+    algebra that makes segment-overlap dashboards O(|segments|^2) sketch
+    merges instead of O(n^2) row joins at 100 TB. The only corpus pass is
+    the per-type sketch build; the pair grid is a self-join of 5 sketch
+    rows. Estimates carry HLL error (~2%); pytest pins tolerance vs the
+    exact intersection counts."""
+    e = _t(spark, sf_dir, "events")
+    sketches = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_users"),
+    )
+    a = sketches.alias("a")
+    b = sketches.alias("b")
+    union_est = F.hll_sketch_estimate(
+        F.hll_union(F.col("a.sk"), F.col("b.sk"))
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.est_users").alias("est_a"),
+            F.col("b.est_users").alias("est_b"),
+            (F.col("a.est_users") + F.col("b.est_users") - union_est).alias(
+                "est_overlap"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -242,3 +242,31 @@ def test_q153_projection_matches_numpy(spark):
         np.testing.assert_allclose(
             [r.pc1, r.pc2, r.pc3, r.pc4], want[r.vec_id], atol=1e-6
         )
+
+
+def test_q166_overlap_estimates_within_tolerance(spark):
+    """Inclusion-exclusion over HLL unions must land within 10% of the
+    exact pairwise audience intersections (HLL error compounds across
+    three estimates, so the bound is looser than single-sketch 5%)."""
+    import itertools
+
+    import __spark_entry__ as entrymod
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    est = {
+        (r.type_a, r.type_b): r.est_overlap
+        for r in entrymod.queries()["q166_hll_audience_overlap"](spark, SF).collect()
+    }
+    users = {
+        t: {r.user_id for r in g.collect()}
+        for t, g in (
+            (t, load_table(spark, SF, "events").filter(F.col("event_type") == t).select("user_id").distinct())
+            for t in {k for pair in est for k in pair}
+        )
+    }
+    assert est
+    for (ta, tb), e_ov in est.items():
+        exact = len(users[ta] & users[tb])
+        assert abs(e_ov - exact) <= max(0.1 * exact, 3), (ta, tb, e_ov, exact)
