@@ -971,3 +971,88 @@ def q164_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "value")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q167: Benford first-digit distribution audit.
+# ---------------------------------------------------------------------------
+
+_Q167_SQL = """
+WITH digits AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+total AS (SELECT SUM(n) AS t FROM counts)
+SELECT c.d,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / t.t AS observed_p,
+       LOG10(1.0 + 1.0 / c.d) AS benford_p,
+       CAST(c.n AS DOUBLE) / t.t - LOG10(1.0 + 1.0 / c.d) AS deviation
+FROM counts c CROSS JOIN total t
+ORDER BY c.d
+"""
+
+
+@query("q167_benford_digit_audit", _Q167_SQL)
+def q167_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensics: the first-digit distribution of a
+    naturally-occurring money column against log10(1+1/d) — the
+    data-quality test that flags fabricated or truncated feeds (uniform
+    or spiky digits). One scan to a 9-row aggregate; the total is a
+    1-row broadcast. FLOOR before the integer cast (DuckDB's double->bigint cast ROUNDS,
+    Spark's truncates) makes both engines' string paths identical; log10 of identical doubles is bit-equal."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    benford_p = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            (F.col("n").cast("double") / F.col("t")).alias("observed_p"),
+            benford_p.alias("benford_p"),
+            (F.col("n").cast("double") / F.col("t") - benford_p).alias("deviation"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168: within-group quantile normalization (percent-rank features).
+# ---------------------------------------------------------------------------
+
+_Q168_SQL = """
+SELECT event_id, event_type, value,
+       PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id)
+         AS value_pctl
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("q168_quantile_normalize", _Q168_SQL)
+def q168_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: replace each reading with its within-type
+    percent rank — the scale-free feature encoding that makes values
+    comparable across heterogeneous sensors/types (raw magnitudes are
+    not). One window shuffle on event_type; the event_id tiebreak makes
+    ranks deterministic so the [0,1] feature is reproducible."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.percent_rank().over(w).alias("value_pctl"),
+        )
+        .orderBy("event_id")
+    )
