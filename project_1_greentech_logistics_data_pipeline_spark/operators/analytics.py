@@ -1056,3 +1056,157 @@ def q168_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169: inter-arrival (think-time) statistics per user.
+# ---------------------------------------------------------------------------
+
+_Q169_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       MEDIAN(gap_us) AS median_gap_us,
+       QUANTILE_CONT(gap_us, 0.9) AS p90_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("q169_interarrival_stats", _Q169_SQL)
+def q169_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Think-time profiling: per-user inter-event gap distribution
+    (median/p90/max) — the signal behind bot detection (impossibly
+    uniform gaps) and engagement scoring. The lag() window and the
+    percentile aggregate share the user_id shuffle; gaps are exact
+    integer microseconds so the only floats are the interpolated
+    percentiles, computed from identical sorted integers on both
+    engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    return (
+        e.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.median("gap_us").alias("median_gap_us"),
+            F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170: cumulative distinct users by day per event type.
+# ---------------------------------------------------------------------------
+
+_Q170_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT DISTINCT event_type, day,
+       CAST(COUNT(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY day
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_users
+FROM d
+ORDER BY event_type, day
+"""
+
+
+@query("q170_cumulative_distinct_users", _Q170_SQL)
+def q170_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience growth curve: cumulative distinct users per type by day —
+    the unbounded sibling of q142's trailing window, same Spark-first
+    rewrite (collapse to per-day user sets FIRST, then merge sets over
+    the unbounded frame). The merged-set state grows with total audience,
+    which is exactly what the q133 sketch variant trades accuracy
+    against; both are declared so the trade is explicit."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("event_type", "day")
+        .agg(F.collect_set("user_id").alias("users"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+            .cast("bigint")
+            .alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171: events since last purchase (reset-on-marker running count).
+# ---------------------------------------------------------------------------
+
+_Q171_SQL = """
+WITH seg AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg_id
+  FROM events
+)
+SELECT user_id, event_id, event_type, seg_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, seg_id
+                               ORDER BY ts, event_id) AS BIGINT)
+         - CASE WHEN seg_id > 0 THEN 1 ELSE 0 END AS events_since_purchase
+FROM seg
+ORDER BY user_id, event_id
+"""
+
+
+@query("q171_events_since_marker", _Q171_SQL)
+def q171_events_since_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-on-marker running count ('events since last purchase'): a
+    conditional cumulative sum of marker flags carves each user's
+    timeline into segments, and a row_number within (user, segment)
+    counts from the marker — no self-join to the last marker, no
+    iteration. Both windows share the user_id shuffle. Segments opened
+    BY a purchase start counting after it (the -1 correction), the
+    pre-first-purchase segment counts from the user's first event."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .alias("seg_id"),
+    )
+    w2 = Window.partitionBy("user_id", "seg_id").orderBy("ts", "event_id")
+    return (
+        seg.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "seg_id",
+            (
+                F.row_number().over(w2).cast("bigint")
+                - F.when(F.col("seg_id") > 0, 1).otherwise(0)
+            ).alias("events_since_purchase"),
+        )
+        .orderBy("user_id", "event_id")
+    )
