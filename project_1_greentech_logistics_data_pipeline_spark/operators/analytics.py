@@ -1210,3 +1210,75 @@ def q171_events_since_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q172: SCD2 point-in-time enrichment (event -> dimension version).
+# ---------------------------------------------------------------------------
+
+_Q172_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+scd2 AS (
+  SELECT user_id, event_type AS dim_state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM changes
+),
+probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0
+)
+SELECT p.event_id, p.user_id, s.dim_state,
+       s.valid_from
+FROM probes p
+JOIN scd2 s
+  ON s.user_id = p.user_id
+ AND p.ts >= s.valid_from
+ AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+ORDER BY p.event_id
+"""
+
+
+@query("q172_scd2_point_in_time", _Q172_SQL)
+def q172_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 dimension q117 builds:
+    each probe event joins the dimension VERSION valid at its event time
+    — the join that makes slowly-changing attributes historically
+    accurate (joining current state silently rewrites history). The join
+    carries the user_id EQUI key, so Spark plans a hash join with the
+    validity range as a post-join filter — never a BNLJ — and each probe
+    matches exactly one version (intervals partition the timeline by
+    construction)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    scd2 = changes.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("dim_state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    probes = e.filter(F.col("event_id") % 20 == 0).select("event_id", "user_id", "ts")
+    return (
+        probes.join(
+            scd2,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "dim_state", "valid_from")
+        .orderBy("event_id")
+    )
