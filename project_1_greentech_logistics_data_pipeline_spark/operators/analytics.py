@@ -1282,3 +1282,151 @@ def q172_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "dim_state", "valid_from")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q173: CDC snapshot diff (insert / delete / update classification).
+# ---------------------------------------------------------------------------
+
+_Q173_SQL = """
+WITH old AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events
+  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2
+),
+new AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       COALESCE(o.event_type, n.event_type) AS event_type,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CAST(o.n AS BIGINT) AS old_n,
+       CAST(n.n AS BIGINT) AS new_n
+FROM old o
+FULL JOIN new n ON o.user_id = n.user_id AND o.event_type = n.event_type
+WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.n <> n.n
+ORDER BY user_id, event_type
+"""
+
+
+@query("q173_cdc_snapshot_diff", _Q173_SQL)
+def q173_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing — the CDC you compute when the source system has
+    no change log: full-outer join two snapshot aggregates by key and
+    classify each key as insert/delete/update, emitting only changed
+    keys. The mid-month cut plays the 'old' snapshot. Both snapshots
+    aggregate before the join (diff |keys| rows, not |rows|), the join
+    keys carry the shuffle, and unchanged keys drop before any
+    downstream work — the shape MERGE INTO (q115) consumes."""
+    e = _t(spark, sf_dir, "events")
+    old = (
+        e.filter(F.col("ts") < "2024-01-16")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("event_type").alias("o_type"),
+            F.col("n").alias("old_n"),
+        )
+    )
+    new = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("user_id").alias("n_user"),
+            F.col("event_type").alias("n_type"),
+            F.col("n").alias("new_n"),
+        )
+    )
+    change = (
+        F.when(F.col("o_user").isNull(), "insert")
+        .when(F.col("n_user").isNull(), "delete")
+        .otherwise("update")
+    )
+    return (
+        old.join(
+            new,
+            (F.col("o_user") == F.col("n_user")) & (F.col("o_type") == F.col("n_type")),
+            "full",
+        )
+        .filter(
+            F.col("o_user").isNull()
+            | F.col("n_user").isNull()
+            | (F.col("old_n") != F.col("new_n"))
+        )
+        .select(
+            F.coalesce("o_user", "n_user").alias("user_id"),
+            F.coalesce("o_type", "n_type").alias("event_type"),
+            change.alias("change_type"),
+            "old_n",
+            "new_n",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q174: Kolmogorov-Smirnov drift statistic between two segments.
+# ---------------------------------------------------------------------------
+
+_Q174_SQL = """
+WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+b AS (SELECT value FROM events WHERE event_type = 'view'),
+na AS (SELECT COUNT(*) AS n FROM a),
+nb AS (SELECT COUNT(*) AS n FROM b),
+support AS (
+  SELECT value, COUNT(*) AS ca, 0 AS cb FROM a GROUP BY value
+  UNION ALL
+  SELECT value, 0, COUNT(*) FROM b GROUP BY value
+),
+merged AS (
+  SELECT value, SUM(ca) AS ca, SUM(cb) AS cb FROM support GROUP BY value
+),
+ecdf AS (
+  SELECT value,
+         CAST(SUM(ca) OVER (ORDER BY value) AS DOUBLE) / (SELECT n FROM na)
+           AS fa,
+         CAST(SUM(cb) OVER (ORDER BY value) AS DOUBLE) / (SELECT n FROM nb)
+           AS fb
+  FROM merged
+)
+SELECT MAX(ABS(fa - fb)) AS ks_stat,
+       CAST((SELECT n FROM na) AS BIGINT) AS n_a,
+       CAST((SELECT n FROM nb) AS BIGINT) AS n_b
+FROM ecdf
+"""
+
+
+@query("q174_ks_drift_statistic", _Q174_SQL)
+def q174_ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — THE distribution-drift
+    alarm for feature/data monitoring: max gap between the two segments'
+    ECDFs, computed exactly. Shape: collapse both segments to per-value
+    counts FIRST (|support| rows, not |rows|), merge the supports, then
+    one ordered window builds both ECDFs simultaneously — a single sort
+    of the merged support instead of sorting either raw segment. ECDF
+    divisions are int/int -> double, identical on both engines."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("value")
+    b = e.filter(F.col("event_type") == "view").select("value")
+    na = a.count()  # two scalar actions on pruned scans — cheap and exact
+    nb = b.count()
+    merged = (
+        a.groupBy("value").agg(F.count(F.lit(1)).alias("ca")).withColumn("cb", F.lit(0))
+        .unionByName(
+            b.groupBy("value").agg(F.count(F.lit(1)).alias("cb")).withColumn("ca", F.lit(0))
+        )
+        .groupBy("value")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = merged.select(
+        (F.sum("ca").over(w).cast("double") / na).alias("fa"),
+        (F.sum("cb").over(w).cast("double") / nb).alias("fb"),
+    )
+    return ecdf.agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_stat"),
+        F.lit(na).alias("n_a"),
+        F.lit(nb).alias("n_b"),
+    )
