@@ -784,3 +784,59 @@ def q166_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q175: character-entropy quality scoring per document.
+# ---------------------------------------------------------------------------
+
+_Q175_SQL = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS ch FROM documents
+),
+cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(c) AS t FROM cc GROUP BY 1)
+SELECT cc.doc_id,
+       CAST(tot.t AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(-SUM(CAST((CAST(cc.c AS DOUBLE) / tot.t)
+                      * LN(CAST(cc.c AS DOUBLE) / tot.t)
+                 AS DECIMAL(38,18))) AS DOUBLE) AS char_entropy_nats
+FROM cc JOIN tot USING (doc_id)
+GROUP BY cc.doc_id, tot.t
+ORDER BY cc.doc_id
+"""
+
+
+@query("q175_char_entropy", _Q175_SQL)
+def q175_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the cheap degenerate-text
+    detector that catches what token-level repetition (q130) can't:
+    single-character floods, base64 blobs (too HIGH), padded whitespace
+    (too LOW). One explode->count pass shuffled by doc_id; each p*ln(p)
+    term rounds to decimal(38,18) before the per-doc sum (the q161
+    discipline), so the entropy is order-independent and oracle-exact."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cc.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    return (
+        cc.join(tot, on="doc_id")
+        .groupBy("doc_id", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            (-F.sum((p * F.log(p)).cast("decimal(38,18)")).cast("double")).alias(
+                "char_entropy_nats"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("t").alias("n_chars"),
+            "n_distinct_chars",
+            "char_entropy_nats",
+        )
+        .orderBy("doc_id")
+    )

@@ -576,3 +576,82 @@ def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q176: time-bounded funnel (convert WITHIN a deadline per stage)
+# ---------------------------------------------------------------------------
+
+_Q176_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 48 HOUR
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM v) AS n_viewed,
+  (SELECT COUNT(*) FROM c) AS n_clicked_within_6h,
+  (SELECT COUNT(*) FROM p) AS n_purchased_within_48h
+"""
+
+
+@query("q176_funnel_time_bounded", _Q176_SQL)
+def q176_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: q111's ordered stages with per-stage conversion
+    WINDOWS (click within 6h of first view, purchase within 48h of that
+    click) — the form product analytics actually reports, since an
+    unbounded funnel credits conversions that happen weeks later. Same
+    single-shuffle formulation: three stacked conditional window minimums
+    over ONE user_id partitioning, deadlines folded into the conditions."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    staged = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 6 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 48 HOURS")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_within_6h"),
+        F.count("t_purchase").alias("n_purchased_within_48h"),
+    )
