@@ -1430,3 +1430,54 @@ def q174_ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(na).alias("n_a"),
         F.lit(nb).alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q177b: revenue concentration — Gini coefficient over customers.
+# ---------------------------------------------------------------------------
+
+_Q177B_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM cust
+)
+SELECT CAST((2.0 * CAST(SUM(CAST(i * revenue AS DECIMAL(38,6))) AS DOUBLE))
+         / (MAX(n) * CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE))
+       - (MAX(n) + 1.0) / MAX(n) AS DOUBLE) AS gini,
+       CAST(MAX(n) AS BIGINT) AS n_customers
+FROM ranked
+"""
+
+
+@query("q177b_gini_concentration", _Q177B_SQL)
+def q177b_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient over per-customer
+    revenue via the sorted-rank identity G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n — one customer aggregate, one global sort for ranks, one
+    final reduction; both weighted sums go through decimal so the
+    statistic is order-independent and oracle-exact. The skew alarm for
+    'one whale customer dominates the book' — and the same shape scores
+    source concentration in a training corpus."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("revenue", "o_custkey")
+    ranked = cust.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+    )
+    n = cust.count()
+    return ranked.agg(
+        (
+            (2.0 * F.sum((F.col("i") * F.col("revenue")).cast("decimal(38,6)")).cast("double"))
+            / (n * F.sum(F.col("revenue").cast("decimal(38,6)")).cast("double"))
+            - (n + 1.0) / n
+        ).alias("gini"),
+        F.lit(n).cast("bigint").alias("n_customers"),
+    )

@@ -361,3 +361,76 @@ def q165_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177: token co-occurrence PMI (top associations).
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIRS = 25
+
+
+_Q177_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS tok
+  FROM documents
+),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+tok_docs AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING COUNT(*) >= {_PMI_MIN_PAIRS}
+)
+SELECT p.tok_a, p.tok_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       LN((CAST(p.n_ab AS DOUBLE) * n.n) / (CAST(da.df AS DOUBLE) * db.df))
+         AS pmi
+FROM pairs p
+JOIN tok_docs da ON da.tok = p.tok_a
+JOIN tok_docs db ON db.tok = p.tok_b
+CROSS JOIN n_docs n
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT 50
+"""
+
+
+@query("q177_token_pmi", _Q177_SQL)
+def q177_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over within-document token
+    co-occurrence — the association matrix behind count-based embeddings
+    and collocation mining (bigrams q124 see only ADJACENT pairs; PMI
+    sees bag-level association). The pair space is the per-doc distinct-
+    token self-join — bounded by distinct-tokens-per-doc squared, NOT
+    corpus length squared — then a mincount cut before the (vocab-sized,
+    broadcast) df joins and the single-ln score: one float op per
+    surviving pair, no summation, so no decimal dance is needed."""
+    d = _t(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr("text"))).alias("tok")
+    ).distinct()
+    n_docs = dt.select("doc_id").distinct().count()
+    tok_docs = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    da = tok_docs.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = tok_docs.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * n_docs)
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return (
+        pairs.join(F.broadcast(da), on="tok_a")
+        .join(F.broadcast(db), on="tok_b")
+        .select("tok_a", "tok_b", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )
