@@ -1481,3 +1481,130 @@ def q177b_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.lit(n).cast("bigint").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q178: per-group linear trend (closed-form least squares).
+# ---------------------------------------------------------------------------
+
+_Q178_SQL = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(EPOCH_US(ts) - EPOCH_US(TIMESTAMP '2024-01-01') AS DOUBLE)
+           / 86400000000.0 AS x,
+         value AS y
+  FROM events
+),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM sums
+ORDER BY event_type
+"""
+
+
+@query("q178_groupwise_trend", _Q178_SQL)
+def q178_groupwise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment trend: closed-form least-squares slope/intercept of
+    value over time from ONE aggregate of component sums (n, Σx, Σy,
+    Σxy, Σx²) — no iteration, no ML library, map-side combinable. The
+    component sums go through decimal(38,12) so the slope arithmetic
+    starts from order-independent inputs (builtin regr_slope accumulates
+    in float and is NOT cross-engine reproducible — why it's not used).
+    x is exact integer microseconds scaled to days in one double op."""
+    e = _t(spark, sf_dir, "events")
+    x = (
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+        ).cast("double")
+        / 86400000000.0
+    )
+    pts = e.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        sums.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_points"),
+            slope.alias("slope_per_day"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179: chi-square independence test (event_type x day-of-week).
+# ---------------------------------------------------------------------------
+
+_Q179_SQL = """
+WITH obs AS (
+  SELECT event_type, DAYOFWEEK(ts) AS dow, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT event_type, SUM(o) AS row_total FROM obs GROUP BY event_type
+),
+cols AS (SELECT dow, SUM(o) AS col_total FROM obs GROUP BY dow),
+total AS (SELECT SUM(o) AS t FROM obs)
+SELECT CAST(SUM(CAST(POW(obs.o - (m.row_total * c.col_total / t.t), 2)
+                     / (m.row_total * c.col_total / t.t)
+                AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+       CAST((COUNT(DISTINCT obs.event_type) - 1)
+            * (COUNT(DISTINCT obs.dow) - 1) AS BIGINT) AS dof
+FROM obs
+JOIN margins m USING (event_type)
+JOIN cols c USING (dow)
+CROSS JOIN total t
+"""
+
+
+@query("q179_chi_square_independence", _Q179_SQL)
+def q179_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type vs day-of-week — 'does
+    traffic mix shift by weekday', the categorical drift test pairing
+    q174's continuous KS. One contingency aggregate (|types| x 7 rows),
+    margins re-aggregated from it, expected counts and the statistic in
+    plain arithmetic with the per-cell terms decimal-rounded before the
+    final sum (order-independent, oracle-exact)."""
+    e = _t(spark, sf_dir, "events")
+    obs = (
+        e.groupBy("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    margins = obs.groupBy("event_type").agg(F.sum("o").alias("row_total"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("col_total"))
+    total = obs.agg(F.sum("o").alias("t"))
+    expected = F.col("row_total") * F.col("col_total") / F.col("t")
+    term = F.pow(F.col("o") - expected, 2) / expected
+    return (
+        obs.join(F.broadcast(margins), on="event_type")
+        .join(F.broadcast(cols), on="dow")
+        .crossJoin(F.broadcast(total))
+        .agg(
+            F.sum(term.cast("decimal(38,12)")).cast("double").alias("chi2"),
+            (
+                (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+            ).cast("bigint").alias("dof"),
+        )
+    )
