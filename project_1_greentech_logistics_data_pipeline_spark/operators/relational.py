@@ -1003,3 +1003,43 @@ def q162_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q180: top-k WITH TIES per group (rank, not row_number).
+# ---------------------------------------------------------------------------
+
+_Q180_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         RANK() OVER (PARTITION BY c_nationkey
+                      ORDER BY ROUND(c_acctbal, 0) DESC) AS rk
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 0) AS acctbal_rounded, rk
+FROM ranked WHERE rk <= 3
+ORDER BY c_nationkey, rk, c_custkey
+"""
+
+
+@query("q180_topk_with_ties", _Q180_SQL)
+def q180_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 account balances per nation WITH TIES: rank() keeps every
+    row that ties into the cutoff (the ANSI FETCH ... WITH TIES
+    semantics), where q13's row_number() arbitrarily drops tied rows —
+    materially different answers whenever the measure is coarse (here:
+    rounded balances force ties). Same single window shuffle; the only
+    cost delta is output cardinality."""
+    c = _t(spark, sf_dir, "customer")
+    rounded = F.round("c_acctbal", 0)
+    w = Window.partitionBy("c_nationkey").orderBy(rounded.desc())
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            rounded.alias("acctbal_rounded"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_nationkey", "rk", "c_custkey")
+    )
