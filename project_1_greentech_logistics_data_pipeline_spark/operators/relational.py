@@ -1032,7 +1032,7 @@ def q180_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost delta is output cardinality."""
     c = _t(spark, sf_dir, "customer")
     rounded = F.round("c_acctbal", 0)
-    w = Window.partitionBy("c_nationkey").orderBy(rounded.desc())
+    w = W.partitionBy("c_nationkey").orderBy(rounded.desc())
     return (
         c.select(
             "c_nationkey",
