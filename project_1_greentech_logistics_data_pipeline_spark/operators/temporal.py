@@ -655,3 +655,94 @@ def q176_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_clicked_within_6h"),
         F.count("t_purchase").alias("n_purchased_within_48h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181: top session paths (ordered event-type sequences per session)
+# ---------------------------------------------------------------------------
+
+_Q181_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30 minutes'
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+),
+paths AS (
+  SELECT user_id, session_id,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+         COUNT(*) AS path_len
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path,
+       CAST(MAX(path_len) AS BIGINT) AS path_len,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+HAVING COUNT(*) >= 5
+ORDER BY n_sessions DESC, path
+LIMIT 25
+"""
+
+
+@query("q181_top_session_paths", _Q181_SQL)
+def q181_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common ordered event-type journeys per
+    session (q33's gap sessionization feeding an order-preserving
+    path-string aggregation) — 'view>click>purchase happens 40x' is the
+    product-analytics output funnels can't give (funnels fix the stages;
+    paths DISCOVER them). Order inside the path comes from sort_array
+    over (ts, event_id, type) structs, never bare collect_list; the path
+    space collapses map-side before the global top-25
+    TakeOrderedAndProject."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.max("path_len").alias("path_len"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+        .filter(F.col("n_sessions") >= 5)
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(25)
+    )
