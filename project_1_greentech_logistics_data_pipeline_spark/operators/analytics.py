@@ -1674,3 +1674,73 @@ def q182_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q183: weighted median (median lineitem's order price per priority).
+# ---------------------------------------------------------------------------
+
+_Q183_SQL = """
+WITH w AS (
+  SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+         COUNT(*) AS wt
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice, wt,
+         SUM(wt) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS cum_wt,
+         SUM(wt) OVER (PARTITION BY o_orderpriority) AS total_wt
+  FROM w
+),
+hit AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS rk
+  FROM cum WHERE cum_wt >= total_wt / 2.0
+)
+SELECT o_orderpriority,
+       o_totalprice AS weighted_median_price,
+       CAST(total_wt AS BIGINT) AS total_weight
+FROM hit WHERE rk = 1
+ORDER BY o_orderpriority
+"""
+
+
+@query("q183_weighted_median", _Q183_SQL)
+def q183_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the order price at which half the LINE VOLUME
+    sits below — 'the median line item belongs to a $X order', which the
+    plain median of orders (every order weighted 1) systematically
+    understates when big orders carry more lines. Shape: per-order
+    weights from one join+aggregate, then a cumulative-weight window and
+    the first crossing of half the total — no sort of raw lineitem, no
+    quantile collection; integer weights make the crossing test exact on
+    both engines."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    w = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority", "o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    win = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    cum = w.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum("wt").over(win).alias("cum_wt"),
+        F.sum("wt").over(Window.partitionBy("o_orderpriority")).alias("total_wt"),
+    )
+    hit = cum.filter(F.col("cum_wt") >= F.col("total_wt") / 2.0).withColumn(
+        "rk", F.row_number().over(win)
+    )
+    return (
+        hit.filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_totalprice").alias("weighted_median_price"),
+            F.col("total_wt").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("o_orderpriority")
+    )
