@@ -439,3 +439,14 @@ def test_sequence_packing_invariants(spark):
         # sequential-packing bound: a pack overflows by at most one doc
         for p in plist:
             assert p["total_tokens"] < _BUDGET + by_lang[lang]["max_doc"]
+
+
+def test_cli_list_and_run(capsys):
+    """The __main__ CLI lists every registry query and runs one."""
+    from project_1_greentech_logistics_data_pipeline_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary  [oracle]" in out
+    assert "[rows-only]" in out
+    assert main(["run", "not_a_query"]) == 2
