@@ -1744,3 +1744,79 @@ def q183_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q184: user feature-store build (wide ML feature row per user).
+# ---------------------------------------------------------------------------
+
+_Q184_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+         MEDIAN(value) AS median_value,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+),
+last_ev AS (
+  SELECT user_id, ARG_MAX(event_type, ts) AS last_type,
+         ARG_MAX(value, ts) AS last_value
+  FROM events GROUP BY user_id
+)
+SELECT b.user_id, b.n_events, b.n_purchases, b.days_active,
+       b.median_value, b.total_value,
+       l.last_type, l.last_value,
+       CAST(b.n_purchases AS DOUBLE) / b.n_events AS purchase_rate,
+       b.n_purchases > 0 AS is_converter
+FROM base b JOIN last_ev l USING (user_id)
+ORDER BY b.user_id
+"""
+
+
+@query("q184_user_feature_store", _Q184_SQL)
+def q184_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store build: one wide, typed feature row per user —
+    activity volume/recency/monetary aggregates, exact median, label
+    (converter flag) — the materialization an ML platform snapshots
+    before training. TWO aggregates over one user_id shuffle (the
+    count/sum family and the argmax family can't share a single agg
+    without losing partial aggregation on the argmaxes), joined on the
+    already-partitioned key; decimal-exact money sums; int/int -> double
+    rates. At 100 TB this is the query you'd schedule incrementally via
+    the maintained-aggregate machinery (incremental.py) rather than
+    recompute — declared batch-first so the oracle pins semantics."""
+    e = _t(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.countDistinct(F.to_date("ts")).alias("days_active"),
+        F.median("value").alias("median_value"),
+        dsum("value").alias("total_value"),
+    )
+    last_ev = e.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+    return (
+        base.join(last_ev, on="user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "days_active",
+            "median_value",
+            "total_value",
+            "last_type",
+            "last_value",
+            (F.col("n_purchases").cast("double") / F.col("n_events")).alias(
+                "purchase_rate"
+            ),
+            (F.col("n_purchases") > 0).alias("is_converter"),
+        )
+        .orderBy("user_id")
+    )
