@@ -1820,3 +1820,54 @@ def q184_user_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q185: whale count — minimum customers covering half the revenue.
+# ---------------------------------------------------------------------------
+
+_Q185_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey) AS cum_rev,
+         SUM(revenue) OVER () AS total_rev,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rk,
+         COUNT(*) OVER () AS n_cust
+  FROM cust
+)
+SELECT CAST(MIN(rk) AS BIGINT) AS whales_for_half,
+       CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+       CAST(MIN(rk) AS DOUBLE) / MAX(n_cust) AS whale_share
+FROM ranked
+WHERE cum_rev >= total_rev / 2.0
+"""
+
+
+@query("q185_whale_count", _Q185_SQL)
+def q185_whale_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration head-count: the minimum number of top customers
+    whose cumulative revenue crosses 50% — the operational twin of the
+    Gini coefficient (q177b): Gini says HOW concentrated, this says WHO
+    to call. One customer aggregate, one revenue-desc cumulative window,
+    first crossing. The cumulative sum is float in both engines over the
+    SAME descending sequence — identical accumulation order, so the
+    crossing row matches exactly."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    ranked = cust.select(
+        F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_rev"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total_rev"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    )
+    return ranked.filter(F.col("cum_rev") >= F.col("total_rev") / 2.0).agg(
+        F.min("rk").cast("bigint").alias("whales_for_half"),
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+        (F.min("rk").cast("double") / F.max("n_cust")).alias("whale_share"),
+    )

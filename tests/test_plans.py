@@ -385,3 +385,30 @@ def test_q160_zorder_layout_skips_row_groups(spark, tmp_path):
     u_matched, u_scanned = scan_rows(us)
     assert z_matched == u_matched > 0  # same answer
     assert z_scanned < 0.5 * u_scanned  # clustered layout skipped row groups
+
+
+def test_q164_skyline_has_no_self_join(spark):
+    """The Pareto frontier must plan as the O(n log n) window sweep —
+    no self-join (the oracle's quadratic NOT-EXISTS shape)."""
+    import re
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.analytics import (
+        q164_pareto_frontier,
+    )
+
+    plan = explain_str(q164_pareto_frontier(spark, SF))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_q184_two_aggregates_one_shuffle_key(spark):
+    """Feature-store build: both aggregate families key on user_id and
+    the join must be on that same partitioning — no extra exchange after
+    the aggregates (AQE may coalesce, but no SortMergeJoin on a foreign
+    key and no broadcast of the big side)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.analytics import (
+        q184_user_feature_store,
+    )
+
+    plan = explain_str(q184_user_feature_store(spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2  # one per agg family
