@@ -1871,3 +1871,59 @@ def q185_whale_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_cust").cast("bigint").alias("n_customers"),
         (F.min("rk").cast("double") / F.max("n_cust")).alias("whale_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q186: population stability index (PSI) between two periods.
+# ---------------------------------------------------------------------------
+
+_Q186_SQL = """
+WITH binned AS (
+  SELECT LEAST(FLOOR(value / 10.0), 9) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'p1' ELSE 'p2' END AS period
+  FROM events
+),
+counts AS (
+  SELECT bin,
+         COUNT(*) FILTER (period = 'p1') AS c1,
+         COUNT(*) FILTER (period = 'p2') AS c2
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(c1) AS t1, SUM(c2) AS t2 FROM counts)
+SELECT CAST(SUM(CAST((CAST(c.c1 AS DOUBLE) / t.t1 - CAST(c.c2 AS DOUBLE) / t.t2)
+                     * LN((CAST(c.c1 AS DOUBLE) / t.t1)
+                          / (CAST(c.c2 AS DOUBLE) / t.t2))
+                AS DECIMAL(38,18))) AS DOUBLE) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@query("q186_population_stability_index", _Q186_SQL)
+def q186_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI — the model-monitoring drift index (PSI > 0.2 = retrain
+    alarm), completing the drift family: KS (q174, continuous), chi²
+    (q179, categorical), PSI (binned share shift, the credit-risk
+    standard). Fixed-width bins keep both periods' shares comparable;
+    one aggregate builds both histograms via conditional counts, each
+    (p−q)·ln(p/q) term rounds to decimal before the sum (q161's
+    discipline). Bins empty in either period would need the standard
+    0.5-count smoothing — this data fills all bins, so the exact form
+    holds."""
+    e = _t(spark, sf_dir, "events")
+    binned = e.select(
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9)).alias("bin"),
+        F.when(F.col("ts") < "2024-01-16", "p1").otherwise("p2").alias("period"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "p1", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("period") == "p2", 1).otherwise(0)).alias("c2"),
+    )
+    tot = counts.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    p1 = F.col("c1").cast("double") / F.col("t1")
+    p2 = F.col("c2").cast("double") / F.col("t2")
+    term = (p1 - p2) * F.log(p1 / p2)
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.sum(term.cast("decimal(38,18)")).cast("double").alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )

@@ -925,3 +925,66 @@ def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(
         F.broadcast(benchmark), "fingerprint", "left_anti"
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q187: dedup yield report — cluster-size distribution + projected savings
+# ---------------------------------------------------------------------------
+
+_Q187_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+        / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs_in_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_docs_removable
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@query("q187_dedup_yield_report", _Q187_SQL)
+def q187_dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield: the cluster-size distribution of the near-dup graph
+    and the removable-doc count per size — the report that justifies (or
+    kills) a dedup stage before anyone reruns training: 'K docs sit in
+    near-dup clusters; removing all but one per cluster drops K-C docs'.
+    One re-aggregate over q73's component labels; the exact recursive-CTE
+    oracle pins the whole chain including the clustering."""
+    clusters = q73_neardup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs_in_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("n_docs_removable"),
+        )
+        .orderBy("cluster_size")
+    )
