@@ -1927,3 +1927,67 @@ def q186_population_stability_index(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(term.cast("decimal(38,18)")).cast("double").alias("psi"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q188: lag-k autocorrelation of the daily event series (seasonality).
+# ---------------------------------------------------------------------------
+
+_Q188_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT day, n, LAG(n, 7) OVER (ORDER BY day) AS n_lag
+  FROM daily
+),
+pairs AS (SELECT n, n_lag FROM lagged WHERE n_lag IS NOT NULL),
+sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(CAST(n AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(n_lag AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(n * n_lag AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(n * n AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(n_lag * n_lag AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM pairs
+)
+SELECT (k * sxy - sx * sy)
+         / (SQRT(k * sxx - sx * sx) * SQRT(k * syy - sy * sy)) AS autocorr_7d,
+       CAST(k AS BIGINT) AS n_pairs
+FROM sums
+"""
+
+
+@query("q188_weekly_autocorrelation", _Q188_SQL)
+def q188_weekly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily volume — the one-number seasonality
+    detector (near 1 = strong weekly rhythm) behind forecasting and
+    anomaly baselines. Daily collapse first (30 rows), a lag-7 window,
+    then Pearson r from decimal-exact component sums (q178's discipline:
+    builtin corr() accumulates in float and is not cross-engine
+    reproducible). Effectively free at any scale: everything after the
+    daily aggregate touches ~days rows."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    lagged = daily.withColumn("n_lag", F.lag("n", 7).over(Window.orderBy("day")))
+    pairs = lagged.filter(F.col("n_lag").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        dec(F.col("n")).alias("sx"),
+        dec(F.col("n_lag")).alias("sy"),
+        dec(F.col("n") * F.col("n_lag")).alias("sxy"),
+        dec(F.col("n") * F.col("n")).alias("sxx"),
+        dec(F.col("n_lag") * F.col("n_lag")).alias("syy"),
+    )
+    r = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        r.alias("autocorr_7d"), F.col("k").cast("bigint").alias("n_pairs")
+    )
