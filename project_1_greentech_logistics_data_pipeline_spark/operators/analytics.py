@@ -1991,3 +1991,104 @@ def q188_weekly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         r.alias("autocorr_7d"), F.col("k").cast("bigint").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189: calendar heatmap — day-of-week x 4-hour-block activity matrix.
+# ---------------------------------------------------------------------------
+
+_Q189_SQL = """
+SELECT ISODOW(ts) - 1 AS dow,
+       CAST(COUNT(*) FILTER (HOUR(ts) < 4) AS BIGINT)  AS h00_04,
+       CAST(COUNT(*) FILTER (HOUR(ts) >= 4 AND HOUR(ts) < 8) AS BIGINT)  AS h04_08,
+       CAST(COUNT(*) FILTER (HOUR(ts) >= 8 AND HOUR(ts) < 12) AS BIGINT) AS h08_12,
+       CAST(COUNT(*) FILTER (HOUR(ts) >= 12 AND HOUR(ts) < 16) AS BIGINT) AS h12_16,
+       CAST(COUNT(*) FILTER (HOUR(ts) >= 16 AND HOUR(ts) < 20) AS BIGINT) AS h16_20,
+       CAST(COUNT(*) FILTER (HOUR(ts) >= 20) AS BIGINT) AS h20_24
+FROM events
+GROUP BY dow
+ORDER BY dow
+"""
+
+
+@query("q189_calendar_heatmap", _Q189_SQL)
+def q189_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap: the dow x time-of-day activity matrix behind
+    every ops dashboard, as a PIVOT on derived keys (hour blocks from
+    the timestamp). Spark's pivot with an explicit value list compiles
+    to the same single conditional-count aggregate as the oracle's
+    FILTER columns — one scan, one 7-row shuffle, no second pass per
+    column."""
+    e = _t(spark, sf_dir, "events")
+    block = F.concat(
+        F.lit("h"),
+        F.lpad((F.floor(F.hour("ts") / 4) * 4).cast("string"), 2, "0"),
+        F.lit("_"),
+        F.lpad((F.floor(F.hour("ts") / 4) * 4 + 4).cast("string"), 2, "0"),
+    )
+    return (
+        # Monday=0 on both engines: Spark weekday() == DuckDB ISODOW-1
+        # (DAYOFWEEK starts Sunday=1 in Spark but Sunday=0 in DuckDB)
+        e.select(F.weekday("ts").alias("dow"), block.alias("block"))
+        .groupBy("dow")
+        .pivot("block", ["h00_04", "h04_08", "h08_12", "h12_16", "h16_20", "h20_24"])
+        .count()
+        .na.fill(0)
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190: share-of-parent in a hierarchy (nation within region).
+# ---------------------------------------------------------------------------
+
+_Q190_SQL = """
+WITH nat AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM region r
+  JOIN nation n ON n.n_regionkey = r.r_regionkey
+  JOIN customer c ON c.c_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, revenue,
+       revenue / SUM(revenue) OVER (PARTITION BY region) AS share_of_region,
+       revenue / SUM(revenue) OVER () AS share_of_total
+FROM nat
+ORDER BY region, nation
+"""
+
+
+@query("q190_share_of_parent", _Q190_SQL)
+def q190_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent (the RATIO_TO_REPORT idiom): each
+    nation's revenue as a fraction of its region and of the whole — the
+    drill-down normalization every BI layer needs. One star join +
+    aggregate produces the 25-row nation relation; both share levels
+    are windows over THAT, so the percent-of-parent math costs nothing
+    at any scale. Window sums run over decimal-exact revenues; the two
+    divisions are single double ops."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return (
+        nat.select(
+            "region",
+            "nation",
+            "revenue",
+            (F.col("revenue") / F.sum(F.col("revenue").cast("decimal(38,6)")).over(wr).cast("double")).alias("share_of_region"),
+            (F.col("revenue") / F.sum(F.col("revenue").cast("decimal(38,6)")).over(wall).cast("double")).alias("share_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
