@@ -2092,3 +2092,72 @@ def q190_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q191: association rules over user event-type baskets.
+# ---------------------------------------------------------------------------
+
+_Q191_SQL = """
+WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+n_users AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events),
+type_support AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS s FROM baskets GROUP BY 1
+),
+pair_support AS (
+  SELECT a.event_type AS ante, b.event_type AS cons,
+         CAST(COUNT(*) AS DOUBLE) AS s_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ante, p.cons,
+       CAST(p.s_ab AS BIGINT) AS n_both,
+       p.s_ab / n.n AS support,
+       p.s_ab / ta.s AS confidence,
+       (p.s_ab / n.n) / ((ta.s / n.n) * (tc.s / n.n)) AS lift
+FROM pair_support p
+JOIN type_support ta ON ta.event_type = p.ante
+JOIN type_support tc ON tc.event_type = p.cons
+CROSS JOIN n_users n
+ORDER BY ante, cons
+"""
+
+
+@query("q191_association_rules", _Q191_SQL)
+def q191_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over user event baskets:
+    support / confidence / lift for every (antecedent -> consequent)
+    type pair — exact, where q166 estimated overlaps with sketches and
+    q177 scored token bags. The basket relation collapses to DISTINCT
+    (user, type) FIRST (the only corpus-sized shuffle); pair support is
+    a self-join on user over ~5 types/user; the divisor relations are
+    5-row broadcasts. All ratios are single double divisions of exact
+    counts."""
+    e = _t(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct()
+    n_users = e.select("user_id").distinct().count()
+    ts_ = baskets.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("s"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") != F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("ante"), F.col("b.event_type").alias("cons"))
+        .agg(F.count(F.lit(1)).cast("double").alias("s_ab"))
+    )
+    ta = ts_.select(F.col("event_type").alias("ante"), F.col("s").alias("s_a"))
+    tc = ts_.select(F.col("event_type").alias("cons"), F.col("s").alias("s_c"))
+    return (
+        pairs.join(F.broadcast(ta), on="ante")
+        .join(F.broadcast(tc), on="cons")
+        .select(
+            "ante",
+            "cons",
+            F.col("s_ab").cast("bigint").alias("n_both"),
+            (F.col("s_ab") / n_users).alias("support"),
+            (F.col("s_ab") / F.col("s_a")).alias("confidence"),
+            ((F.col("s_ab") / n_users) / ((F.col("s_a") / n_users) * (F.col("s_c") / n_users))).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )

@@ -988,3 +988,73 @@ def q187_dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q192: near-dup pair explanations (why did these two docs match?)
+# ---------------------------------------------------------------------------
+
+_Q192_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x))) AS BIGINT)
+         AS n_shared,
+       CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS BIGINT) AS n_union,
+       LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+         / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS jaccard,
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(a.toks,
+                                             x -> NOT LIST_CONTAINS(b.toks, x))),
+                       ','), '') AS only_in_a,
+       COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(b.toks,
+                                             x -> NOT LIST_CONTAINS(a.toks, x))),
+                       ','), '') AS only_in_b
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+      / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q192_neardup_explanations", _Q192_SQL)
+def q192_neardup_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainability for dedup decisions: for every verified near-dup
+    pair, the overlap counts, the exact Jaccard, and the SORTED token
+    diffs each side owns — the evidence a human (or an appeals process)
+    reviews before a doc is dropped. Reuses q44's candidate machinery
+    for the pairs; the diffs are JVM array_except + sort (deterministic
+    stringification — unsorted diffs would be partition-dependent)."""
+    from .text import tokens_expr as _tok
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(_tok("text")).alias("toks")
+    )
+    pairs = q44_ngram_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
+    shared = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            shared.cast("bigint").alias("n_shared"),
+            union.cast("bigint").alias("n_union"),
+            (shared.cast("double") / union).alias("jaccard"),
+            F.concat_ws(",", F.array_sort(F.array_except("toks_a", "toks_b"))).alias(
+                "only_in_a"
+            ),
+            F.concat_ws(",", F.array_sort(F.array_except("toks_b", "toks_a"))).alias(
+                "only_in_b"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
