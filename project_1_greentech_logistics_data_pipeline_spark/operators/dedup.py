@@ -1058,3 +1058,96 @@ def q192_neardup_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q194: labeled pair construction for a learned dedup classifier.
+# ---------------------------------------------------------------------------
+
+_NEG_BAND = (0.40, 0.80)  # hard negatives: similar-ish but NOT duplicates
+_NEG_KEEP = 2654435761  # Knuth hash for the deterministic negative sample
+_NEG_MOD = 4294967296
+_NEG_RATE = 0.10
+
+
+def _ngram_jaccard_scored(
+    spark: SparkSession, sf_dir: str, min_score: float = _NEG_BAND[0]
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every same-lang pair with Jaccard >=
+    ``min_score`` — q44's salted bitmap machinery with the size-band
+    prune relaxed to the lower bound (sound: the band predicate is
+    monotone in the threshold), no final dup-threshold filter."""
+    tune(spark)
+    docs = bitmask_token_sets(spark, sf_dir).cache()
+    a = docs.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(_PAIR_SALT))).alias("a")
+    b = docs.withColumn(
+        "part", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & _size_band(F.col("a.sz"), F.col("b.sz"), min_score),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _jaccard_mask_expr(
+                F.col("a.mask"), F.col("b.mask"), F.col("a.sz"), F.col("b.sz")
+            ).alias("jaccard_raw"),
+        )
+        .filter(F.col("jaccard_raw") >= min_score)
+        .select(
+            "doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard")
+        )
+    )
+
+
+_Q194_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+           / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))), 6) AS jaccard
+  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard, TRUE AS is_duplicate
+FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+UNION ALL
+SELECT doc_a, doc_b, jaccard, FALSE
+FROM scored
+WHERE jaccard >= {_NEG_BAND[0]} AND jaccard < {_NEG_BAND[1]}
+  AND ((doc_a * 10000 + doc_b) * {_NEG_KEEP}) % {_NEG_MOD}
+      < CAST({_NEG_RATE} * {_NEG_MOD} AS BIGINT)
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q194_dedup_training_pairs", _Q194_SQL)
+def q194_dedup_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set construction for a LEARNED deduper: verified
+    duplicates as positives plus a deterministic sample of
+    hard negatives from the just-below-threshold band (the pairs a
+    lexical classifier actually confuses — random negatives would be
+    trivially separable). The negative sample uses the Knuth-hash rule
+    on the pair key, so the dataset is reproducible and oracle-exact —
+    label noise from RNG sampling would poison comparisons between
+    classifier runs. Reuses the q44 candidate machinery for scoring."""
+    scored = _ngram_jaccard_scored(spark, sf_dir)
+    pos = scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard", F.lit(True).alias("is_duplicate")
+    )
+    pair_key = F.col("doc_a") * 10000 + F.col("doc_b")
+    neg = (
+        scored.filter(
+            (F.col("jaccard") >= _NEG_BAND[0]) & (F.col("jaccard") < _NEG_BAND[1])
+        )
+        .filter((pair_key * _NEG_KEEP) % _NEG_MOD < int(_NEG_RATE * _NEG_MOD))
+        .select("doc_a", "doc_b", "jaccard", F.lit(False).alias("is_duplicate"))
+    )
+    return pos.unionByName(neg).orderBy("doc_a", "doc_b")

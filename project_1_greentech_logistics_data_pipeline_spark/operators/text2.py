@@ -434,3 +434,69 @@ def q177_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q193: Zipf power-law fit over the token frequency distribution.
+# ---------------------------------------------------------------------------
+
+_Q193_SQL = """
+WITH freq AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS f
+  FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS x,
+         LN(f) AS y
+  FROM freq
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM ranked
+)
+SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS zipf_exponent,
+       CAST(k AS BIGINT) AS vocab_size
+FROM sums
+"""
+
+
+@query("q193_zipf_exponent", _Q193_SQL)
+def q193_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: the log-log rank-frequency slope of the
+    vocabulary — natural language sits near -1; far-off exponents flag
+    synthetic, templated, or spam corpora (another corpus-level quality
+    diagnostic alongside entropy q175 and repetition q130). One token
+    count, one |vocab|-row rank window, least squares from decimal-exact
+    component sums (q178's discipline). Each ln() is a single float op
+    on identical inputs; ONLY the sums need the decimal rounding."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "tok")
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log("f").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        slope.alias("zipf_exponent"), F.col("k").cast("bigint").alias("vocab_size")
+    )
