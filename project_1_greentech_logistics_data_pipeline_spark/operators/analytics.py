@@ -2161,3 +2161,118 @@ def q191_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ante", "cons")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195: retention triangle (cohort week x weekly offset, pivoted wide).
+# ---------------------------------------------------------------------------
+
+_Q195_SQL = """
+WITH first_week AS (
+  SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(DATEDIFF('week', f.cohort_week, DATE_TRUNC('week', e.ts)) AS INT)
+           AS wk_offset
+  FROM events e JOIN first_week f ON f.user_id = e.user_id
+)
+SELECT STRFTIME(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(COUNT(DISTINCT user_id) FILTER (wk_offset = 0) AS BIGINT) AS w0,
+       CAST(COUNT(DISTINCT user_id) FILTER (wk_offset = 1) AS BIGINT) AS w1,
+       CAST(COUNT(DISTINCT user_id) FILTER (wk_offset = 2) AS BIGINT) AS w2,
+       CAST(COUNT(DISTINCT user_id) FILTER (wk_offset = 3) AS BIGINT) AS w3,
+       CAST(COUNT(DISTINCT user_id) FILTER (wk_offset = 4) AS BIGINT) AS w4
+FROM activity
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
+@query("q195_retention_triangle", _Q195_SQL)
+def q195_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention TRIANGLE — q112's long-format cohort retention
+    pivoted to the wide week0..week4 matrix analysts actually read (each
+    row a cohort, each column a survival week, the diagonal the calendar
+    frontier). Distinct (user, cohort, offset) first, then conditional
+    distinct counts per offset — one pass, no per-column scans."""
+    e = _t(spark, sf_dir, "events")
+    first_week = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_week, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+            ).cast("int").alias("offset"),
+        )
+        .distinct()
+    )
+    aggs = [
+        F.countDistinct(F.when(F.col("offset") == i, F.col("user_id"))).alias(f"w{i}")
+        for i in range(5)
+    ]
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week")
+        )
+        .agg(*aggs)
+        .orderBy("cohort_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196: repeat-purchase interval distribution.
+# ---------------------------------------------------------------------------
+
+_Q196_SQL = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+  SELECT DATEDIFF('day',
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) AS gap_days
+  FROM purchases
+)
+SELECT LEAST(CAST(FLOOR(gap_days / 3.0) AS INT), 9) AS bucket_3d,
+       CAST(COUNT(*) AS BIGINT) AS n_repurchases,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY bucket_3d
+ORDER BY bucket_3d
+"""
+
+
+@query("q196_repurchase_intervals", _Q196_SQL)
+def q196_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day-gaps between a
+    user's consecutive purchases in 3-day buckets — what replenishment
+    campaigns and LTV models are tuned against. The purchase filter
+    pushes to the scan; one user-partitioned lag window over the
+    filtered fraction; day-gaps are exact integer date arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = p.select(
+        F.datediff(F.col("ts"), F.lag("ts").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(
+            F.least(F.floor(F.col("gap_days") / 3.0).cast("int"), F.lit(9)).alias(
+                "bucket_3d"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_repurchases"),
+            F.min("gap_days").cast("bigint").alias("min_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .orderBy("bucket_3d")
+    )
