@@ -24,7 +24,7 @@ All aggregates use the decimal(38,6) deterministic-sum convention
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import dsum
@@ -260,4 +260,128 @@ def q129_tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("sup_qty") / F.col("total_qty")).alias("share"),
         )
         .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197: discount-quantity elasticity proxy per brand.
+# ---------------------------------------------------------------------------
+
+_Q197_SQL = """
+WITH joined AS (
+  SELECT p.p_brand, l.l_discount AS x, l.l_quantity AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+sums AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+  FROM joined GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(k AS BIGINT) AS n_lines,
+       (k * sxy - sx * sy)
+         / (SQRT(k * sxx - sx * sx) * SQRT(k * syy - sy * sy)) AS discount_qty_corr
+FROM sums
+ORDER BY p_brand
+"""
+
+
+@query("q197_discount_elasticity", _Q197_SQL)
+def q197_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do discounts move volume? Per-brand Pearson correlation of
+    discount vs quantity — the elasticity screening that decides where a
+    pricing team looks next. Broadcast part join, then one aggregate of
+    decimal-exact component sums per brand (the q178/q188 discipline —
+    builtin corr() is float-accumulation-ordered and not reproducible).
+    Near-zero correlations on this synthetic data are themselves the
+    honest answer: the generator draws discount and quantity
+    independently."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand", F.col("l_discount").alias("x"), F.col("l_quantity").alias("y")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    sums = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "p_brand",
+        F.col("k").cast("bigint").alias("n_lines"),
+        r.alias("discount_qty_corr"),
+    ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# q198: RFM segmentation (recency/frequency/monetary quintile codes).
+# ---------------------------------------------------------------------------
+
+_Q198_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM cust
+)
+SELECT r_score, f_score, m_score,
+       CONCAT(r_score, f_score, m_score) AS rfm_code,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@query("q198_rfm_segmentation", _Q198_SQL)
+def q198_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile-score customers on recency, frequency,
+    and monetary value, then count each of the up-to-125 segments — the
+    workhorse marketing segmentation. One customer aggregate; the three
+    NTILE windows are global but run over the |customers| relation, not
+    facts; o_custkey tie-breaks make every quintile boundary
+    deterministic (NTILE without a total order is not reproducible)."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = cust.select(
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat("r_score", "f_score", "m_score").alias("rfm_code"),
+            "n_customers",
+        )
+        .orderBy("r_score", "f_score", "m_score")
     )
