@@ -2276,3 +2276,64 @@ def q196_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_3d")
     )
+
+
+# ---------------------------------------------------------------------------
+# q199: peak detection over the daily series (local maxima).
+# ---------------------------------------------------------------------------
+
+_Q199_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+nbr AS (
+  SELECT day, n,
+         LAG(n) OVER (ORDER BY day) AS prev_n,
+         LEAD(n) OVER (ORDER BY day) AS next_n
+  FROM daily
+)
+SELECT day, n,
+       CAST(n - GREATEST(prev_n, next_n) AS BIGINT) AS prominence
+FROM nbr
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n > prev_n AND n > next_n
+ORDER BY day
+"""
+
+
+@query("q199_daily_peaks", _Q199_SQL)
+def q199_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection: days strictly above both neighbors, with the
+    prominence over the higher neighbor — the spike-finding primitive
+    behind incident review ('what happened Tuesday?'). Daily collapse
+    first; lag+lead share one ordered window; endpoints excluded (no
+    defined neighborhood). Deliberately strict inequalities: plateau
+    days are not peaks."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    nbr = daily.select(
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        nbr.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+        )
+        .select(
+            "day",
+            "n",
+            (F.col("n") - F.greatest("prev_n", "next_n")).cast("bigint").alias(
+                "prominence"
+            ),
+        )
+        .orderBy("day")
+    )

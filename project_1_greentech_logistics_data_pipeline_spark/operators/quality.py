@@ -840,3 +840,52 @@ def q175_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q200: corpus scorecard — one-row executive summary of corpus health.
+# ---------------------------------------------------------------------------
+
+_Q200_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens,
+         lang, source
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT fingerprint) AS BIGINT) AS n_exact_dups,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM fp
+"""
+
+
+@query("q200_corpus_scorecard", _Q200_SQL)
+def q200_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus scorecard: volume, token mass, exact-dup count,
+    language and source diversity, token-length spread — the summary a
+    data team posts after every ingest, and the executive counterpart of
+    the per-source breakdown (q146). ONE aggregate over one scan;
+    fingerprints live only inside the aggregate. Declared as q200, the
+    round-number capstone of the declared surface."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    n_tok = F.size(tokens_expr("text"))
+    return d.select(
+        fp.alias("fingerprint"), n_tok.alias("n_tokens"), "lang", "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_exact_dups"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
