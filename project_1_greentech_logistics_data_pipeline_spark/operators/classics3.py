@@ -385,3 +385,57 @@ def q198_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201: shipping SLA compliance by order priority.
+# ---------------------------------------------------------------------------
+
+_Q201_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (DATEDIFF('day', o.o_orderdate, l.l_shipdate)
+                             BETWEEN 0 AND 30) AS BIGINT) AS n_within_30d,
+       CAST(COUNT(*) FILTER (DATEDIFF('day', o.o_orderdate, l.l_shipdate)
+                             BETWEEN 0 AND 30) AS DOUBLE) / COUNT(*)
+         AS sla_rate,
+       CAST(MEDIAN(DATEDIFF('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)
+         AS median_lag_days
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("q201_shipping_sla", _Q201_SQL)
+def q201_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA scorecard: per priority class, the share of lineitems shipped
+    within 30 days of order placement and the median lag — the
+    operational metric a logistics pipeline publishes (and exactly what
+    the reference's telemetry never aggregates). Orders project to two
+    columns before the fact join; conditional counts and the exact
+    median ride one aggregate; day-lags are integer date arithmetic."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("lag_days").between(0, 30), 1).otherwise(0)).alias(
+                "n_within_30d"
+            ),
+            (
+                F.sum(
+                    F.when(F.col("lag_days").between(0, 30), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("sla_rate"),
+            F.median("lag_days").alias("median_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
