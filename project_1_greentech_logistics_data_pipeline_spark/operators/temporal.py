@@ -746,3 +746,83 @@ def q181_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q202: first-session conversion (cold-start quality of acquisition)
+# ---------------------------------------------------------------------------
+
+_Q202_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30 minutes'
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+),
+first_sessions AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         COUNT(*) AS n_events
+  FROM sessions WHERE session_id = 1
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_first_session_converters,
+       CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS first_session_cvr,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_first_session_events
+FROM first_sessions
+"""
+
+
+@query("q202_first_session_conversion", _Q202_SQL)
+def q202_first_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start conversion: did a user's FIRST session (q33's 30-min
+    gap rule) contain a purchase — the acquisition-quality number that a
+    lifetime conversion rate (q111) hides, since later sessions carry
+    accumulated intent. Same one-shuffle sessionization; the first
+    session filters by running session_id = 1 before any aggregation."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    first = (
+        sessions.filter(F.col("session_id") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return first.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_first_session_converters"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+            "first_session_cvr"
+        ),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+            "mean_first_session_events"
+        ),
+    )
