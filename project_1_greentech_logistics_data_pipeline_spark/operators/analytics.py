@@ -1163,8 +1163,8 @@ def q170_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 _Q171_SQL = """
 WITH seg AS (
   SELECT user_id, event_id, ts, event_type,
-         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg_id
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seg_id
   FROM events
 )
 SELECT user_id, event_id, event_type, seg_id,

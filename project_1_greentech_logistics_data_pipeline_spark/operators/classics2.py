@@ -508,7 +508,7 @@ _Q89_SQL = """
 SELECT
   e.event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MAX(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS max_k,
   COUNT(*) - COUNT(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS n_missing_k
 FROM events e

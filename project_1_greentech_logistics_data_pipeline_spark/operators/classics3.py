@@ -97,10 +97,10 @@ SELECT
     WHEN DATEDIFF('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'ontime'
     ELSE 'late'
   END AS ship_bucket,
-  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'

@@ -26,6 +26,97 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def spark_canon_type(dt) -> str:
+    """Canonical physical-type string for a Spark DataType.
+
+    Must agree with duckdb_canon_type for types the driver's serialized
+    hash treats as equal; any divergence (int64 vs HUGEINT/DECIMAL, int vs
+    float, float32 vs float64) is exactly the hash-drift class that bit
+    q22 (r1) and q89/q127 (r2)."""
+    from pyspark.sql import types as T
+
+    # Integer widths are NOT distinguished: driver-green rows exist with
+    # int32 on one side and int64 on the other (q82/q83/q88/q198 r2), so
+    # the driver's serialized hash collapses integer widths. What it does
+    # NOT collapse is int vs DECIMAL/HUGEINT vs float (q22 r1, q89/q127 r2).
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_canon_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{spark_canon_type(dt.keyType)},{spark_canon_type(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{spark_canon_type(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return dt.simpleString()
+
+
+def duckdb_canon_type(at) -> str:
+    """Canonical physical-type string for a pyarrow DataType from DuckDB."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "int"
+    if pa.types.is_float64(at):
+        return "float64"
+    if pa.types.is_float32(at):
+        return "float32"
+    if pa.types.is_decimal(at):
+        return f"decimal({at.precision},{at.scale})"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "string"
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return f"list<{duckdb_canon_type(at.value_type)}>"
+    if pa.types.is_map(at):
+        return f"map<{duckdb_canon_type(at.key_type)},{duckdb_canon_type(at.item_type)}>"
+    if pa.types.is_struct(at):
+        inner = ",".join(
+            f"{at.field(i).name}:{duckdb_canon_type(at.field(i).type)}"
+            for i in range(at.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(at)
+
+
+def physical_type_mismatches(sdf, sql: str, con) -> list:
+    """Exact physical-type diff between a Spark DataFrame schema and the
+    DuckDB oracle's Arrow schema (column-name matched). Returns a list of
+    (col, spark_type, duckdb_type) divergences."""
+    arrow_schema = con.execute(
+        f"SELECT * FROM ({sql}) AS __t LIMIT 0"
+    ).arrow().schema
+    d_types = {f.name: duckdb_canon_type(f.type) for f in arrow_schema}
+    out = []
+    for f in sdf.schema.fields:
+        st = spark_canon_type(f.dataType)
+        ot = d_types.get(f.name)
+        if ot is not None and st != ot:
+            out.append((f.name, st, ot))
+    return out
+
+
 def _norm_cell(v):
     if v is None:
         return None
@@ -56,6 +147,7 @@ def compare(spark, sf_dir: str, fn, sql: str, name: str = "?") -> None:
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_con(sf_dir)
+    type_diffs = physical_type_mismatches(sdf, sql, con)
     res = con.execute(sql)
     d_cols = [c[0] for c in res.description]
     d_rows = res.fetchall()
@@ -63,6 +155,10 @@ def compare(spark, sf_dir: str, fn, sql: str, name: str = "?") -> None:
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    )
+    assert not type_diffs, (
+        f"{name}: physical type drift (driver hash would differ even on "
+        f"equal values): {type_diffs}"
     )
     assert len(s_rows) == len(d_rows), (
         f"{name}: rowcount mismatch spark={len(s_rows)} duckdb={len(d_rows)}"
