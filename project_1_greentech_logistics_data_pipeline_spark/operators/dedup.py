@@ -1089,7 +1089,11 @@ def _ngram_jaccard_scored(
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.part") == F.col("b.part"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & _size_band(F.col("a.sz"), F.col("b.sz"), min_score),
+            # Slack the band bound below min_score so a pair whose RAW
+            # score sits just under the threshold but ROUNDS up to it
+            # (e.g. 0.3999995 -> 0.40) is still generated as a candidate —
+            # the final filter below is on the rounded value.
+            & _size_band(F.col("a.sz"), F.col("b.sz"), max(min_score - 1e-6, 0.0)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1098,10 +1102,13 @@ def _ngram_jaccard_scored(
                 F.col("a.mask"), F.col("b.mask"), F.col("a.sz"), F.col("b.sz")
             ).alias("jaccard_raw"),
         )
-        .filter(F.col("jaccard_raw") >= min_score)
+        # ROUND first, then filter — matching the oracle's ROUND-then-WHERE
+        # order, so the 6-dp boundary (raw in [t-5e-7, t)) lands on the
+        # same side in both engines.
         .select(
             "doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard")
         )
+        .filter(F.col("jaccard") >= min_score)
     )
 
 

@@ -319,18 +319,35 @@ def run_incremental_dedup_stream(
         sess = batch_df.sparkSession
         fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
         b = batch_df.withColumn("fingerprint", fp)
+        if "doc_id" not in b.columns:
+            raise ValueError(
+                "incremental dedup schema must include doc_id "
+                "(the q43/q78 keeper rule is min-doc_id per fingerprint)"
+            )
         other = [c for c in b.columns if c != "fingerprint"]
-        # one deterministic keeper per fingerprint within the batch:
-        # min of the whole row struct == min doc_id row (doc_id leads)
+        # One deterministic keeper per fingerprint within the batch:
+        # min of the whole row struct, built with doc_id EXPLICITLY first
+        # so the keeper policy is min-doc_id regardless of the
+        # caller-supplied schema's column order (q43/q78 rule).
+        rest = [c for c in other if c != "doc_id"]
         keep = (
             b.groupBy("fingerprint")
-            .agg(F.min(F.struct(*other)).alias("_row"))
+            .agg(F.min(F.struct("doc_id", *rest)).alias("_row"))
             .select("fingerprint", *[F.col(f"_row.{c}").alias(c) for c in other])
         )
-        try:
+        # Only treat a MISSING state store as "first batch". Any other
+        # read failure (corrupt files, transient IO) must fail the batch
+        # so the checkpoint retries — silently assuming no state would
+        # let seen fingerprints through and the idempotent upsert would
+        # then REPLACE originally-kept docs with later duplicates.
+        jvm_path = sess._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jvm_path.getFileSystem(
+            sess._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             seen = sess.read.parquet(state_path).select("fingerprint")
             fresh = keep.join(seen, on="fingerprint", how="left_anti")
-        except Exception:  # first batch: no state yet
+        else:  # first batch: no state yet
             fresh = keep
         fresh = fresh.localCheckpoint()  # both sinks reuse one computation
         if not fresh.take(1):

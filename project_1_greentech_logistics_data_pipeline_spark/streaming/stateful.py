@@ -208,14 +208,26 @@ def _twap_update(
         last_ts, last_value, acc_w, acc_d = state.get
     else:
         last_ts, last_value, acc_w, acc_d = None, None, 0.0, 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for ts_us, value in zip(pdf["ts_us"], pdf["value"]):
+    # A group's micro-batch rows arrive as MULTIPLE Arrow chunks in
+    # arbitrary order (~10k rows/chunk); sorting each chunk independently
+    # would fold out-of-order timestamps into negative segment durations.
+    # Concatenate the whole group's batch, then sort once.
+    chunks = list(pdfs)
+    batch = pd.concat(chunks) if chunks else pd.DataFrame()
+    if len(batch):
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for ts_us, value in zip(batch["ts_us"], batch["value"]):
+            ts_us = int(ts_us)
+            if last_ts is not None and ts_us < last_ts:
+                # Late data older than checkpointed state (no watermark
+                # guards this path): a negative-duration segment would
+                # corrupt the accumulators — drop the stale row instead.
+                continue
             if last_ts is not None:
-                dur = int(ts_us) - last_ts
+                dur = ts_us - last_ts
                 acc_w += last_value * dur
                 acc_d += dur
-            last_ts, last_value = int(ts_us), float(value)
+            last_ts, last_value = ts_us, float(value)
     state.update((last_ts, last_value, acc_w, acc_d))
     yield pd.DataFrame(
         {

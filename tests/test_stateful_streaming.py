@@ -216,3 +216,64 @@ def test_streaming_twap_matches_batch_twin(spark, tmp_path):
     assert abs(final["A"].running_twap - (10 * 1 + 20 * 2) / 3) < 1e-9
     assert final["B"].acc_dur_us == 4_000_000
     assert abs(final["B"].running_twap - 5.0) < 1e-9
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing update functions."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+
+def test_twap_update_folds_across_unordered_arrow_chunks():
+    """applyInPandasWithState delivers a group's micro-batch as MULTIPLE
+    Arrow chunks in arbitrary order. The fold must sort the concatenated
+    batch once — sorting chunks independently yields negative segment
+    durations when a later chunk holds earlier timestamps (ADVICE r2)."""
+    import pandas as pd
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.stateful import (
+        _twap_update,
+    )
+
+    # chunk1 has the LATER rows, chunk2 the earlier ones
+    c1 = pd.DataFrame({"ts_us": [3_000_000, 4_000_000], "event_id": [3, 4],
+                       "value": [30.0, 40.0]})
+    c2 = pd.DataFrame({"ts_us": [1_000_000, 2_000_000], "event_id": [1, 2],
+                       "value": [10.0, 20.0]})
+    state = _FakeState()
+    (out,) = list(_twap_update(("A",), iter([c1, c2]), state))
+    # correct fold over ts order 1,2,3,4: 10*1s + 20*1s + 30*1s over 3s
+    assert out["acc_dur_us"][0] == 3_000_000
+    assert abs(out["running_twap"][0] - (10 + 20 + 30) / 3) < 1e-9
+    assert state.get == (4_000_000, 40.0, 60_000_000.0, 3_000_000)
+
+
+def test_twap_update_drops_rows_older_than_checkpointed_state():
+    """No watermark guards this operator: a row older than the
+    checkpointed last_ts must be dropped, not folded as a negative
+    segment."""
+    import pandas as pd
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.stateful import (
+        _twap_update,
+    )
+
+    state = _FakeState((5_000_000, 50.0, 0.0, 0))
+    late = pd.DataFrame({"ts_us": [1_000_000, 6_000_000], "event_id": [1, 2],
+                         "value": [999.0, 60.0]})
+    (out,) = list(_twap_update(("A",), iter([late]), state))
+    # only the 5s->6s segment counts; the 1s row is stale and skipped
+    assert out["acc_dur_us"][0] == 1_000_000
+    assert abs(out["running_twap"][0] - 50.0) < 1e-9

@@ -462,3 +462,60 @@ def test_stream_stream_left_outer_emits_unmatched_after_eviction(spark, tmp_path
     assert by_user[1].r_type == "purchase"  # matched pair joined
     assert 2 in by_user, "unmatched impression was dropped (inner-join behavior)"
     assert by_user[2].r_type is None and by_user[2].r_ts is None
+
+def test_incremental_dedup_keeper_is_min_doc_id_regardless_of_schema_order(
+    spark, tmp_path
+):
+    """The q43/q78 keeper rule (min doc_id per fingerprint) must not
+    depend on doc_id being the first column of the caller-supplied
+    schema (ADVICE r2): run with text FIRST and check the keeper."""
+    import json as _json
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        run_incremental_dedup_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = [
+        {"text": "same same text", "doc_id": 9},
+        {"text": "same  same   text", "doc_id": 2},  # dup, smaller id -> keeper
+        {"text": "unique text", "doc_id": 5},
+    ]
+    (d / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    out = str(tmp_path / "out")
+    q = run_incremental_dedup_stream(
+        spark, str(d), out, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        "text STRING, doc_id LONG",
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2, 5}
+
+
+def test_incremental_dedup_corrupt_state_fails_batch_not_silent(spark, tmp_path):
+    """A corrupt/unreadable state store must FAIL the micro-batch (so the
+    checkpoint retries), never be treated as 'first batch' — that would
+    re-admit seen fingerprints and the idempotent upsert would replace
+    originally-kept docs (ADVICE r2)."""
+    import json as _json
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.jobs import (
+        run_incremental_dedup_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.json").write_text(_json.dumps({"doc_id": 1, "text": "hello world"}))
+    state = tmp_path / "state"
+    state.mkdir()
+    (state / "part-00000.parquet").write_text("not a parquet file")
+    q = run_incremental_dedup_stream(
+        spark, str(d), str(tmp_path / "out"), str(state),
+        str(tmp_path / "ckpt"), "doc_id LONG, text STRING",
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed on corrupt state")
