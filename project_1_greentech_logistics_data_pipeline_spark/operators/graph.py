@@ -43,12 +43,21 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 12,
+    tol: float | None = None,
 ) -> DataFrame:
     """(node, rank) by power iteration over the symmetrized edge list.
 
     rank'(v) = (1-d) + d * sum_{u in N(v)} rank(u) / deg(u), init 1.0 —
     the per-node-mean formulation whose total mass stays |V| (symmetric
-    graphs have no dangling nodes: every node has degree >= 1)."""
+    graphs have no dangling nodes: every node has degree >= 1).
+
+    ``tol`` (opt-in) stops early when max |rank' - rank| < tol, via a
+    1-row scalar per round (bounded driver state, same discipline as
+    connected_components' convergence scalar). Default OFF: the error
+    contracts at the damping rate (measured delta == 0.85^k on the
+    near-dup graph), so a tight tol needs ~log(tol)/log(d) rounds and
+    would never fire inside a small n_iter budget — the fixed budget IS
+    the approximation contract, and the check costs a join per round."""
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
@@ -60,6 +69,7 @@ def pagerank(
     ranks = ranks.localCheckpoint()
     out = sym.join(deg, on="src")  # (src, dst, deg) — checkpointed parent
     for _ in range(n_iter):
+        prev = ranks
         contrib = out.join(
             ranks, out.src == ranks.node
         ).select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
@@ -68,6 +78,14 @@ def pagerank(
             .agg((F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("rank"))
             .localCheckpoint()
         )
+        if tol is not None:
+            delta = (
+                ranks.join(prev.withColumnRenamed("rank", "prev_rank"), on="node")
+                .agg(F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if delta is None or delta < tol:
+                break
     return ranks
 
 

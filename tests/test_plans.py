@@ -412,3 +412,29 @@ def test_q184_two_aggregates_one_shuffle_key(spark):
 
     plan = explain_str(q184_user_feature_store(spark, SF))
     assert plan.count("Exchange hashpartitioning(user_id") <= 2  # one per agg family
+
+
+def test_q64_bnlj_rows_are_one_row_scalar_broadcasts(spark):
+    """PLAN_AUDIT flags 2 BroadcastNestedLoopJoin rows in q64; pin that
+    both are the benign kind — a broadcast of the 1-row global-threshold
+    aggregate (grouping-free HashAggregate feeding BroadcastExchange),
+    never a real O(n*m) nested loop between data relations (VERDICT r2
+    item 6)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.subqueries import (
+        q64_scalar_subquery_threshold,
+    )
+
+    import re
+
+    df = q64_scalar_subquery_threshold(spark, SF)
+    plan = explain_str(df)
+    tree_bnlj = re.findall(r"BroadcastNestedLoopJoin [^\n(]*", plan)
+    assert len(tree_bnlj) >= 1  # the scalar-threshold crossJoin
+    # every BNLJ tree row must carry a broadcast build side
+    assert all("Build" in row for row in tree_bnlj), tree_bnlj
+    # the broadcast feeding it is IdentityBroadcastMode (crossJoin of a
+    # single-row aggregate), not a keyed HashedRelation of a real table
+    assert "IdentityBroadcastMode" in plan
+    # and the build side is an aggregate with NO grouping keys (1 row):
+    # 'Keys: []' in the formatted HashAggregate details
+    assert "Keys: []" in plan
