@@ -42,6 +42,13 @@ def main() -> None:
         this, the connected-components/curation queries' checkpointed
         blocks stay resident for the remaining ~90 queries and
         memory-starve them (measured: q48 2.4s solo vs 20s late-session)."""
+        # Python GC FIRST: dead DataFrame/py4j handles on the Python side
+        # pin their JVM counterparts; until Python collects them, the
+        # JVM System.gc() below cannot free those plans/broadcasts
+        # (ContextCleaner only reaps JVM-unreachable refs).
+        import gc as _gc
+
+        _gc.collect()
         spark.catalog.clearCache()
         try:
             # py4j JavaMap: values() is directly iterable (NOT .toArray() —

@@ -235,15 +235,21 @@ def q134_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(t) - (_NGRAM - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(t, i, _NGRAM)),
     )
-    g = d.select("doc_id", "source", F.explode(ngrams).alias("ng"))
+    # One n-gram construction, not two: the explode feeds both branches,
+    # so persist it (ids + grams only). The broadcast eval join runs as a
+    # map-side filter BEFORE any distinct — distinct-ing the full train
+    # (doc, 8-gram) relation first would shuffle every training n-gram
+    # string; distinct-ing the post-join survivors shuffles only the
+    # (tiny) contaminated subset.
+    g = d.select("doc_id", "source", F.explode(ngrams).alias("ng")).persist()
     eval_g = (
         g.filter(F.col("source") == _EVAL_SOURCE).select("ng").distinct()
     )
-    train_g = (
-        g.filter(F.col("source") != _EVAL_SOURCE).select("doc_id", "ng").distinct()
-    )
     return (
-        train_g.join(F.broadcast(eval_g), on="ng")
+        g.filter(F.col("source") != _EVAL_SOURCE)
+        .join(F.broadcast(eval_g), on="ng")
+        .select("doc_id", "ng")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .orderBy("doc_id")
@@ -494,37 +500,49 @@ def q143_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     q92 style if that blow-up mattered, at the cost of a coarser k), and
     the equi-join yields every true containment plus hash-collision noise
     that the exact contains() verify removes. All JVM: murmur3 over
-    substring windows via transform(sequence(...)), no Python. The only
-    shuffle is the candidate equi-join on the 32-bit hash."""
+    substring windows via transform(sequence(...)), no Python.
+
+    Shuffle-mass discipline (the part that matters at 100 TB): the
+    exploded gram relation carries ONLY (doc_id, 32-bit hash) — never
+    the text. The probe's min-gram is an aggregate of that same cached
+    relation (one gram computation, not two scans), the equi-join on
+    the hash moves ints, candidate pairs are distinct()-ed down to the
+    survivors, and full texts are joined back just for the exact
+    contains() verify on that small candidate set. Carrying text
+    through the explode (the naive shape) multiplies the shuffle by
+    the document length — ~100x more bytes at this corpus's ~500-char
+    mean."""
     d = _t(spark, sf_dir, "documents")
     n = F.length("text")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (_CONTAIN_K - 1), F.lit(1))),
         lambda i: F.hash(F.substring(F.col("text"), F.lit(0) + i, _CONTAIN_K)),
     )
-    probe = d.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("text").alias("a_text"),
-        F.array_min(grams).alias("g"),
+    g_rel = (
+        d.select(F.col("doc_id").alias("b_id"), F.explode(F.array_distinct(grams)).alias("g"))
+        .persist()
     )
-    build = d.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("text").alias("b_text"),
-        F.explode(F.array_distinct(grams)).alias("g"),
+    probe = g_rel.groupBy("b_id").agg(F.min("g").alias("g")).select(
+        F.col("b_id").alias("a_id"), "g"
     )
-    return (
-        probe.join(build, on="g")
-        .filter(
-            (F.col("a_id") != F.col("b_id"))
-            & F.col("b_text").contains(F.col("a_text"))
-        )
+    cand = (
+        probe.join(g_rel, on="g")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    texts = d.select("doc_id", "text")
+    out = (
+        cand.join(texts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("text", "a_text"), on="a_id")
+        .join(texts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("text", "b_text"), on="b_id")
+        .filter(F.col("b_text").contains(F.col("a_text")))
         .select(
             F.col("a_id").alias("contained_id"),
             F.col("b_id").alias("container_id"),
         )
-        .distinct()
         .orderBy("contained_id", "container_id")
     )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -815,7 +833,16 @@ def q175_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-character floods, base64 blobs (too HIGH), padded whitespace
     (too LOW). One explode->count pass shuffled by doc_id; each p*ln(p)
     term rounds to decimal(38,18) before the per-doc sum (the q161
-    discipline), so the entropy is order-independent and oracle-exact."""
+    discipline), so the entropy is order-independent and oracle-exact.
+
+    Shape note (measured r3): a shuffle-free row-local variant — char
+    histogram via higher-order functions (array_distinct x
+    count-in-array + F.aggregate fold) — is 5x SLOWER (18.2 s vs 3.5 s
+    at sf0.1): HOF lambdas evaluate interpreted per element, outside
+    whole-stage codegen, so the O(n*d) per-row loop loses to the
+    codegen'd explode + two hash aggregates despite the ~1-row-per-char
+    shuffle amplification. Keep the explode shape; at 100 TB the
+    doc_id-keyed shuffles are embarrassingly parallel and AQE-coalesced."""
     d = _t(spark, sf_dir, "documents")
     chars = d.select(
         "doc_id", F.explode(F.split("text", "")).alias("ch")
