@@ -457,7 +457,10 @@ WHERE RIGHT(c.c_name, 2) IN ('13', '31', '23', '29', '30', '18', '17')
   AND c.c_acctbal > (
     SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c2.c_acctbal)
     FROM customer c2 WHERE c2.c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= (SELECT MAX(o2.o_orderdate) FROM orders o2) - INTERVAL 12 MONTH)
 GROUP BY cntrycode
 ORDER BY cntrycode
 """
@@ -465,15 +468,20 @@ ORDER BY cntrycode
 
 @query("q87_tpch_q22_dormant_customers", _Q87_SQL)
 def q87_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22: above-average-balance customers who never ordered, grouped
-    by a derived code (c_phone is absent → RIGHT(c_name, 2), same
-    substring-derived key structure).
+    """TPC-H Q22: above-average-balance customers with no RECENT order
+    (none in the 12 months up to the corpus's last order date), grouped by
+    a derived code (c_phone is absent → RIGHT(c_name, 2), same
+    substring-derived key structure). The original "never ordered"
+    predicate is vacuous on this corpus (every custkey appears in orders),
+    so dormancy is time-bounded — the anti-join shape is identical, the
+    result non-empty at every SF.
 
-    The scalar average is computed once (decimal-exact, then one double
-    division) and broadcast into the filter as a literal-free crossJoin of a
-    1-row DataFrame — no collect on the driver, so the plan stays a single
-    job and works unchanged when customer is 10^9 rows. NOT EXISTS is a
-    left_anti against orders' custkey projection.
+    Both scalars (the balance average and the dormancy cutoff) are
+    computed once (decimal-exact / max-date) and broadcast into their
+    filters as 1-row crossJoins — no collect on the driver, so the plan
+    stays a single job and works unchanged when customer is 10^9 rows.
+    NOT EXISTS is a left_anti against the recent-orders custkey
+    projection.
     """
     c = _t(spark, sf_dir, "customer")
     codes = ("13", "31", "23", "29", "30", "18", "17")
@@ -484,7 +492,15 @@ def q87_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFram
              / F.count("c_acctbal")).alias("avg_bal")
         )
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = orders.agg(
+        F.add_months(F.max("o_orderdate"), -12).alias("cutoff")
+    )
+    o = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") >= F.col("cutoff"))
+        .select("o_custkey")
+    )
     return (
         c.withColumn("cntrycode", F.expr("right(c_name, 2)"))
         .filter(F.col("cntrycode").isin(*codes))

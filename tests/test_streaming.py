@@ -519,3 +519,61 @@ def test_incremental_dedup_corrupt_state_fails_batch_not_silent(spark, tmp_path)
     with pytest.raises(StreamingQueryException):
         q.awaitTermination(120)
         raise AssertionError("stream should have failed on corrupt state")
+
+
+def test_state_operator_metrics_and_listener(spark, tmp_path):
+    """State-store observability: the windowed agg's state operator must
+    surface row counts / memory / watermark drops as a typed DataFrame,
+    both per-query (state_operator_metrics, batch_progress) and via the
+    engine-wide listener."""
+    from project_1_greentech_logistics_data_pipeline_spark.streaming.metrics import (
+        StateMetricsListener,
+        batch_progress,
+        state_operator_metrics,
+    )
+
+    lis = StateMetricsListener.install(spark)
+    try:
+        rows = [
+            {"ts": "2026-01-01 00:01:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"ts": "2026-01-01 00:02:30", "user_id": 1, "event_type": "click", "value": 2.0},
+            {"ts": "2026-01-01 00:07:00", "user_id": 2, "event_type": "view", "value": 3.0},
+            {"ts": "2026-01-01 01:00:00", "user_id": 2, "event_type": "view", "value": 4.0},
+        ]
+        stream = _event_stream(spark, tmp_path, rows)
+        q = (
+            windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+            .writeStream.format("memory")
+            .queryName("metrics_counts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        sm = state_operator_metrics(spark, q)
+        mrows = sm.collect()
+        # the stateful agg ran at least one batch with state rows
+        assert mrows, "no state operator metrics captured"
+        assert {r["query_id"] for r in mrows} == {str(q.id)}
+        assert all(r["operator_name"] for r in mrows)
+        assert max(r["num_rows_total"] for r in mrows) >= 1
+        assert max(r["memory_used_bytes"] for r in mrows) > 0
+
+        bp = batch_progress(spark, q).collect()
+        assert bp and sum(r["num_input_rows"] for r in bp) == len(rows)
+        assert any(r["watermark"] for r in bp)
+
+        # listener saw the same operators engine-wide (async delivery:
+        # spark delivers progress events on a separate thread)
+        import time as _t
+
+        for _ in range(40):
+            if lis.frame(spark).count() >= 1:
+                break
+            _t.sleep(0.25)
+        lf = lis.frame(spark)
+        assert lf.count() >= 1
+        assert lf.schema == sm.schema
+    finally:
+        lis.uninstall(spark)
