@@ -119,3 +119,103 @@ def q145_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+) -> DataFrame:
+    """(node, community) by synchronous label propagation (Raghavan et al.
+    2007): each round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label — deterministic, unlike
+    the random-order sequential formulation.
+
+    Where connected_components answers "is there any path" and pagerank
+    answers "who is central", LPA answers "which densely-linked group" —
+    on a near-dup graph it splits a weakly-bridged component (two clique
+    clusters sharing one accidental candidate edge) into its two natural
+    communities, the right granularity for keep-one-per-cluster curation
+    when CC over-merges.
+
+    Discipline matches the other iterative operators: symmetrized edge
+    relation localCheckpointed once; each round is join -> count-per-label
+    -> max_by per node (two shuffles keyed on node id, partitioning
+    reusable across rounds on a real cluster); per-round labels
+    localCheckpointed; convergence = label-multiset checksum unchanged
+    (1-row scalar per round, bounded driver state). Fixed n_iter bounds
+    worst-case oscillation (bipartite-ish graphs can 2-cycle under
+    synchronous updates; the checksum also detects a 2-cycle by comparing
+    against the round-before-last)."""
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "community", F.col("node")
+    ).localCheckpoint()
+
+    def _checksum(lab: DataFrame):
+        # bit_xor, not sum: ANSI mode raises on long-sum overflow and
+        # xxhash64 values span the full int64 range. XOR is commutative,
+        # overflow-free, and (with the count) collision-safe enough for a
+        # fixpoint check.
+        return lab.agg(
+            F.bit_xor(F.xxhash64("node", "community")).alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+
+    seen = [tuple(_checksum(labels))]
+    for _ in range(n_iter):
+        nbr = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("community")
+        )
+        votes = nbr.groupBy("node", "community").agg(F.count("*").alias("c"))
+        new_labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "community",
+                    # vote count dominates; ties -> smallest label. max_by
+                    # picks the max struct, so negate the label part.
+                    F.struct(F.col("c"), (-F.col("community")).alias("nl")),
+                ).alias("community")
+            )
+            .localCheckpoint()
+        )
+        labels = new_labels
+        h = tuple(_checksum(labels))
+        if h in seen[-2:]:  # fixpoint or synchronous 2-cycle
+            break
+        seen.append(h)
+    return labels
+
+
+@query("q203_neardup_communities", None)  # rows-only: iterative LPA
+def q203_neardup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup community detection: LPA communities over the exact pair
+    graph, with each community's size and its canonical (min) doc — the
+    finer-grained sibling of q73's connected components for curation
+    policies that should not merge across weak bridges."""
+    from .dedup import neardup_pairs
+
+    tune(spark)
+    pairs = neardup_pairs(spark, sf_dir).localCheckpoint()
+    comm = label_propagation(pairs, "doc_a", "doc_b")
+    sizes = comm.groupBy("community").agg(
+        F.count("*").alias("community_size"), F.min("node").alias("canonical_doc")
+    )
+    return (
+        comm.join(sizes, "community")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("community").alias("community_id"),
+            "community_size",
+            "canonical_doc",
+        )
+        .orderBy("doc_id")
+    )

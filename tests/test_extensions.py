@@ -450,3 +450,56 @@ def test_cli_list_and_run(capsys):
     assert "q01_pricing_summary  [oracle]" in out
     assert "[rows-only]" in out
     assert main(["run", "not_a_query"]) == 2
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge: CC merges them into
+    one component; LPA must resolve two communities (the bridge never
+    wins a majority), with the deterministic min-label tiebreak."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import connected_components
+    from project_1_greentech_logistics_data_pipeline_spark.operators.graph import label_propagation
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    edges = clique([1, 2, 3, 4]) + clique([5, 6, 7, 8]) + [(4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    comp = connected_components(df)
+    assert comp.select("comp").distinct().count() == 1  # CC: one blob
+
+    lpa = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    assert set(lpa) == set(range(1, 9))
+    a = {lpa[n] for n in (1, 2, 3)}
+    b = {lpa[n] for n in (6, 7, 8)}
+    assert len(a) == 1 and len(b) == 1 and a != b  # two communities
+
+
+def test_q203_communities_refine_components(spark):
+    """On the real near-dup graph: every doc labeled exactly once, and
+    each LPA community must sit inside ONE connected component
+    (communities refine components, never cross them)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    comm = qs["q203_neardup_communities"](spark, sf)
+    comps = qs["q73_neardup_clusters"](spark, sf)
+
+    rows = comm.collect()
+    assert rows, "no communities found"
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # one label per doc
+    # community size column agrees with the actual multiplicity
+    from collections import Counter
+
+    mult = Counter(r["community_id"] for r in rows)
+    assert all(mult[r["community_id"]] == r["community_size"] for r in rows)
+
+    j = (
+        comm.join(comps, "doc_id")
+        .groupBy("community_id")
+        .agg(F.countDistinct("cluster_id").alias("ncomp"))
+        .collect()
+    )
+    assert all(r["ncomp"] == 1 for r in j)  # refinement
