@@ -11,17 +11,25 @@ declared query functions unmodified.
 Corpus construction (deterministic, derived from the driver's sf0.1
 tables — no hand-rolled distributions):
 
-- documents x m: copy k in [0, m) offsets doc_id by k*10^7 and rewrites
-  every token t -> "t_k" (suffixing). Within-copy Jaccard structure is
-  EXACTLY preserved; cross-copy token vocabularies are disjoint, so true
-  near-dup pairs grow linearly in m — the regime of a real corpus where
-  a document's duplicate count does not grow with corpus size. (Naive
-  replication without the rewrite would make every doc an exact dup of
-  its m-1 copies: true pairs would grow quadratically and no algorithm
-  could look linear.)
-- embeddings x m: copy k offsets vec_id and circularly shifts the vector
-  by k dims — norms and coordinate distributions preserved, cross-copy
-  cosine decorrelated.
+- documents x m: copy k in [0, m) offsets doc_id by k*10^7 and renames
+  every token t -> md5(t || k)[:8] (an injective, copy-consistent map).
+  Within-copy token-set Jaccard structure is EXACTLY preserved (injective
+  rename), within-copy char-gram similarity structure is preserved up to
+  the uniform rename, and cross-copy overlap is destroyed at BOTH the
+  token and the character level — so true near-dup pairs grow linearly
+  in m, the regime of a real corpus where a document's duplicate count
+  does not grow with corpus size. (First attempt used suffixing t->t_k:
+  token sets decorrelated but char k-grams still collided across copies,
+  inflating the char-shingle paths q46/q143 quadratically — measured,
+  see SCALE.md. Naive replication is worse still: every doc gets m-1
+  exact dups and true pairs grow quadratically by construction.)
+- embeddings x m: copy k offsets vec_id and applies a per-copy
+  deterministic sign flip per dimension (multiply dim i by
+  hash(i,k)-derived +/-1) — an orthogonal transform, so norms and
+  within-copy cluster geometry are exactly preserved while cross-copy
+  cosine decorrelates to ~0. (First attempt circularly shifted dims;
+  these embeddings are smooth enough that shifted copies stayed above
+  the near-dup threshold — measured, see SCALE.md.)
 
 For each (query, m) the probe times the declared query function on a
 fresh plan with the same session hygiene bench.py uses, and records
@@ -75,12 +83,58 @@ def build_corpus(spark, m: int) -> str:
     os.makedirs(out_dir, exist_ok=True)
 
     docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+
+    # Per-lang vocabulary, collected once (bounded: ~31 tokens x 5 langs).
+    # Copy k maps token at vocab index i to the token at (a_k*i + b_k) mod V
+    # — an affine PERMUTATION of the same vocabulary, so the renamed corpus
+    # is made of the exact same token strings (char-gram statistics
+    # preserved verbatim) while within-copy token-set structure is
+    # preserved by bijectivity and cross-copy overlap falls to the
+    # corpus's natural background level.
+    import math
+
+    vocab_rows = (
+        docs.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .distinct()
+        .collect()
+    )
+    vocab: dict[str, list[str]] = {}
+    for r in vocab_rows:
+        vocab.setdefault(r["lang"], []).append(r["tok"])
+    for lang in vocab:
+        vocab[lang].sort()
+
+    def perm_map(lang: str, k: int) -> dict[str, str]:
+        toks = vocab[lang]
+        v = len(toks)
+        a = 1 + (2 * k + 1) % (v - 1)
+        while math.gcd(a, v) != 1:
+            a += 1
+        b = (7 * k) % v
+        return {toks[i]: toks[(a * i + b) % v] for i in range(v)}
+
     parts = []
     for k in range(m):
         c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10_000_000))
         if k > 0:
+            entries = []
+            for lang in vocab:
+                for src_tok, dst_tok in perm_map(lang, k).items():
+                    entries.append(F.lit(f"{lang}|{src_tok}"))
+                    entries.append(F.lit(dst_tok))
+            m_col = F.create_map(*entries)
             c = c.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", rf"$1_{k}")
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.trim(F.col("text")), r"\s+"),
+                        lambda t: F.coalesce(
+                            F.element_at(m_col, F.concat(F.col("lang"), F.lit("|"), t)),
+                            t,
+                        ),
+                    ),
+                    " ",
+                ),
             ).withColumn("n_chars", F.length("text").cast("long"))
         parts.append(c)
     u = parts[0]
@@ -95,11 +149,15 @@ def build_corpus(spark, m: int) -> str:
     for k in range(m):
         c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10_000_000))
         if k > 0:
+            # per-copy orthogonal sign flip: dim i multiplied by +/-1 from
+            # xxhash64(i, k) parity — norms/cluster geometry preserved,
+            # cross-copy cosine ~0
             c = c.withColumn(
                 "embedding",
                 F.expr(
-                    f"concat(slice(embedding, {k % 16} + 1, size(embedding) - {k % 16}),"
-                    f" slice(embedding, 1, {k % 16}))"
+                    "transform(embedding, (e, i) -> CAST(e * "
+                    f"(1 - 2 * pmod(xxhash64(CAST(i AS STRING), '{k}'), 2)) "
+                    "AS FLOAT))"
                 ),
             )
         eparts.append(c)
