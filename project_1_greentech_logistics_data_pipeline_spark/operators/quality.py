@@ -235,18 +235,24 @@ def q134_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(t) - (_NGRAM - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(t, i, _NGRAM)),
     )
-    # One n-gram construction, not two: the explode feeds both branches,
-    # so persist it (ids + grams only). The broadcast eval join runs as a
-    # map-side filter BEFORE any distinct — distinct-ing the full train
-    # (doc, 8-gram) relation first would shuffle every training n-gram
-    # string; distinct-ing the post-join survivors shuffles only the
-    # (tiny) contaminated subset.
-    g = d.select("doc_id", "source", F.explode(ngrams).alias("ng")).persist()
+    # Two source-PRUNED scans, not one persisted explode (the round-2
+    # shape): persisting the full (doc, source, 8-gram) relation pinned
+    # every training n-gram in memory and blocked predicate pushdown on
+    # the parquet scan. The eval side is tiny by nature, so its branch
+    # now reads a source-filtered scan (pushdown + partition pruning when
+    # the lake is source-partitioned, as writers.overwrite_partitioned
+    # lays out) and the training branch STREAMS through the broadcast
+    # join with no materialization at all — the map-side filter still
+    # runs before any distinct, so the only shuffled n-grams remain the
+    # (tiny) contaminated survivors.
     eval_g = (
-        g.filter(F.col("source") == _EVAL_SOURCE).select("ng").distinct()
+        d.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode(ngrams).alias("ng"))
+        .distinct()
     )
     return (
-        g.filter(F.col("source") != _EVAL_SOURCE)
+        d.filter(F.col("source") != _EVAL_SOURCE)
+        .select("doc_id", F.explode(ngrams).alias("ng"))
         .join(F.broadcast(eval_g), on="ng")
         .select("doc_id", "ng")
         .distinct()
