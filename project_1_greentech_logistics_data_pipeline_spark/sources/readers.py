@@ -23,40 +23,68 @@ from ..schemas import PHYSICAL_SCHEMAS, TABLE_NAMES, TELEMETRY_SCHEMA, TESTDATA_
 from ..session import tune
 
 
-_EVENTS_TS_UNIT: dict[str, str] = {}
+_NS_TS_COLS: dict[str, tuple] = {}
 
 
-def _events_ts_unit(path: str) -> str:
-    """Parquet timestamp unit of events.ts at ``path`` ('ns' or 'us').
+def _ns_ts_cols(path: str, name: str) -> tuple:
+    """Timestamp columns of table ``name`` that are TIMESTAMP(NANOS) on disk
+    at ``path`` (which Spark cannot scan natively).
 
-    The driver's testdata has shipped events.ts both as TIMESTAMP(NANOS)
-    (which Spark cannot scan natively) and TIMESTAMP(MICROS); one footer
-    read per path decides which scan to plan. Driver-side and O(1) — at any
-    data scale this reads a single footer, never data pages.
+    The driver's testdata regenerates per round and has shipped events.ts
+    both as TIMESTAMP(NANOS) and TIMESTAMP(MICROS); sniffing EVERY
+    timestamp column of every table (not just events.ts) means a future
+    regeneration that flips orders/lineitem dates to nanos degrades to the
+    same long-scan+convert path instead of a read error. One footer read
+    per path decides the scan plan — O(1) at any data scale, never data
+    pages.
     """
-    unit = _EVENTS_TS_UNIT.get(path)
-    if unit is None:
+    cols = _NS_TS_COLS.get(path)
+    if cols is None:
+        from pyspark.sql import types as T
+
+        ts_fields = [
+            f.name
+            for f in TESTDATA_SCHEMAS[name].fields
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        ]
         try:
             import pyarrow.parquet as pq
 
             schema = pq.ParquetDataset(path).schema
-            unit = "ns" if "timestamp[ns" in str(schema.field("ts").type) else "us"
+            cols = tuple(
+                c
+                for c in ts_fields
+                if "timestamp[ns" in str(schema.field(c).type)
+            )
         except Exception:
-            unit = "us"
-        _EVENTS_TS_UNIT[path] = unit
-    return unit
+            cols = ()
+        _NS_TS_COLS[path] = cols
+    return cols
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events" and _events_ts_unit(path) == "ns":
-        # parquet TIMESTAMP(NANOS) -> scan as long (nanosAsLong conf, set by
-        # tune()), then exact integer ns->us conversion to timestamp_ntz.
+    ns_cols = _ns_ts_cols(path, name)
+    if ns_cols:
+        # parquet TIMESTAMP(NANOS) -> scan those columns as long
+        # (nanosAsLong conf, set by tune()), then exact integer ns->us
+        # conversion to the declared timestamp type.
+        from pyspark.sql import types as T
+
         tune(spark)
-        df = spark.read.schema(PHYSICAL_SCHEMAS["events"]).parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        ).select(*(f.name for f in TESTDATA_SCHEMAS["events"].fields))
+        physical = PHYSICAL_SCHEMAS.get(name) or T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType)
+                for f in TESTDATA_SCHEMAS[name].fields
+            ]
+        )
+        df = spark.read.schema(physical).parquet(path)
+        for c in ns_cols:
+            declared = TESTDATA_SCHEMAS[name][c].dataType.simpleString()
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"{c} div 1000")).cast(declared)
+            )
+        return df.select(*(f.name for f in TESTDATA_SCHEMAS[name].fields))
     return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
 
 

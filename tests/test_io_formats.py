@@ -270,3 +270,36 @@ def test_overwrite_replaces_append_accumulates(spark, tmp_path):
     df2 = spark.createDataFrame([(9, "z", True)], ["id", "v", "flag"])
     write_table(df2, p_ovr, mode="overwrite")
     assert set(read_evolved(spark, p_ovr).columns) == {"id", "v", "flag"}
+
+
+def test_load_table_handles_nanos_timestamps_any_table(spark, tmp_path):
+    """The driver testdata regenerates per round and has shipped timestamp
+    columns as both TIMESTAMP(MICROS) and TIMESTAMP(NANOS). load_table
+    footer-sniffs EVERY timestamp column of every table and routes nanos
+    files through the long-scan + exact ns->us conversion — including
+    tables that have only ever shipped micros so far (orders here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import load_table
+
+    sf = str(tmp_path)
+    base = "/root/testdata/sf0.001"
+
+    for tbl, tscols in (("events", ["ts"]), ("orders", ["o_orderdate"])):
+        t = pq.read_table(f"{base}/{tbl}.parquet")
+        fields = [
+            pa.field(f.name, pa.timestamp("ns") if f.name in tscols else f.type)
+            for f in t.schema
+        ]
+        pq.write_table(t.cast(pa.schema(fields)), f"{sf}/{tbl}.parquet")
+
+        got = load_table(spark, sf, tbl)
+        want = load_table(spark, base, tbl)
+        assert got.schema == want.schema, f"{tbl}: schema drift under nanos"
+        for c in tscols:
+            gmin, gmax = got.agg(F.min(c), F.max(c)).collect()[0]
+            wmin, wmax = want.agg(F.min(c), F.max(c)).collect()[0]
+            assert (gmin, gmax) == (wmin, wmax), f"{tbl}.{c}: value drift"
+        assert got.count() == want.count()
