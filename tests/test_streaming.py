@@ -577,3 +577,78 @@ def test_state_operator_metrics_and_listener(spark, tmp_path):
         assert lf.schema == sm.schema
     finally:
         lis.uninstall(spark)
+
+
+def test_windowed_agg_state_recovers_across_restart(spark, tmp_path):
+    """Checkpointed window-state recovery: a window left OPEN at shutdown
+    (not yet past the watermark) must finalize after restart with counts
+    spanning BOTH phases' rows, and a window finalized in phase 1 must not
+    be re-emitted — the streaming counterpart of the file-source
+    exactly-once test."""
+    import json as _json
+
+    d = tmp_path / "win_in"
+    d.mkdir()
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    def run_phase():
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, user_id long, event_type string, value double"
+            ).json(str(d))
+        )
+        q = (
+            windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def ev(ts, et):
+        return {"ts": ts, "user_id": 1, "event_type": et, "value": 1.0}
+
+    # phase 1: two rows in W0 (00:00-00:05), one in W12 (01:00-01:05);
+    # the 01:00 row pushes the watermark to 00:50 -> W0 finalizes, W12 open
+    (d / "a.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                ev("2026-01-01 00:01:00", "click"),
+                ev("2026-01-01 00:02:00", "click"),
+                ev("2026-01-01 01:00:30", "view"),
+            ]
+        )
+    )
+    run_phase()
+    got1 = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {("2026-01-01 00:00:00", "click"): 2}
+
+    # phase 2 (restart from checkpoint): one MORE row in the still-open
+    # W12, plus a pusher that finalizes it. Recovery must merge phase-1
+    # state (1 view) with the new row (2 total), and not re-emit W0.
+    (d / "b.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                ev("2026-01-01 01:01:00", "view"),
+                ev("2026-01-01 02:00:00", "click"),
+            ]
+        )
+    )
+    run_phase()
+    rows = spark.read.parquet(out).collect()
+    got2 = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"] for r in rows
+    }
+    assert got2[("2026-01-01 01:00:00", "view")] == 2  # merged across restart
+    assert got2[("2026-01-01 00:00:00", "click")] == 2
+    # W0 appears exactly once (no duplicate finalization after restart)
+    assert len([r for r in rows if str(r["window_start"]) == "2026-01-01 00:00:00"]) == 1
