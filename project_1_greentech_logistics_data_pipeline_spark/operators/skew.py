@@ -110,3 +110,80 @@ def q116_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q204: key-skew profile — the diagnostic run BEFORE picking a join strategy.
+# ---------------------------------------------------------------------------
+
+_Q204_SQL = """
+WITH k AS (
+  SELECT o_custkey AS key, COUNT(*) AS key_rows
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(key_rows) AS BIGINT) AS max_key_rows
+  FROM k
+)
+SELECT
+  t.n_rows,
+  t.n_keys,
+  t.max_key_rows,
+  CAST(ROUND(t.max_key_rows * t.n_keys / CAST(t.n_rows AS DOUBLE), 6) AS DOUBLE)
+    AS skew_factor,
+  CAST(ROUND(t.max_key_rows / CAST(t.n_rows AS DOUBLE), 6) AS DOUBLE)
+    AS top_key_share,
+  CAST((SELECT COUNT(*) FROM k
+        WHERE key_rows * t.n_keys > 4.0 * t.n_rows) AS BIGINT) AS n_hot_keys
+FROM tot t
+"""
+
+
+@query("q204_key_skew_profile", _Q204_SQL)
+def q204_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of a prospective join/agg key: row count, key
+    cardinality, heaviest key, skew factor (max key size relative to the
+    mean — Spark's own AQE skew-join trigger compares against median x5;
+    mean x4 here matches the 'hot key' rule of thumb), top-key share, and
+    the hot-key count. This is the diagnostic a pipeline runs BEFORE
+    choosing broadcast vs shuffle vs salted_join vs AQE-only at 100 TB —
+    one groupBy + one 1-row aggregate, no data leaves the cluster.
+
+    The hot-key predicate is evaluated with exact integer cross
+    multiplication (key_rows * n_keys > 4 * n_rows), not a float mean, so
+    the count is bit-deterministic against the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("key_rows")
+    )
+    tot = k.agg(
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("key_rows").cast("bigint").alias("max_key_rows"),
+    )
+    hot = (
+        k.crossJoin(F.broadcast(tot.select("n_rows", "n_keys")))
+        .filter(
+            F.col("key_rows") * F.col("n_keys")
+            > F.lit(4.0) * F.col("n_rows")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hot_keys"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(hot))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.round(
+                F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows").cast("double"),
+                6,
+            ).alias("skew_factor"),
+            F.round(F.col("max_key_rows") / F.col("n_rows").cast("double"), 6).alias(
+                "top_key_share"
+            ),
+            "n_hot_keys",
+        )
+    )

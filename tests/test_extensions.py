@@ -503,3 +503,36 @@ def test_q203_communities_refine_components(spark):
         .collect()
     )
     assert all(r["ncomp"] == 1 for r in j)  # refinement
+
+
+def test_label_propagation_properties_random_graphs(spark):
+    """LPA invariants on random graphs (hypothesis): every node gets
+    exactly one label, every label is a node id from the same component,
+    and communities REFINE connected components (never span two)."""
+    from hypothesis import given, settings, strategies as st
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import connected_components
+    from project_1_greentech_logistics_data_pipeline_spark.operators.graph import label_propagation
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=25, unique=True))
+    def prop(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        lpa = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+        cc = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+        nodes = {n for e in edges for n in e}
+        assert set(lpa) == nodes  # total, exactly-once labeling
+        assert set(lpa.values()) <= nodes  # labels are node ids
+        for u, lab in lpa.items():
+            # the label is a node of u's own component...
+            assert cc[lab] == cc[u]
+        # ...and a community never spans two components
+        comm_to_comp = {}
+        for u, lab in lpa.items():
+            assert comm_to_comp.setdefault(lab, cc[u]) == cc[u]
+
+    prop()
