@@ -187,3 +187,68 @@ def q204_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hot_keys",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q205: join-size forecast — exact output cardinality WITHOUT running the join.
+# ---------------------------------------------------------------------------
+
+_Q205_SQL = """
+WITH a AS (SELECT o_custkey AS key, COUNT(*) AS ca FROM orders GROUP BY 1),
+b AS (SELECT c_custkey AS key, COUNT(*) AS cb FROM customer GROUP BY 1),
+j AS (SELECT a.key, a.ca, b.cb FROM a JOIN b USING (key))
+SELECT
+  CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+  CAST(COUNT(*) AS BIGINT) AS matched_keys,
+  CAST(MAX(ca * cb) AS BIGINT) AS max_key_output,
+  CAST((SELECT SUM(ca) FROM a) AS BIGINT) - CAST(SUM(ca) AS BIGINT)
+    AS left_rows_unmatched,
+  CAST((SELECT SUM(cb) FROM b) AS BIGINT) - CAST(SUM(cb) AS BIGINT)
+    AS right_rows_unmatched
+FROM j
+"""
+
+
+@query("q205_join_size_forecast", _Q205_SQL)
+def q205_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inner-join output cardinality WITHOUT executing the join:
+    |A JOIN B on k| = sum over matched keys of cntA(k)*cntB(k). Two
+    group-bys + one key-histogram join move only (key, count) pairs —
+    at 100 TB that is the difference between forecasting a 10^14-row
+    blow-up from kilobytes of histogram and discovering it as a dead
+    executor. Also reports the heaviest key's output contribution (the
+    q204 skew signal at join granularity) and unmatched row mass per
+    side (anti-join sizes, for free from the same histograms).
+
+    All arithmetic is exact integer (BIGINT sums of products), so the
+    forecast is bit-deterministic against the oracle AND against the
+    real join's count."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = c.groupBy(F.col("c_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    tot_a = a.agg(F.sum("ca").cast("bigint").alias("ta"))
+    tot_b = b.agg(F.sum("cb").cast("bigint").alias("tb"))
+    j = a.join(b, on="key")
+    return (
+        j.agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("join_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+            F.max(F.col("ca") * F.col("cb")).cast("bigint").alias("max_key_output"),
+            F.sum("ca").cast("bigint").alias("_ma"),
+            F.sum("cb").cast("bigint").alias("_mb"),
+        )
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "join_rows",
+            "matched_keys",
+            "max_key_output",
+            (F.col("ta") - F.col("_ma")).alias("left_rows_unmatched"),
+            (F.col("tb") - F.col("_mb")).alias("right_rows_unmatched"),
+        )
+    )

@@ -536,3 +536,21 @@ def test_label_propagation_properties_random_graphs(spark):
             assert comm_to_comp.setdefault(lab, cc[u]) == cc[u]
 
     prop()
+
+
+def test_join_size_forecast_matches_actual_join(spark):
+    """q205's histogram forecast must equal the REAL join's cardinality —
+    the property that makes it a forecast rather than an estimate."""
+    import __spark_entry__ as em
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    row = em.queries()["q205_join_size_forecast"](spark, sf).collect()[0]
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    actual = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert row["join_rows"] == actual
+    anti_l = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    anti_r = c.join(o, o.o_custkey == c.c_custkey, "left_anti").count()
+    assert row["left_rows_unmatched"] == anti_l
+    assert row["right_rows_unmatched"] == anti_r
