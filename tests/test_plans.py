@@ -438,3 +438,23 @@ def test_q64_bnlj_rows_are_one_row_scalar_broadcasts(spark):
     # and the build side is an aggregate with NO grouping keys (1 row):
     # 'Keys: []' in the formatted HashAggregate details
     assert "Keys: []" in plan
+
+
+def test_q204_q205_bnlj_rows_are_one_row_scalar_broadcasts(spark):
+    """Same adjudication as q64 for the round-3 diagnostics: their BNLJ
+    plan rows are all crossJoins of 1-row aggregates (IdentityBroadcastMode,
+    grouping-free build side), never data-relation nested loops."""
+    import re
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.skew import (
+        q204_key_skew_profile,
+        q205_join_size_forecast,
+    )
+
+    for fn in (q204_key_skew_profile, q205_join_size_forecast):
+        plan = explain_str(fn(spark, SF))
+        tree_bnlj = re.findall(r"BroadcastNestedLoopJoin [^\n(]*", plan)
+        assert tree_bnlj, fn.__name__  # the scalar crossJoins are expected
+        assert all("Build" in row for row in tree_bnlj), (fn.__name__, tree_bnlj)
+        assert "IdentityBroadcastMode" in plan, fn.__name__
+        assert "Keys: []" in plan, fn.__name__
