@@ -470,7 +470,7 @@ ORDER BY cntrycode
 def q87_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22: above-average-balance customers with no RECENT order
     (none in the 12 months up to the corpus's last order date), grouped by
-    a derived code (c_phone is absent → RIGHT(c_name, 2), same
+    a derived code (c_phone is absent → RIGHT(c_name, 1), same
     substring-derived key structure). The original "never ordered"
     predicate is vacuous on this corpus (every custkey appears in orders),
     so dormancy is time-bounded — the anti-join shape is identical, the
@@ -497,8 +497,11 @@ def q87_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     orders = _t(spark, sf_dir, "orders")
+    # timestamp-preserving interval arithmetic (NOT add_months, which
+    # returns DATE and truncates time-of-day — the oracle's
+    # `- INTERVAL 12 MONTH` keeps it, and o_orderdate is a timestamp)
     cutoff = orders.agg(
-        F.add_months(F.max("o_orderdate"), -12).alias("cutoff")
+        (F.max("o_orderdate") - F.expr("INTERVAL 12 MONTHS")).alias("cutoff")
     )
     o = (
         orders.crossJoin(F.broadcast(cutoff))

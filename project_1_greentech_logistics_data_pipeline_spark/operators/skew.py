@@ -136,7 +136,7 @@ SELECT
   CAST(ROUND(t.max_key_rows / CAST(t.n_rows AS DOUBLE), 6) AS DOUBLE)
     AS top_key_share,
   CAST((SELECT COUNT(*) FROM k
-        WHERE key_rows * t.n_keys > 4.0 * t.n_rows) AS BIGINT) AS n_hot_keys
+        WHERE key_rows * t.n_keys > 4 * t.n_rows) AS BIGINT) AS n_hot_keys
 FROM tot t
 """
 
@@ -149,15 +149,18 @@ def q204_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean x4 here matches the 'hot key' rule of thumb), top-key share, and
     the hot-key count. This is the diagnostic a pipeline runs BEFORE
     choosing broadcast vs shuffle vs salted_join vs AQE-only at 100 TB —
-    one groupBy + one 1-row aggregate, no data leaves the cluster.
+    one cached (key, count) histogram feeding two 1-row aggregates, no
+    data leaves the cluster.
 
     The hot-key predicate is evaluated with exact integer cross
     multiplication (key_rows * n_keys > 4 * n_rows), not a float mean, so
     the count is bit-deterministic against the oracle."""
     o = _t(spark, sf_dir, "orders")
+    # cache: the histogram feeds both the totals and the hot-key count;
+    # uncached, each branch would rescan and re-aggregate the fact table
     k = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("key_rows")
-    )
+    ).cache()
     tot = k.agg(
         F.sum("key_rows").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
@@ -167,7 +170,7 @@ def q204_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.crossJoin(F.broadcast(tot.select("n_rows", "n_keys")))
         .filter(
             F.col("key_rows") * F.col("n_keys")
-            > F.lit(4.0) * F.col("n_rows")
+            > F.lit(4) * F.col("n_rows")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hot_keys"))
     )
@@ -225,12 +228,14 @@ def q205_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     real join's count."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # cache both histograms: each feeds its per-side total AND the
+    # histogram join; uncached, orders/customer would be scanned twice
     a = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("ca")
-    )
+    ).cache()
     b = c.groupBy(F.col("c_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("cb")
-    )
+    ).cache()
     tot_a = a.agg(F.sum("ca").cast("bigint").alias("ta"))
     tot_b = b.agg(F.sum("cb").cast("bigint").alias("tb"))
     j = a.join(b, on="key")

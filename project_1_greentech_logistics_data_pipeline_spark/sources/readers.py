@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schemas import PHYSICAL_SCHEMAS, TABLE_NAMES, TELEMETRY_SCHEMA, TESTDATA_SCHEMAS
+from ..schemas import TABLE_NAMES, TELEMETRY_SCHEMA, TESTDATA_SCHEMAS
 from ..session import tune
 
 
@@ -72,7 +72,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         tune(spark)
-        physical = PHYSICAL_SCHEMAS.get(name) or T.StructType(
+        # Always derived from the sniffed ns_cols — a static per-table
+        # physical schema (the round-2 shape, PHYSICAL_SCHEMAS["events"])
+        # would mistype columns whenever the actually-nanos set differs
+        # from the historical one.
+        physical = T.StructType(
             [
                 T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType)
                 for f in TESTDATA_SCHEMAS[name].fields

@@ -12,10 +12,10 @@ Spark already measures all of it per micro-batch (`StreamingQueryProgress.
 stateOperators`); this module turns those JSON blobs into typed DataFrames
 so they can be stored, joined, and alerted on like any other table:
 
-- ``state_operator_metrics(query)``: one row per (batch, state operator)
+- ``state_operator_metrics(spark, query)``: one row per (batch, state operator)
   from the query's retained progress history — row counts, rows updated /
   removed / dropped-by-watermark, memory used, commit time.
-- ``batch_progress(query)``: one row per micro-batch — input/processed
+- ``batch_progress(spark, query)``: one row per micro-batch — input/processed
   rows per second, batch duration, watermark.
 - ``StateMetricsListener``: a ``StreamingQueryListener`` that accumulates
   the same rows engine-wide (bounded deque) for sessions with many

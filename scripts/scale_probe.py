@@ -11,18 +11,20 @@ declared query functions unmodified.
 Corpus construction (deterministic, derived from the driver's sf0.1
 tables — no hand-rolled distributions):
 
-- documents x m: copy k in [0, m) offsets doc_id by k*10^7 and renames
-  every token t -> md5(t || k)[:8] (an injective, copy-consistent map).
-  Within-copy token-set Jaccard structure is EXACTLY preserved (injective
-  rename), within-copy char-gram similarity structure is preserved up to
-  the uniform rename, and cross-copy overlap is destroyed at BOTH the
-  token and the character level — so true near-dup pairs grow linearly
-  in m, the regime of a real corpus where a document's duplicate count
-  does not grow with corpus size. (First attempt used suffixing t->t_k:
-  token sets decorrelated but char k-grams still collided across copies,
-  inflating the char-shingle paths q46/q143 quadratically — measured,
-  see SCALE.md. Naive replication is worse still: every doc gets m-1
-  exact dups and true pairs grow quadratically by construction.)
+- documents x m: copy k in [0, m) offsets doc_id by k*10^7 and applies a
+  per-lang affine PERMUTATION of the vocabulary (token at sorted-vocab
+  index i -> token at (a_k*i + b_k) mod V, a_k >= 2 coprime with V so the
+  identity never occurs). The renamed corpus reuses the exact same token
+  strings, so char-gram statistics are preserved verbatim, within-copy
+  token-set structure is preserved bijectively, and cross-copy overlap
+  falls to the corpus's NATURAL background level — the regime of a real
+  corpus where a document's duplicate count does not grow with corpus
+  size. (Rejected constructions, both measured — see SCALE.md: suffixing
+  t->t_k left char k-grams shared across copies and blew up the
+  char-shingle paths q46/q143 quadratically; renaming to md5 hex made
+  every token look alike at the char level, inflating WITHIN-copy
+  similarity instead. Naive replication is worse still: every doc gets
+  m-1 exact dups and true pairs grow quadratically by construction.)
 - embeddings x m: copy k offsets vec_id and applies a per-copy
   deterministic sign flip per dimension (multiply dim i by
   hash(i,k)-derived +/-1) — an orthogonal transform, so norms and
@@ -107,10 +109,16 @@ def build_corpus(spark, m: int) -> str:
     def perm_map(lang: str, k: int) -> dict[str, str]:
         toks = vocab[lang]
         v = len(toks)
-        a = 1 + (2 * k + 1) % (v - 1)
-        while math.gcd(a, v) != 1:
-            a += 1
+        if v < 2:
+            return {}  # 1-token vocab: only the identity exists
+        # multiplier from the coprime candidates >= 2 (a=1 with b=0 is the
+        # identity map, which would make copy k byte-identical to copy 0
+        # and reintroduce the quadratic exact-dup artifact)
+        cands = [x for x in range(2, v) if math.gcd(x, v) == 1] or [1]
+        a = cands[k % len(cands)]
         b = (7 * k) % v
+        if a == 1 and b == 0:
+            b = 1
         return {toks[i]: toks[(a * i + b) % v] for i in range(v)}
 
     parts = []
