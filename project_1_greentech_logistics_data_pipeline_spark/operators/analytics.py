@@ -335,35 +335,84 @@ _Q122_PAIRS = [
     ("l_discount", "l_tax"),
 ]
 
-_Q122_SQL = "\nUNION ALL\n".join(
-    f"""SELECT '{x}' AS col_x, '{y}' AS col_y,
-       CAST(ROUND(CORR({x}, {y}), 6) AS DOUBLE) AS corr6,
-       CAST(ROUND(COVAR_SAMP({x}, {y}), 4) AS DOUBLE) AS covar4
-FROM lineitem"""
-    for x, y in _Q122_PAIRS
-) + "\nORDER BY col_x, col_y"
+_Q122_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+# Exact-moment aggregate expressions, shared verbatim by the Spark plan and
+# the DuckDB oracle: decimal sums are order-independent (integer arithmetic
+# under the hood), so both engines fold identical moments regardless of
+# partition/merge order. The per-row double products x*y are IEEE-identical
+# on both engines before the decimal cast.
+_Q122_DEC = "DECIMAL(38,10)"
+_Q122_MOMENTS = (
+    ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    + [
+        f"CAST(SUM(CAST({c} AS {_Q122_DEC})) AS DOUBLE) AS s_{c}"
+        for c in _Q122_COLS
+    ]
+    + [
+        f"CAST(SUM(CAST({c} * {c} AS {_Q122_DEC})) AS DOUBLE) AS ss_{c}"
+        for c in _Q122_COLS
+    ]
+    + [
+        f"CAST(SUM(CAST({x} * {y} AS {_Q122_DEC})) AS DOUBLE) AS sp_{i}"
+        for i, (x, y) in enumerate(_Q122_PAIRS)
+    ]
+)
+
+
+def _q122_corr(i: int, x: str, y: str) -> str:
+    """corr derived from the exact moments in one double expression —
+    written once so Spark and DuckDB evaluate the identical IEEE tree."""
+    num = f"(sp_{i} - s_{x} * s_{y} / n)"
+    den = f"SQRT((ss_{x} - s_{x} * s_{x} / n) * (ss_{y} - s_{y} * s_{y} / n))"
+    return f"CAST(ROUND({num} / {den}, 6) AS DOUBLE)"
+
+
+def _q122_covar(i: int, x: str, y: str) -> str:
+    num = f"(sp_{i} - s_{x} * s_{y} / n)"
+    return f"CAST(ROUND({num} / (n - 1), 4) AS DOUBLE)"
+
+
+_Q122_SQL = (
+    f"WITH m AS (SELECT {', '.join(_Q122_MOMENTS)} FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+        f"{_q122_corr(i, x, y)} AS corr6, {_q122_covar(i, x, y)} AS covar4 FROM m"
+        for i, (x, y) in enumerate(_Q122_PAIRS)
+    )
+    + "\nORDER BY col_x, col_y"
+)
 
 
 @query("q122_corr_matrix", _Q122_SQL)
 def q122_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle correlation + sample-covariance matrix over the four
-    numeric lineitem measures, all 12 statistics in ONE aggregation pass
-    (one scan, 1-row shuffle), then stacked tall. Rounded to 6/4 decimals
-    on both engines — moment accumulations are order-dependent in the last
-    ulps (q19 precedent). At 100 TB this is the only sane shape: never one
-    scan per pair."""
+    numeric lineitem measures, all statistics in ONE aggregation pass
+    (one scan, 1-row shuffle), then stacked tall. Moments are accumulated
+    as DECIMAL(38,10) sums — exact, hence order-independent across
+    partition/merge schedules — and corr/covar are derived from them in a
+    single double expression shared verbatim with the oracle, so results
+    are bit-identical run-to-run and engine-to-engine (the r3 hash drift
+    was covar_samp's double accumulation flipping an absolute 4th decimal
+    on ~1e3-magnitude covariances). At 100 TB this is the only sane shape:
+    one scan, never one per pair; decimal partial-sums map-side combine
+    like any other SUM."""
     li = _t(spark, sf_dir, "lineitem")
-    aggs = []
-    for i, (x, y) in enumerate(_Q122_PAIRS):
-        aggs += [
-            F.round(F.corr(x, y), 6).alias(f"c{i}"),
-            F.round(F.covar_samp(x, y), 4).alias(f"v{i}"),
-        ]
-    wide = li.agg(*aggs)
+    moments = li.select(*_Q122_COLS).agg(*(F.expr(m) for m in _Q122_MOMENTS))
+    stats = moments.selectExpr(
+        *(
+            e
+            for i, (x, y) in enumerate(_Q122_PAIRS)
+            for e in (
+                f"{_q122_corr(i, x, y)} AS c{i}",
+                f"{_q122_covar(i, x, y)} AS v{i}",
+            )
+        )
+    )
     rows = ", ".join(
         f"'{x}', '{y}', c{i}, v{i}" for i, (x, y) in enumerate(_Q122_PAIRS)
     )
-    return wide.selectExpr(
+    return stats.selectExpr(
         f"stack({len(_Q122_PAIRS)}, {rows}) AS (col_x, col_y, corr6, covar4)"
     ).orderBy("col_x", "col_y")
 

@@ -403,9 +403,9 @@ WITH t AS (
 )
 SELECT e.vec_id,
   CAST(127.0 / NULLIF(t.maxabs, 0.0) AS DOUBLE) AS scale,
-  LIST_TRANSFORM(e.embedding,
-    x -> CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / NULLIF(t.maxabs, 0.0)) + 0.5)
-         AS INT)) AS qvec
+  array_to_string(LIST_TRANSFORM(e.embedding,
+    x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / NULLIF(t.maxabs, 0.0)) + 0.5)
+         AS INT) AS VARCHAR)), ',') AS qvec
 FROM embeddings e JOIN t USING (vec_id)
 """
 
@@ -418,18 +418,25 @@ def q96_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure higher-order functions in codegen; rounding is floor(x+0.5) on both
     engines (identical double math: float32 -> double promotion is exact, so
     the int8 codes hash-match the oracle bit-for-bit). Zero vectors get a
-    NULL scale and NULL codes (3VL propagation, both engines)."""
+    NULL scale and NULL codes (3VL propagation, both engines). The codes are
+    serialized to one comma-joined string column (oracle: array_to_string)
+    because the output contract is scalar columns only — the driver
+    canonicalizer cannot sort array cells; the typed int8 semantics stay
+    pinned by the roundtrip test in tests/test_extensions.py."""
     tune(spark)
     e = load_table(spark, sf_dir, "embeddings")
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(emb_d, F.abs))
     scale = F.lit(127.0) / F.nullif(maxabs, F.lit(0.0))
+    qvec = F.transform(
+        emb_d, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int").cast("string")
+    )
+    # all-NULL code list (zero vector) must serialize to NULL, matching
+    # DuckDB's array_to_string; Spark's array_join would give ''.
     return e.select(
         "vec_id",
         scale.alias("scale"),
-        F.transform(emb_d, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")).alias(
-            "qvec"
-        ),
+        F.when(scale.isNotNull(), F.array_join(qvec, ",")).alias("qvec"),
     )
 
 

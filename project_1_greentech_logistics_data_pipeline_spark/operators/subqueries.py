@@ -321,8 +321,8 @@ def q68_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q69_SQL = """
 SELECT c_nationkey,
-  list_sort(list(DISTINCT c_mktsegment)) AS segments,
-  list_sort(list(c_mktsegment)) AS segments_all,
+  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+  array_to_string(list_sort(list(c_mktsegment)), ',') AS segments_all,
   COUNT(*) AS n_customers
 FROM customer
 GROUP BY c_nationkey
@@ -334,11 +334,17 @@ def q69_collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set / collect_list surface. Spark's collection aggregates are
     order-nondeterministic across partitions, so both are wrapped in
     array_sort — the only way a distributed collect can have a stable
-    value (and the only way it can be oracle-checked)."""
+    value (and the only way it can be oracle-checked). The sorted arrays are
+    serialized with concat_ws (oracle: array_to_string) because the output
+    contract is scalar columns only — the driver canonicalizer sorts rows
+    pandas-side and array cells are unsortable there (q10 pattern,
+    relational.py)."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
-        F.array_sort(F.collect_list("c_mktsegment")).alias("segments_all"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.concat_ws(",", F.array_sort(F.collect_list("c_mktsegment"))).alias(
+            "segments_all"
+        ),
         F.count("*").alias("n_customers"),
     )
 

@@ -320,7 +320,7 @@ vocab AS (
   SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS id FROM freq
 )
 SELECT t.doc_id,
-       LIST(v.id ORDER BY t.pos) AS ids,
+       STRING_AGG(CAST(v.id AS VARCHAR), ',' ORDER BY t.pos) AS ids,
        CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM toks t JOIN vocab v USING (tok)
 GROUP BY t.doc_id
@@ -336,8 +336,10 @@ def q165_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab is one corpus aggregate + a |V|-row window; encoding is
     explode-with-position, broadcast vocab join, and an order-preserving
     re-collect (sort_array over (pos, id) structs — collect_list alone
-    has no order guarantee across partitions). Output rows carry int
-    arrays: the exact input shape of sequence packing (q103)."""
+    has no order guarantee across partitions). The id sequence is emitted
+    as one comma-joined string column (oracle: ordered STRING_AGG) — the
+    output contract is scalar columns only, since the driver canonicalizer
+    cannot sort array cells (q10 pattern)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "tok")
@@ -354,8 +356,12 @@ def q165_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(vocab), on="tok")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
             ).alias("ids"),
             F.count(F.lit(1)).alias("n_tokens"),
         )

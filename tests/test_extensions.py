@@ -299,7 +299,9 @@ def test_int8_quantization_roundtrip(spark):
     }
     assert q
     for r in q:
-        scale, codes = r["scale"], r["qvec"]
+        # qvec is serialized (canonicalizer-safe output contract); parse back
+        # to ints so the typed int8 semantics stay pinned here.
+        scale, codes = r["scale"], [int(c) for c in r["qvec"].split(",")]
         emb = orig[r["vec_id"]]
         assert scale is not None and scale > 0
         assert max(abs(c) for c in codes) == 127  # max|x| maps to full range
