@@ -167,17 +167,40 @@ def q27_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Percentiles and moment statistics
 # ---------------------------------------------------------------------------
 
-_Q19_SQL = """
-SELECT
-  l_returnflag,
-  CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS DOUBLE) AS median_price,
-  CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price,
-  CAST(ROUND(STDDEV_SAMP(l_extendedprice), 2) AS DOUBLE) AS stddev_price,
-  CAST(ROUND(VAR_SAMP(l_quantity), 4) AS DOUBLE) AS var_qty,
-  CAST(ROUND(CORR(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
-  CAST(ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS DOUBLE) AS covar_qty_price
-FROM lineitem
-GROUP BY l_returnflag
+# Second-moment statistics derived from decimal-exact component sums:
+# builtin stddev/var/corr/covar accumulate in double, whose last-ulp
+# order dependence can flip an absolute-decimal ROUND (the q122 r3 hash
+# drift). Decimal sums are order-independent; the derivation expressions
+# are shared verbatim between the Spark plan and the DuckDB oracle, so
+# results are bit-identical engine-to-engine and run-to-run.
+_Q19_MOMENTS = [
+    "CAST(COUNT(*) AS DOUBLE) AS n",
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s_p",
+    "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS ss_p",
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s_q",
+    "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS ss_q",
+    "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s_qp",
+]
+
+_Q19_STATS = [
+    "CAST(ROUND(SQRT((ss_p - s_p * s_p / n) / (n - 1)), 2) AS DOUBLE) AS stddev_price",
+    "CAST(ROUND((ss_q - s_q * s_q / n) / (n - 1), 4) AS DOUBLE) AS var_qty",
+    "CAST(ROUND((s_qp - s_q * s_p / n) / (SQRT(ss_q - s_q * s_q / n)"
+    " * SQRT(ss_p - s_p * s_p / n)), 6) AS DOUBLE) AS corr_qty_price",
+    "CAST(ROUND((s_qp - s_q * s_p / n) / (n - 1), 2) AS DOUBLE) AS covar_qty_price",
+]
+
+_Q19_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS DOUBLE) AS median_price,
+    CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price,
+    {", ".join(_Q19_MOMENTS)}
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, median_price, p90_price, {", ".join(_Q19_STATS)}
+FROM m
 ORDER BY l_returnflag
 """
 
@@ -185,24 +208,21 @@ ORDER BY l_returnflag
 @query("q19_percentiles_moments", _Q19_SQL)
 def q19_percentiles_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    QUANTILE_CONT) and second-moment statistics. Moments are rounded on both
-    sides: Spark's merge-based accumulation and DuckDB's sequential one
-    differ in float ulps, never at these rounded digits."""
+    QUANTILE_CONT) and second-moment statistics from decimal-exact
+    component sums (see _Q19_MOMENTS) — one aggregation pass, map-side
+    combinable, order-independent by construction. The stat derivations
+    (_Q19_STATS) are the same IEEE double expressions on both engines,
+    so the absolute-decimal rounds can never straddle an
+    accumulation-order boundary."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
-            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-                "covar_qty_price"
-            ),
-        )
-        .orderBy("l_returnflag")
+    moments = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        *(F.expr(m) for m in _Q19_MOMENTS),
     )
+    return moments.selectExpr(
+        "l_returnflag", "median_price", "p90_price", *_Q19_STATS
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
