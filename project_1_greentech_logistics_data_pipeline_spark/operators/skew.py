@@ -156,11 +156,17 @@ def q204_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplication (key_rows * n_keys > 4 * n_rows), not a float mean, so
     the count is bit-deterministic against the oracle."""
     o = _t(spark, sf_dir, "orders")
-    # cache: the histogram feeds both the totals and the hot-key count;
-    # uncached, each branch would rescan and re-aggregate the fact table
-    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("key_rows")
-    ).cache()
+    # localCheckpoint: the histogram feeds both the totals and the hot-key
+    # count; unmaterialized, each branch would rescan and re-aggregate the
+    # fact table. Checkpoint blocks are reclaimed by the ContextCleaner when
+    # the DataFrame is GC'd — unlike cache(), which pins the plan in the
+    # CacheManager for the session lifetime (long-lived library callers
+    # would accumulate executor memory).
+    k = (
+        o.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("key_rows"))
+        .localCheckpoint(eager=True)
+    )
     tot = k.agg(
         F.sum("key_rows").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
@@ -201,13 +207,13 @@ WITH a AS (SELECT o_custkey AS key, COUNT(*) AS ca FROM orders GROUP BY 1),
 b AS (SELECT c_custkey AS key, COUNT(*) AS cb FROM customer GROUP BY 1),
 j AS (SELECT a.key, a.ca, b.cb FROM a JOIN b USING (key))
 SELECT
-  CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+  COALESCE(CAST(SUM(ca * cb) AS BIGINT), 0) AS join_rows,
   CAST(COUNT(*) AS BIGINT) AS matched_keys,
-  CAST(MAX(ca * cb) AS BIGINT) AS max_key_output,
-  CAST((SELECT SUM(ca) FROM a) AS BIGINT) - CAST(SUM(ca) AS BIGINT)
-    AS left_rows_unmatched,
-  CAST((SELECT SUM(cb) FROM b) AS BIGINT) - CAST(SUM(cb) AS BIGINT)
-    AS right_rows_unmatched
+  COALESCE(CAST(MAX(ca * cb) AS BIGINT), 0) AS max_key_output,
+  CAST((SELECT SUM(ca) FROM a) AS BIGINT)
+    - COALESCE(CAST(SUM(ca) AS BIGINT), 0) AS left_rows_unmatched,
+  CAST((SELECT SUM(cb) FROM b) AS BIGINT)
+    - COALESCE(CAST(SUM(cb) AS BIGINT), 0) AS right_rows_unmatched
 FROM j
 """
 
@@ -228,24 +234,37 @@ def q205_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     real join's count."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    # cache both histograms: each feeds its per-side total AND the
-    # histogram join; uncached, orders/customer would be scanned twice
-    a = o.groupBy(F.col("o_custkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("ca")
-    ).cache()
-    b = c.groupBy(F.col("c_custkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("cb")
-    ).cache()
+    # localCheckpoint both histograms: each feeds its per-side total AND
+    # the histogram join; unmaterialized, orders/customer would be scanned
+    # twice. ContextCleaner reclaims the blocks (cache() would pin them).
+    a = (
+        o.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        c.groupBy(F.col("c_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)
+    )
     tot_a = a.agg(F.sum("ca").cast("bigint").alias("ta"))
     tot_b = b.agg(F.sum("cb").cast("bigint").alias("tb"))
     j = a.join(b, on="key")
+    zero = F.lit(0).cast("bigint")
     return (
         j.agg(
-            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("join_rows"),
+            # coalesce: with zero matched keys SUM/MAX over the empty join
+            # are NULL — the forecast must report 0 joined rows and the full
+            # per-side totals unmatched instead of NULL-propagating.
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")).cast("bigint"), zero).alias(
+                "join_rows"
+            ),
             F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
-            F.max(F.col("ca") * F.col("cb")).cast("bigint").alias("max_key_output"),
-            F.sum("ca").cast("bigint").alias("_ma"),
-            F.sum("cb").cast("bigint").alias("_mb"),
+            F.coalesce(
+                F.max(F.col("ca") * F.col("cb")).cast("bigint"), zero
+            ).alias("max_key_output"),
+            F.coalesce(F.sum("ca").cast("bigint"), zero).alias("_ma"),
+            F.coalesce(F.sum("cb").cast("bigint"), zero).alias("_mb"),
         )
         .crossJoin(F.broadcast(tot_a))
         .crossJoin(F.broadcast(tot_b))

@@ -23,7 +23,7 @@ from ..schemas import TABLE_NAMES, TELEMETRY_SCHEMA, TESTDATA_SCHEMAS
 from ..session import tune
 
 
-_NS_TS_COLS: dict[str, tuple] = {}
+_NS_TS_COLS: dict[tuple, tuple] = {}
 
 
 def _ns_ts_cols(path: str, name: str) -> tuple:
@@ -38,7 +38,14 @@ def _ns_ts_cols(path: str, name: str) -> tuple:
     per path decides the scan plan — O(1) at any data scale, never data
     pages.
     """
-    cols = _NS_TS_COLS.get(path)
+    # Keyed on (path, mtime): a file regenerated in place with a different
+    # timestamp unit — the exact drift this sniff exists for — invalidates
+    # the cached plan instead of reading with a stale one until restart.
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (path, 0)
+    cols = _NS_TS_COLS.get(key)
     if cols is None:
         from pyspark.sql import types as T
 
@@ -58,7 +65,7 @@ def _ns_ts_cols(path: str, name: str) -> tuple:
             )
         except Exception:
             cols = ()
-        _NS_TS_COLS[path] = cols
+        _NS_TS_COLS[key] = cols
     return cols
 
 
@@ -78,7 +85,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # from the historical one.
         physical = T.StructType(
             [
-                T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType)
+                T.StructField(
+                    f.name,
+                    T.LongType() if f.name in ns_cols else f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
                 for f in TESTDATA_SCHEMAS[name].fields
             ]
         )
