@@ -69,8 +69,23 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
     qs = entry_mod.queries()
+
+    def canary_sec() -> float:
+        """Time the cheapest stable query (q01) solo from a clean session.
+        Run before and after the suite, the pair makes an environmental
+        collapse (CPU throttling / noisy neighbor — the r3 428s-on-
+        identical-code mode) machine-detectable from the bench output
+        itself instead of requiring manual per-query band cross-checks."""
+        release_session_state()
+        fn = qs["q01_pricing_summary"]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    canary_pre = canary_sec()
+
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -95,6 +110,9 @@ def main() -> None:
     except ValueError:
         pass
 
+    canary_post = canary_sec()
+    ratio = round(canary_post / canary_pre, 2) if canary_pre > 0 else None
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -104,6 +122,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "env": {
+                    "canary_query": "q01_pricing_summary",
+                    "canary_pre_sec": canary_pre,
+                    "canary_post_sec": canary_post,
+                    "canary_ratio": ratio,
+                    # >2x drift on identical work = environmental variance;
+                    # per-query numbers from this run are suspect (re-time
+                    # solo before believing them — BASELINE.md protocol)
+                    "throttled": bool(ratio and ratio > 2.0),
+                },
             }
         )
     )

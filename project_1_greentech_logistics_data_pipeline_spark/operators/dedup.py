@@ -1071,31 +1071,46 @@ _NEG_RATE = 0.10
 
 
 def _ngram_jaccard_scored(
-    spark: SparkSession, sf_dir: str, min_score: float = _NEG_BAND[0]
+    spark: SparkSession,
+    sf_dir: str,
+    min_score: float = _NEG_BAND[0],
+    sample_rate: float | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every same-lang pair with Jaccard >=
     ``min_score`` — q44's salted bitmap machinery with the size-band
     prune relaxed to the lower bound (sound: the band predicate is
-    monotone in the threshold), no final dup-threshold filter."""
+    monotone in the threshold), no final dup-threshold filter.
+
+    ``sample_rate`` applies the deterministic Knuth-hash pair sample
+    BEFORE the popcount verify: the sampling predicate depends only on the
+    pair key, so un-sampled candidates are dropped without ever computing
+    their Jaccard — the dominant verify mass shrinks by 1/rate. Only valid
+    when the caller wants exclusively the sampled subset (q194's LSH-
+    assisted negative path)."""
     tune(spark)
     docs = bitmask_token_sets(spark, sf_dir).cache()
     a = docs.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(_PAIR_SALT))).alias("a")
     b = docs.withColumn(
         "part", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
     ).alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.part") == F.col("b.part"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # Slack the band bound below min_score so a pair whose RAW
-            # score sits just under the threshold but ROUNDS up to it
-            # (e.g. 0.3999995 -> 0.40) is still generated as a candidate —
-            # the final filter below is on the rounded value.
-            & _size_band(F.col("a.sz"), F.col("b.sz"), max(min_score - 1e-6, 0.0)),
+    joined = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.part") == F.col("b.part"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # Slack the band bound below min_score so a pair whose RAW
+        # score sits just under the threshold but ROUNDS up to it
+        # (e.g. 0.3999995 -> 0.40) is still generated as a candidate —
+        # the final filter below is on the rounded value.
+        & _size_band(F.col("a.sz"), F.col("b.sz"), max(min_score - 1e-6, 0.0)),
+    )
+    if sample_rate is not None:
+        pair_key = F.col("a.doc_id") * 10000 + F.col("b.doc_id")
+        joined = joined.filter(
+            (pair_key * _NEG_KEEP) % _NEG_MOD < int(sample_rate * _NEG_MOD)
         )
-        .select(
+    return (
+        joined.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             _jaccard_mask_expr(
@@ -1144,7 +1159,38 @@ def q194_dedup_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivially separable). The negative sample uses the Knuth-hash rule
     on the pair key, so the dataset is reproducible and oracle-exact —
     label noise from RNG sampling would poison comparisons between
-    classifier runs. Reuses the q44 candidate machinery for scoring."""
+    classifier runs. Reuses the q44 candidate machinery for scoring.
+
+    SPARK_GRAFT_Q194_MODE (env switch, neardup_pairs pattern):
+
+      exact (default) — one banded-quadratic scoring pass feeds both
+        labels: the oracle baseline, exact by construction.
+      lsh — the 100 TB shape: positives from q45's MinHash-LSH
+        candidates + exact verify (shuffle-on-band-hash, never
+        quadratic), negatives from the banded quadratic with the
+        Knuth sample applied BEFORE the popcount verify (the sampling
+        predicate is pair-key-only, so ~90% of band candidates are
+        dropped unverified — the dominant mass of the exact plan).
+        Result-equivalent on corpora where LSH recall at the 0.95
+        threshold is 1.0 (pinned vs the exact path at sf0.01 in
+        tests/test_dedup_properties.py); at true 100 TB the recall is
+        the documented 1-(1-s^8)^4 S-curve.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_Q194_MODE", "exact") == "lsh":
+        pos = q45_minhash_lsh_neardup(spark, sf_dir).select(
+            "doc_a", "doc_b", "jaccard", F.lit(True).alias("is_duplicate")
+        )
+        neg = (
+            _ngram_jaccard_scored(spark, sf_dir, sample_rate=_NEG_RATE)
+            .filter(
+                (F.col("jaccard") >= _NEG_BAND[0]) & (F.col("jaccard") < _NEG_BAND[1])
+            )
+            .select("doc_a", "doc_b", "jaccard", F.lit(False).alias("is_duplicate"))
+        )
+        return pos.unionByName(neg).orderBy("doc_a", "doc_b")
+
     scored = _ngram_jaccard_scored(spark, sf_dir)
     pos = scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard", F.lit(True).alias("is_duplicate")

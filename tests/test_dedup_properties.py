@@ -198,3 +198,28 @@ def test_q73_lsh_flag_matches_exact_path(spark, monkeypatch):
         for r in q73_neardup_clusters(spark, SF).collect()
     }
     assert via_lsh == base
+
+
+def test_q194_lsh_mode_matches_exact_path(spark, monkeypatch):
+    """q194 with SPARK_GRAFT_Q194_MODE=lsh (LSH positives + pre-verify-
+    sampled quadratic negatives) must produce the identical labeled pair
+    set as the default single-pass exact path — pinned at sf0.01 per the
+    round-3 verdict (LSH recall at the 0.95 threshold is 1.0 on this
+    corpus, so the equivalence is exact, not approximate)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q194_dedup_training_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base = {
+        (r["doc_a"], r["doc_b"], r["jaccard"], r["is_duplicate"])
+        for r in q194_dedup_training_pairs(spark, sf).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_Q194_MODE", "lsh")
+    via_lsh = {
+        (r["doc_a"], r["doc_b"], r["jaccard"], r["is_duplicate"])
+        for r in q194_dedup_training_pairs(spark, sf).collect()
+    }
+    assert base  # non-vacuous: the corpus must actually contain both labels
+    assert {t[3] for t in base} == {True, False}
+    assert via_lsh == base
