@@ -291,17 +291,12 @@ def minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q45_minhash_lsh_neardup", None)  # probabilistic candidates -> rows-only
-def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup at threshold 0.95.
-
-    Plan: signature scan (narrow) -> explode to LSH bands -> equi-join on
-    (band_id, band_hash) to get candidates -> exact Jaccard verify on the
-    candidate set only. At 100 TB this is shuffle-on-band-hash + a verify
-    join, never a cross join. Verified pairs are exact (precision 1.0 by
-    construction); recall is probabilistic — tests/test_dedup.py checks it
-    against the brute-force q44 result.
-    """
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) MinHash-LSH candidate pairs: signature scan (narrow)
+    -> explode to LSH bands -> equi-join on (band_id, band_hash). This is
+    q45's pre-verify stage, exposed separately so the scale probe can
+    measure candidate mass (the quantity the S-curve actually governs)
+    independent of verify cost."""
     tune(spark)
     docs = minhash_docs(spark, sf_dir).cache()
     # lang rides along: the exact-verify bitmaps are dictionary-encoded PER
@@ -326,7 +321,7 @@ def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "lang", "band.band_id", "band.band_hash")
 
-    cand = (
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -339,6 +334,19 @@ def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+
+@query("q45_minhash_lsh_neardup", None)  # probabilistic candidates -> rows-only
+def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup at threshold 0.95.
+
+    Plan: signature scan (narrow) -> explode to LSH bands -> equi-join on
+    (band_id, band_hash) to get candidates -> exact Jaccard verify on the
+    candidate set only. At 100 TB this is shuffle-on-band-hash + a verify
+    join, never a cross join. Verified pairs are exact (precision 1.0 by
+    construction); recall is probabilistic — tests/test_dedup.py checks it
+    against the brute-force q44 result.
+    """
+    cand = lsh_candidate_pairs(spark, sf_dir)
     masks = bitmask_token_sets(spark, sf_dir).cache()
     a = masks.select(
         F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a")

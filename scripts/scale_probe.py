@@ -179,6 +179,104 @@ def build_corpus(spark, m: int) -> str:
     return out_dir
 
 
+def build_vocab_corpus(
+    spark, vocab_size: int, n_docs: int = 5000, doc_len: int = 60,
+    dup_rate: float = 0.10,
+) -> str:
+    """Vocabulary-axis corpus: ``n_docs`` documents of ``doc_len`` tokens
+    drawn deterministically (xxhash64-seeded) uniform from a ``vocab_size``
+    vocabulary, plus a ``dup_rate`` fraction of near-dup copies (one token
+    substituted -> set-Jaccard >= (L-1)/(L+1) ~ 0.967 > threshold).
+
+    Purpose (round-3 verdict item 5): the m-axis probe inherits the driver
+    corpus's 31-token-per-lang vocabulary, whose ~0.63 background Jaccard
+    raised to the 8th band power makes q45's verify mass corpus-bound, not
+    algorithm-bound (the starred m=8 point in SCALE.md). Holding document
+    count and duplicate density CONSTANT while growing only the vocabulary
+    isolates that coincidence tail: candidate mass should collapse from
+    ~40% of all pairs at V=31 to ~injected-duplicates at V>=1000.
+
+    Everything is Spark expressions — no driver-side text generation."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(WORK, f"v{vocab_size}")
+    marker = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # token j of doc i: 't' || (xxhash64(i, j) mod V) — uniform, seeded
+    tok = (
+        "concat('t', pmod(xxhash64(CAST(id AS STRING), CAST(j AS STRING)), "
+        f"{vocab_size}))"
+    )
+    base = (
+        spark.range(n_docs)
+        .withColumn(
+            "text",
+            F.expr(
+                f"array_join(transform(sequence(1, {doc_len}), j -> {tok}), ' ')"
+            ),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("vocab_probe").alias("source"),
+        )
+    )
+    n_dups = int(n_docs * dup_rate)
+    # near-dup copy of the first n_dups docs: first token replaced by a
+    # fixed out-of-band token; offset ids keep the pair structure explicit
+    dups = (
+        base.filter(F.col("doc_id") < n_dups)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .withColumn(
+            "text",
+            F.concat(F.lit("tdup "), F.expr("substring_index(text, ' ', -%d)" % (doc_len - 1))),
+        )
+    )
+    u = base.unionByName(dups).withColumn("n_chars", F.length("text").cast("long"))
+    u.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    open(marker, "w").close()
+    return out_dir
+
+
+def vocab_probe(spark, sizes=(31, 1000, 10000)) -> list[dict]:
+    """q45 candidate mass + wall clock as ONLY the vocabulary grows."""
+    import __spark_entry__ as em
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    q45 = em.queries()["q45_minhash_lsh_neardup"]
+    out = []
+    for v in sizes:
+        d = build_vocab_corpus(spark, v)
+        release(spark)
+        t0 = time.perf_counter()
+        n_cand = lsh_candidate_pairs(spark, d).count()
+        cand_sec = round(time.perf_counter() - t0, 2)
+        release(spark)
+        t0 = time.perf_counter()
+        n_ver = q45(spark, d).count()
+        q45_sec = round(time.perf_counter() - t0, 2)
+        rec = {
+            "probe": "vocab",
+            "vocab_size": v,
+            "candidate_pairs": int(n_cand),
+            "candidate_sec": cand_sec,
+            "verified_pairs": int(n_ver),
+            "q45_sec": q45_sec,
+        }
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def release(spark) -> None:
     gc.collect()
     spark.catalog.clearCache()
@@ -197,7 +295,25 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default=None, help="comma list, overrides per-query defaults")
     ap.add_argument("--queries", default=None, help="comma list of query names")
+    ap.add_argument(
+        "--vocab",
+        default=None,
+        help="run the vocabulary-axis probe instead (comma list of vocab sizes, "
+        "e.g. 31,1000,10000)",
+    )
     args = ap.parse_args()
+
+    if args.vocab:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-probe-vocab")
+        results = vocab_probe(spark, tuple(int(v) for v in args.vocab.split(",")))
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, "vocab_probe_results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+        spark.stop()
+        return
 
     probes = dict(DEFAULT_PROBES)
     if args.queries:
