@@ -29,3 +29,40 @@ def dsum(col: Column | str) -> Column:
 def davg(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return dsum(c) / F.count(c)
+
+
+# ---------------------------------------------------------------------------
+# Exact split-integer sums for the moments family (q19/q122 discipline)
+# ---------------------------------------------------------------------------
+#
+# A dsum-style DECIMAL(38,*) aggregation is exact but runs on Spark's
+# BigDecimal slow path (measured 8x the cost of a long sum at sf0.1 with
+# q122's 15 moments). Splitting each per-row double into an integer part
+# and a 1e-10-scaled fraction part — both exact functions of the double
+# (v - FLOOR(v) is the low-order bits of v, exactly representable) — turns
+# the moment into TWO long sums that stay in whole-stage codegen, are
+# order-independent (integer arithmetic), and are overflow-CHECKED by ANSI
+# mode rather than silently wrapping. Reconstruction hi + lo*1e-10 is one
+# deterministic double expression, shared verbatim with the oracle.
+#
+# Scale bound: SUM(hi) fits a long while n * max|v| < 2^63 — for q122's
+# ~1e10-magnitude price squares that is ~8e8 rows (sf ~1000). Beyond that,
+# swap these exprs for the DECIMAL(38,10) form (drop-in: same aliases,
+# same reconstruction names) and pay the slow path; the expressions are
+# factored here so that swap is one line per query.
+
+
+def hilo_sum_exprs(value_sql: str, alias: str) -> list[str]:
+    """SQL aggregate expressions (Spark == DuckDB) whose two long sums
+    exactly determine SUM(value) at 1e-10 granularity, order-independently."""
+    v = f"({value_sql})"
+    return [
+        f"SUM(CAST(FLOOR({v}) AS BIGINT)) AS {alias}_hi",
+        f"SUM(CAST(FLOOR(({v} - FLOOR({v})) * 1e10) AS BIGINT)) AS {alias}_lo",
+    ]
+
+
+def hilo_reconstruct(alias: str) -> str:
+    """The double value of the split sum — identical IEEE expression on
+    both engines given identical hi/lo inputs."""
+    return f"(CAST({alias}_hi AS DOUBLE) + CAST({alias}_lo AS DOUBLE) * 1e-10)"

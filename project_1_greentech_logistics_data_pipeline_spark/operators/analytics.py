@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import dsum
+from ..functions.deterministic import dsum, hilo_reconstruct, hilo_sum_exprs
 from ..session import tune
 from ..sources.readers import load_table
 
@@ -338,26 +338,22 @@ _Q122_PAIRS = [
 _Q122_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 # Exact-moment aggregate expressions, shared verbatim by the Spark plan and
-# the DuckDB oracle: decimal sums are order-independent (integer arithmetic
-# under the hood), so both engines fold identical moments regardless of
-# partition/merge order. The per-row double products x*y are IEEE-identical
-# on both engines before the decimal cast.
-_Q122_DEC = "DECIMAL(38,10)"
-_Q122_MOMENTS = (
-    ["CAST(COUNT(*) AS DOUBLE) AS n"]
-    + [
-        f"CAST(SUM(CAST({c} AS {_Q122_DEC})) AS DOUBLE) AS s_{c}"
-        for c in _Q122_COLS
-    ]
-    + [
-        f"CAST(SUM(CAST({c} * {c} AS {_Q122_DEC})) AS DOUBLE) AS ss_{c}"
-        for c in _Q122_COLS
-    ]
-    + [
-        f"CAST(SUM(CAST({x} * {y} AS {_Q122_DEC})) AS DOUBLE) AS sp_{i}"
-        for i, (x, y) in enumerate(_Q122_PAIRS)
-    ]
+# the DuckDB oracle: split-integer (hi/lo) long sums are order-independent
+# exact integer arithmetic, and — unlike DECIMAL(38,*) sums — stay on the
+# codegen fast path (see functions/deterministic.py for the scheme and its
+# ~8e8-row overflow bound). The per-row double products x*y are
+# IEEE-identical on both engines before the split.
+_Q122_TERMS = (
+    [(c, f"s_{c}") for c in _Q122_COLS]
+    + [(f"{c} * {c}", f"ss_{c}") for c in _Q122_COLS]
+    + [(f"{x} * {y}", f"sp_{i}") for i, (x, y) in enumerate(_Q122_PAIRS)]
 )
+_Q122_MOMENTS = ["CAST(COUNT(*) AS DOUBLE) AS n"] + [
+    e for expr_sql, alias in _Q122_TERMS for e in hilo_sum_exprs(expr_sql, alias)
+]
+_Q122_RECON = ["n"] + [
+    f"{hilo_reconstruct(alias)} AS {alias}" for _, alias in _Q122_TERMS
+]
 
 
 def _q122_corr(i: int, x: str, y: str) -> str:
@@ -374,7 +370,8 @@ def _q122_covar(i: int, x: str, y: str) -> str:
 
 
 _Q122_SQL = (
-    f"WITH m AS (SELECT {', '.join(_Q122_MOMENTS)} FROM lineitem)\n"
+    f"WITH m0 AS (SELECT {', '.join(_Q122_MOMENTS)} FROM lineitem),\n"
+    f"m AS (SELECT {', '.join(_Q122_RECON)} FROM m0)\n"
     + "\nUNION ALL\n".join(
         f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
         f"{_q122_corr(i, x, y)} AS corr6, {_q122_covar(i, x, y)} AS covar4 FROM m"
@@ -389,16 +386,21 @@ def q122_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle correlation + sample-covariance matrix over the four
     numeric lineitem measures, all statistics in ONE aggregation pass
     (one scan, 1-row shuffle), then stacked tall. Moments are accumulated
-    as DECIMAL(38,10) sums — exact, hence order-independent across
-    partition/merge schedules — and corr/covar are derived from them in a
-    single double expression shared verbatim with the oracle, so results
-    are bit-identical run-to-run and engine-to-engine (the r3 hash drift
-    was covar_samp's double accumulation flipping an absolute 4th decimal
-    on ~1e3-magnitude covariances). At 100 TB this is the only sane shape:
-    one scan, never one per pair; decimal partial-sums map-side combine
-    like any other SUM."""
+    as exact split-integer (hi/lo) long sums — order-independent across
+    partition/merge schedules, codegen-fast (functions/deterministic.py) —
+    and corr/covar are derived from them in a single double expression
+    shared verbatim with the oracle, so results are bit-identical
+    run-to-run and engine-to-engine (the r3 hash drift was covar_samp's
+    double accumulation flipping an absolute 4th decimal on
+    ~1e3-magnitude covariances). At 100 TB this is the only sane shape:
+    one scan, never one per pair; integer partial-sums map-side combine
+    like any other SUM (decimal fallback documented for >8e8-row sf)."""
     li = _t(spark, sf_dir, "lineitem")
-    moments = li.select(*_Q122_COLS).agg(*(F.expr(m) for m in _Q122_MOMENTS))
+    moments = (
+        li.select(*_Q122_COLS)
+        .agg(*(F.expr(m) for m in _Q122_MOMENTS))
+        .selectExpr(*_Q122_RECON)
+    )
     stats = moments.selectExpr(
         *(
             e

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import dsum
+from ..functions.deterministic import dsum, hilo_reconstruct, hilo_sum_exprs
 from ..session import tune
 from ..sources.readers import load_table
 
@@ -167,19 +167,26 @@ def q27_explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Percentiles and moment statistics
 # ---------------------------------------------------------------------------
 
-# Second-moment statistics derived from decimal-exact component sums:
-# builtin stddev/var/corr/covar accumulate in double, whose last-ulp
-# order dependence can flip an absolute-decimal ROUND (the q122 r3 hash
-# drift). Decimal sums are order-independent; the derivation expressions
-# are shared verbatim between the Spark plan and the DuckDB oracle, so
-# results are bit-identical engine-to-engine and run-to-run.
-_Q19_MOMENTS = [
-    "CAST(COUNT(*) AS DOUBLE) AS n",
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s_p",
-    "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS ss_p",
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS s_q",
-    "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS ss_q",
-    "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS s_qp",
+# Second-moment statistics derived from exact component sums: builtin
+# stddev/var/corr/covar accumulate in double, whose last-ulp order
+# dependence can flip an absolute-decimal ROUND (the q122 r3 hash drift).
+# The split-integer (hi/lo) long sums are exact, hence order-independent,
+# and stay on the codegen fast path (functions/deterministic.py — measured
+# 8x cheaper than DECIMAL(38,10) sums); the derivation expressions are
+# shared verbatim between the Spark plan and the DuckDB oracle, so results
+# are bit-identical engine-to-engine and run-to-run.
+_Q19_TERMS = [
+    ("l_extendedprice", "s_p"),
+    ("l_extendedprice * l_extendedprice", "ss_p"),
+    ("l_quantity", "s_q"),
+    ("l_quantity * l_quantity", "ss_q"),
+    ("l_quantity * l_extendedprice", "s_qp"),
+]
+_Q19_MOMENTS = ["CAST(COUNT(*) AS DOUBLE) AS n"] + [
+    e for expr_sql, alias in _Q19_TERMS for e in hilo_sum_exprs(expr_sql, alias)
+]
+_Q19_RECON = ["l_returnflag", "median_price", "p90_price", "n"] + [
+    f"{hilo_reconstruct(alias)} AS {alias}" for _, alias in _Q19_TERMS
 ]
 
 _Q19_STATS = [
@@ -191,14 +198,15 @@ _Q19_STATS = [
 ]
 
 _Q19_SQL = f"""
-WITH m AS (
+WITH m0 AS (
   SELECT l_returnflag,
     CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS DOUBLE) AS median_price,
     CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90_price,
     {", ".join(_Q19_MOMENTS)}
   FROM lineitem
   GROUP BY l_returnflag
-)
+),
+m AS (SELECT {", ".join(_Q19_RECON)} FROM m0)
 SELECT l_returnflag, median_price, p90_price, {", ".join(_Q19_STATS)}
 FROM m
 ORDER BY l_returnflag
@@ -208,17 +216,21 @@ ORDER BY l_returnflag
 @query("q19_percentiles_moments", _Q19_SQL)
 def q19_percentiles_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    QUANTILE_CONT) and second-moment statistics from decimal-exact
+    QUANTILE_CONT) and second-moment statistics from exact split-integer
     component sums (see _Q19_MOMENTS) — one aggregation pass, map-side
     combinable, order-independent by construction. The stat derivations
     (_Q19_STATS) are the same IEEE double expressions on both engines,
     so the absolute-decimal rounds can never straddle an
     accumulation-order boundary."""
     li = _t(spark, sf_dir, "lineitem")
-    moments = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
-        *(F.expr(m) for m in _Q19_MOMENTS),
+    moments = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+            *(F.expr(m) for m in _Q19_MOMENTS),
+        )
+        .selectExpr(*_Q19_RECON)
     )
     return moments.selectExpr(
         "l_returnflag", "median_price", "p90_price", *_Q19_STATS
