@@ -144,7 +144,7 @@ WITH nat_rev AS (
 SELECT n_name, revenue
 FROM nat_rev
 WHERE revenue > (
-  SELECT 0.045 * CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+  SELECT 0.04 * CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
   FROM nat_rev)
 """
 
@@ -154,7 +154,14 @@ def q64_scalar_subquery_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
     """TPC-H Q11 shape: keep groups whose value exceeds a fraction of the
     global total. The grouped aggregate is computed once; the global scalar
     is a 1-row aggregate of THAT result (25 rows, not a second fact scan),
-    broadcast back as a cross join — zero extra passes over orders."""
+    broadcast back as a cross join — zero extra passes over orders.
+
+    The fraction is 0.04 = 1/25 nations, i.e. the MEAN share: some nation
+    strictly exceeds the mean unless all 25 revenues are exactly equal, so
+    the result is non-empty at every scale factor. The original 0.045 went
+    vacuous at sf0.1, where the law of large numbers concentrates every
+    share toward 4% (max observed share 4.33%) — caught by
+    test_no_vacuous_results, the q87 drift-guard class."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -164,7 +171,7 @@ def q64_scalar_subquery_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(dsum("o_totalprice").alias("revenue"))
     )
-    total = nat_rev.agg((F.lit(0.045) * dsum("revenue")).alias("threshold"))
+    total = nat_rev.agg((F.lit(0.04) * dsum("revenue")).alias("threshold"))
     return (
         nat_rev.crossJoin(F.broadcast(total))
         .filter(F.col("revenue") > F.col("threshold"))
