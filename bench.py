@@ -36,38 +36,20 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footers
     entry_mod.entry(spark).collect()
 
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state as _release,
+    )
+
     def release_session_state() -> None:
         """Drop state a query may have pinned (cache/localCheckpoint RDD
         blocks), so each query is measured from a clean session. Without
         this, the connected-components/curation queries' checkpointed
         blocks stay resident for the remaining ~90 queries and
-        memory-starve them (measured: q48 2.4s solo vs 20s late-session)."""
-        # Python GC FIRST: dead DataFrame/py4j handles on the Python side
-        # pin their JVM counterparts; until Python collects them, the
-        # JVM System.gc() below cannot free those plans/broadcasts
-        # (ContextCleaner only reaps JVM-unreachable refs).
-        import gc as _gc
-
-        _gc.collect()
-        spark.catalog.clearCache()
-        try:
-            # py4j JavaMap: values() is directly iterable (NOT .toArray() —
-            # that raised AttributeError and silently skipped the unpersist,
-            # leaving every localCheckpoint block resident; measured: q73
-            # 9 s solo vs 89 s mid-bench before this fix)
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in jmap.values():
-                jrdd.unpersist(False)
-        except Exception:
-            pass
-        try:
-            # ContextCleaner frees broadcast + shuffle blocks only when the
-            # driver GCs their references; a 128 GiB heap may not GC for the
-            # whole session, so dead blocks from ~90 queries accumulate and
-            # memory-starve later ones. Force the collection each query.
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        memory-starve them (measured: q48 2.4s solo vs 20s late-session;
+        q73 9s solo vs 89s mid-bench when the unpersist loop was silently
+        broken). Logic lives in session.release_session_state — the
+        documented cleanup contract for any long-lived library caller."""
+        _release(spark)
 
     qs = entry_mod.queries()
 

@@ -12,6 +12,15 @@ Scale stance per variant:
 - SimHash: 64-bit signature via per-token xxhash64 bit-majority; near-dup =
   hamming<=k via bit_count(xor) on band-joined candidates.
 - embedding cosine: JVM-side higher-order-function cosine on candidate pairs.
+
+Cache contract: the pair-generating operators cache() their packed token
+sets — deliberately, because composed queries (q78/q187/q192 build the q44
+relation more than once) rely on CacheManager's identical-plan dedup for a
+single materialization (measured: swapping these caches for lazy
+localCheckpoint cost q192 4.4x). CacheManager pins those relations for the
+session lifetime, so LONG-LIVED callers own cleanup: call
+session.release_session_state(spark) between logical units of work, as
+bench.py does between queries.
 """
 
 from __future__ import annotations

@@ -526,7 +526,7 @@ def q143_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g_rel = (
         d.select(F.col("doc_id").alias("b_id"), F.explode(F.array_distinct(grams)).alias("g"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     probe = g_rel.groupBy("b_id").agg(F.min("g").alias("g")).select(
         F.col("b_id").alias("a_id"), "g"

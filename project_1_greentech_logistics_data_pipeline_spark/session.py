@@ -65,3 +65,32 @@ def get_spark(app_name: str = "p1gl-spark", master: str | None = None) -> SparkS
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
+
+
+def release_session_state(spark: SparkSession) -> None:
+    """Drop session state the query library may have pinned: cached
+    relations (the dedup/curation family caches its packed token sets —
+    CacheManager holds those for the session lifetime) and
+    localCheckpoint RDD blocks from the iterative operators.
+
+    Contract: long-lived sessions that run many library queries own cache
+    cleanup and should call this between logical units of work (bench.py
+    calls it between every query; a streaming/serving caller should do
+    the same at batch boundaries). Python gc runs FIRST because dead
+    py4j handles pin their JVM counterparts; the final System.gc() lets
+    the ContextCleaner reap broadcast/shuffle blocks a 128 GiB driver
+    heap would otherwise never collect.
+    """
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
+    except Exception:
+        pass
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
