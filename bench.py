@@ -58,12 +58,19 @@ def main() -> None:
         Run before and after the suite, the pair makes an environmental
         collapse (CPU throttling / noisy neighbor — the r3 428s-on-
         identical-code mode) machine-detectable from the bench output
-        itself instead of requiring manual per-query band cross-checks."""
-        release_session_state()
+        itself instead of requiring manual per-query band cross-checks.
+        The measured run is the SECOND of two back-to-back executions, so
+        the pre-suite figure doesn't carry early-session JIT cost the
+        post-suite one has already amortized (which would bias the ratio
+        low and mask a slow start)."""
         fn = qs["q01_pricing_summary"]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        sec = 0.0
+        for _ in range(2):
+            release_session_state()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            sec = time.perf_counter() - t0
+        return round(sec, 3)
 
     canary_pre = canary_sec()
 
@@ -94,6 +101,9 @@ def main() -> None:
 
     canary_post = canary_sec()
     ratio = round(canary_post / canary_pre, 2) if canary_pre > 0 else None
+    # two-sided: a suite that STARTED throttled and recovered shows
+    # ratio << 1 — those early per-query numbers are just as suspect
+    drift = max(ratio, 1.0 / ratio) if ratio else None
 
     total = round(sum(timings.values()), 3)
     print(
@@ -109,10 +119,13 @@ def main() -> None:
                     "canary_pre_sec": canary_pre,
                     "canary_post_sec": canary_post,
                     "canary_ratio": ratio,
-                    # >2x drift on identical work = environmental variance;
-                    # per-query numbers from this run are suspect (re-time
-                    # solo before believing them — BASELINE.md protocol)
-                    "throttled": bool(ratio and ratio > 2.0),
+                    # >2.5x drift (either direction) on identical work =
+                    # environmental variance; per-query numbers from this
+                    # run are suspect (re-time solo before believing them
+                    # — BASELINE.md protocol). Healthy runs measured up to
+                    # ~2x pre-vs-post from residual JVM warmup; the real
+                    # collapse mode (r3) was 3-7x.
+                    "throttled": bool(drift and drift > 2.5),
                 },
             }
         )

@@ -344,17 +344,16 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q45_minhash_lsh_neardup", None)  # probabilistic candidates -> rows-only
-def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup at threshold 0.95.
+def _lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, *, round_first: bool
+) -> DataFrame:
+    """LSH candidates + exact bitmap-Jaccard verify at JACCARD_THRESHOLD.
 
-    Plan: signature scan (narrow) -> explode to LSH bands -> equi-join on
-    (band_id, band_hash) to get candidates -> exact Jaccard verify on the
-    candidate set only. At 100 TB this is shuffle-on-band-hash + a verify
-    join, never a cross join. Verified pairs are exact (precision 1.0 by
-    construction); recall is probabilistic — tests/test_dedup.py checks it
-    against the brute-force q44 result.
-    """
+    ``round_first`` selects which side of the 6-dp rounding the threshold
+    filter runs on: False matches q44/_Q44_SQL (WHERE on the raw score),
+    True matches the ROUND-then-WHERE order of q194's oracle — a pair
+    whose raw score sits in [t-5e-7, t) exists under True but not False,
+    so callers must pick the order their oracle uses."""
     cand = lsh_candidate_pairs(spark, sf_dir)
     masks = bitmask_token_sets(spark, sf_dir).cache()
     a = masks.select(
@@ -366,15 +365,33 @@ def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = _jaccard_mask_expr(
         F.col("mask_a"), F.col("mask_b"), F.col("sz_a"), F.col("sz_b")
     )
-    return (
+    scored = (
         cand.join(F.broadcast(a), "doc_a")
         .join(F.broadcast(b), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard_raw"))
-        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-        .select(
-            "doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard")
-        )
     )
+    if round_first:
+        return scored.select(
+            "doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard")
+        ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return scored.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 6).cast("double").alias("jaccard")
+    )
+
+
+@query("q45_minhash_lsh_neardup", None)  # probabilistic candidates -> rows-only
+def q45_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup at threshold 0.95.
+
+    Plan: signature scan (narrow) -> explode to LSH bands -> equi-join on
+    (band_id, band_hash) to get candidates -> exact Jaccard verify on the
+    candidate set only. At 100 TB this is shuffle-on-band-hash + a verify
+    join, never a cross join. Verified pairs are exact (precision 1.0 by
+    construction); recall is probabilistic — tests/test_dedup.py checks it
+    against the brute-force q44 result. Threshold filters the RAW score
+    (q44's order); see _lsh_verified_pairs for the rounded-order twin.
+    """
+    return _lsh_verified_pairs(spark, sf_dir, round_first=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1082,25 +1099,46 @@ def q192_neardup_explanations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NEG_BAND = (0.40, 0.80)  # hard negatives: similar-ish but NOT duplicates
-_NEG_KEEP = 2654435761  # Knuth hash for the deterministic negative sample
+_NEG_P1 = 2654435761  # Knuth multiplicative constant
+_NEG_P2 = 2246822519  # xxhash32 prime-2, second mixing constant
+_NEG_REDUCE = 99991  # prime pre-reduction of each id before the multiply
 _NEG_MOD = 4294967296
 _NEG_RATE = 0.10
+
+
+def _neg_sample_sql(a: str, b: str) -> str:
+    """Deterministic pseudo-random pair-sample predicate, written ONCE and
+    shared verbatim by both Spark modes (F.expr) and the DuckDB oracle —
+    three hand-copies of this rule would have to stay bit-identical for
+    mode equivalence to hold.
+
+    Overflow-safe for ANY int64 doc ids: each id is pre-reduced mod the
+    prime 99991 before the multiply, capping each product at ~2.7e14
+    (the previous (a*10000+b)*knuth form overflowed int64 — ANSI Spark
+    raises, DuckDB errors — once ids passed ~3.5e8, i.e. exactly the
+    corpus sizes the LSH mode exists for; it was also non-injective for
+    b >= 10000). Pre-reduction only folds the sampling pattern with
+    period 99991 per id — irrelevant for an unbiased 10% sample."""
+    return (
+        f"(({a} % {_NEG_REDUCE}) * {_NEG_P1} + ({b} % {_NEG_REDUCE}) * {_NEG_P2})"
+        f" % {_NEG_MOD} < {int(_NEG_RATE * _NEG_MOD)}"
+    )
 
 
 def _ngram_jaccard_scored(
     spark: SparkSession,
     sf_dir: str,
     min_score: float = _NEG_BAND[0],
-    sample_rate: float | None = None,
+    presample: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every same-lang pair with Jaccard >=
     ``min_score`` — q44's salted bitmap machinery with the size-band
     prune relaxed to the lower bound (sound: the band predicate is
     monotone in the threshold), no final dup-threshold filter.
 
-    ``sample_rate`` applies the deterministic Knuth-hash pair sample
+    ``presample`` applies the deterministic pair sample (_neg_sample_sql)
     BEFORE the popcount verify: the sampling predicate depends only on the
-    pair key, so un-sampled candidates are dropped without ever computing
+    pair ids, so un-sampled candidates are dropped without ever computing
     their Jaccard — the dominant verify mass shrinks by 1/rate. Only valid
     when the caller wants exclusively the sampled subset (q194's LSH-
     assisted negative path)."""
@@ -1121,11 +1159,8 @@ def _ngram_jaccard_scored(
         # the final filter below is on the rounded value.
         & _size_band(F.col("a.sz"), F.col("b.sz"), max(min_score - 1e-6, 0.0)),
     )
-    if sample_rate is not None:
-        pair_key = F.col("a.doc_id") * 10000 + F.col("b.doc_id")
-        joined = joined.filter(
-            (pair_key * _NEG_KEEP) % _NEG_MOD < int(sample_rate * _NEG_MOD)
-        )
+    if presample:
+        joined = joined.filter(F.expr(_neg_sample_sql("a.doc_id", "b.doc_id")))
     return (
         joined.select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1161,8 +1196,7 @@ UNION ALL
 SELECT doc_a, doc_b, jaccard, FALSE
 FROM scored
 WHERE jaccard >= {_NEG_BAND[0]} AND jaccard < {_NEG_BAND[1]}
-  AND ((doc_a * 10000 + doc_b) * {_NEG_KEEP}) % {_NEG_MOD}
-      < CAST({_NEG_RATE} * {_NEG_MOD} AS BIGINT)
+  AND {_neg_sample_sql("doc_a", "doc_b")}
 ORDER BY doc_a, doc_b
 """
 
@@ -1196,11 +1230,15 @@ def q194_dedup_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     if os.environ.get("SPARK_GRAFT_Q194_MODE", "exact") == "lsh":
-        pos = q45_minhash_lsh_neardup(spark, sf_dir).select(
+        # round_first=True: the q194 oracle filters the ROUNDED score, so
+        # the positives must too — q45's raw-order filter would drop a
+        # pair whose raw score sits in [t-5e-7, t) and break both
+        # oracle-exactness and mode equivalence at the 6-dp boundary.
+        pos = _lsh_verified_pairs(spark, sf_dir, round_first=True).select(
             "doc_a", "doc_b", "jaccard", F.lit(True).alias("is_duplicate")
         )
         neg = (
-            _ngram_jaccard_scored(spark, sf_dir, sample_rate=_NEG_RATE)
+            _ngram_jaccard_scored(spark, sf_dir, presample=True)
             .filter(
                 (F.col("jaccard") >= _NEG_BAND[0]) & (F.col("jaccard") < _NEG_BAND[1])
             )
@@ -1212,12 +1250,11 @@ def q194_dedup_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard", F.lit(True).alias("is_duplicate")
     )
-    pair_key = F.col("doc_a") * 10000 + F.col("doc_b")
     neg = (
         scored.filter(
             (F.col("jaccard") >= _NEG_BAND[0]) & (F.col("jaccard") < _NEG_BAND[1])
         )
-        .filter((pair_key * _NEG_KEEP) % _NEG_MOD < int(_NEG_RATE * _NEG_MOD))
+        .filter(F.expr(_neg_sample_sql("doc_a", "doc_b")))
         .select("doc_a", "doc_b", "jaccard", F.lit(False).alias("is_duplicate"))
     )
     return pos.unionByName(neg).orderBy("doc_a", "doc_b")

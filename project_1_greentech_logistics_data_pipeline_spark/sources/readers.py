@@ -23,7 +23,8 @@ from ..schemas import TABLE_NAMES, TELEMETRY_SCHEMA, TESTDATA_SCHEMAS
 from ..session import tune
 
 
-_NS_TS_COLS: dict[tuple, tuple] = {}
+# path -> (mtime_ns at sniff time, nanos column tuple)
+_NS_TS_COLS: dict[str, tuple] = {}
 
 
 def _ns_ts_cols(path: str, name: str) -> tuple:
@@ -38,14 +39,20 @@ def _ns_ts_cols(path: str, name: str) -> tuple:
     per path decides the scan plan — O(1) at any data scale, never data
     pages.
     """
-    # Keyed on (path, mtime): a file regenerated in place with a different
+    # Validated by mtime: a file regenerated in place with a different
     # timestamp unit — the exact drift this sniff exists for — invalidates
     # the cached plan instead of reading with a stale one until restart.
+    # One entry per path (stale-mtime entries are replaced, not
+    # accumulated). Caveat: for a parquet DIRECTORY whose part files are
+    # truncate-rewritten without touching the directory entry, st_mtime
+    # may not move; the driver testdata is single-file-per-table, where
+    # the file mtime always moves on rewrite.
     try:
-        key = (path, os.stat(path).st_mtime_ns)
+        mtime = os.stat(path).st_mtime_ns
     except OSError:
-        key = (path, 0)
-    cols = _NS_TS_COLS.get(key)
+        mtime = 0
+    cached = _NS_TS_COLS.get(path)
+    cols = cached[1] if cached is not None and cached[0] == mtime else None
     if cols is None:
         from pyspark.sql import types as T
 
@@ -65,7 +72,7 @@ def _ns_ts_cols(path: str, name: str) -> tuple:
             )
         except Exception:
             cols = ()
-        _NS_TS_COLS[key] = cols
+        _NS_TS_COLS[path] = (mtime, cols)
     return cols
 
 

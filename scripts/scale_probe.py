@@ -47,7 +47,6 @@ Writes JSON lines to stdout and the working dir /tmp/p1gl_scale/.
 from __future__ import annotations
 
 import argparse
-import gc
 import json
 import os
 import shutil
@@ -278,17 +277,13 @@ def vocab_probe(spark, sizes=(31, 1000, 10000)) -> list[dict]:
 
 
 def release(spark) -> None:
-    gc.collect()
-    spark.catalog.clearCache()
-    try:
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist(False)
-    except Exception:
-        pass
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
+    # the shared cleanup contract — NOT a private copy (the r3 .toArray()
+    # bug showed what a silently-divergent duplicate of this loop costs)
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    release_session_state(spark)
 
 
 def main() -> None:
