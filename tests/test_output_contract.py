@@ -64,5 +64,62 @@ def test_contract_checker_detects_collection_columns(spark):
     assert flagged == ["a"]
 
 
+def test_no_round_over_float_accumulating_aggregates():
+    """Static contract over every oracle SQL: ROUND at absolute decimals
+    must never sit over a float-ACCUMULATING aggregate (AVG/STDDEV/CORR/
+    COVAR/VAR over doubles, or a bare double SUM) — double accumulation
+    is order-dependent in the last ulps, and an absolute-decimal round
+    can straddle that boundary between Spark's merge order and DuckDB's
+    sequential one (the r3 q122 hash drift). The sanctioned forms are
+    decimal-cast sums (dsum), split-integer hi/lo sums
+    (functions/deterministic.hilo_sum_exprs), or integer sums.
+
+    Allowlist (assessed exceptions, drift orders below round granularity):
+    - q99: EXP(AVG(LN(x))) is THE pandas-UDAF surface under test; its
+      reorder drift (~1e-14 rel) is ~6 orders below the 4-dp granularity.
+    - q75: per-user window AVG/STDDEV over small n; same margin.
+    """
+    import re
+
+    import __spark_entry__ as entrymod
+
+    ALLOW = {"q99_pandas_udaf_geomean", "q75_grouped_zscore_pandas"}
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        if name in ALLOW:
+            continue
+        u = sql.upper()
+        hits = []
+        for m in re.finditer(r"ROUND\(", u):
+            depth, i = 1, m.end()
+            while depth and i < len(u):
+                depth += u[i] == "("
+                depth -= u[i] == ")"
+                i += 1
+            arg = u[m.end() : i - 1]
+            if re.search(
+                r"\b(AVG|STDDEV|STDDEV_SAMP|VAR_SAMP|VAR_POP|CORR|"
+                r"COVAR_SAMP|COVAR_POP)\s*\(",
+                arg,
+            ):
+                hits.append(arg[:80])
+            elif (
+                re.search(r"\bSUM\s*\(", arg)
+                and "DECIMAL" not in arg
+                and "_HI" not in arg
+                and "_LO" not in arg
+                # integer-typed sums are exact; the known one casts to
+                # double only AFTER the exact integer SUM
+                and "SUM(L.SCORE)" not in arg
+            ):
+                hits.append(arg[:80])
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        "ROUND over order-dependent float accumulation (use dsum / "
+        f"hilo_sum_exprs / integer sums instead): {offenders}"
+    )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
