@@ -78,7 +78,11 @@ def build_corpus(spark, m: int) -> str:
 
     out_dir = os.path.join(WORK, f"x{m}")
     marker = os.path.join(out_dir, "_BUILT")
-    if os.path.exists(marker):
+    # the marker records the SOURCE corpus mtime: the driver testdata
+    # regenerates every round, and a derived corpus built from last
+    # round's sf0.1 would silently skew cross-round comparisons
+    src_stamp = str(os.stat(os.path.join(BASE, "documents.parquet")).st_mtime_ns)
+    if os.path.exists(marker) and open(marker).read() == src_stamp:
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -174,7 +178,8 @@ def build_corpus(spark, m: int) -> str:
     ue.repartition(max(4, 2 * m)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(src_stamp)
     return out_dir
 
 
@@ -198,7 +203,10 @@ def build_vocab_corpus(
     Everything is Spark expressions — no driver-side text generation."""
     from pyspark.sql import functions as F
 
-    out_dir = os.path.join(WORK, f"v{vocab_size}")
+    out_dir = os.path.join(
+        WORK,
+        f"v{vocab_size}" if n_docs == 5000 else f"v{vocab_size}_n{n_docs}",
+    )
     marker = os.path.join(out_dir, "_BUILT")
     if os.path.exists(marker):
         return out_dir
@@ -276,6 +284,52 @@ def vocab_probe(spark, sizes=(31, 1000, 10000)) -> list[dict]:
     return out
 
 
+def q194_mode_probe(spark, scales=(1, 2, 4), vocab_docs=()) -> list[dict]:
+    """q194 exact vs LSH-assisted mode, on two corpus axes:
+
+    - m-axis (``scales``): the driver-derived m-fold corpus. This is the
+      ADVERSARIAL case for the LSH assist — the 0.63 background Jaccard
+      puts ~42% of all pairs through the bands (SCALE.md vocab probe), so
+      the assist's pre-verify sampling win on the negative band is offset
+      by running the band-candidate machinery on a near-quadratic mass.
+      Expect no LSH advantage here; that is the finding, not a bug.
+    - vocab-axis (``vocab_docs``): V=1000 synthetic corpora with GROWING
+      document count and constant duplicate density — the realistic
+      regime, where positives are exactly the injected near-dups and the
+      exact mode's single quadratic scoring pass is the dominant mass the
+      lsh mode's pre-verify Knuth sample cuts ~10x.
+
+    Row counts are recorded per mode. They are NOT expected to be equal:
+    the lsh mode's positive recall is the documented 1-(1-s^8)^4 S-curve
+    (~0.987 at the 0.95 threshold, ~0.997 at the injected-dup 0.967), so
+    a small per-corpus deficit vs exact is the honest cost of the 100 TB
+    shape. Exact equality IS pinned at sf0.01 (test_dedup_properties.py),
+    where every true pair sits far enough above threshold."""
+    import __spark_entry__ as em
+
+    fn = em.queries()["q194_dedup_training_pairs"]
+    corpora = [(f"x{m}", build_corpus(spark, m)) for m in scales]
+    corpora += [
+        (f"v1000_n{n}", build_vocab_corpus(spark, 1000, n_docs=n))
+        for n in vocab_docs
+    ]
+    out = []
+    for label, d in corpora:
+        for mode in ("exact", "lsh"):
+            os.environ["SPARK_GRAFT_Q194_MODE"] = mode
+            try:
+                release(spark)
+                t0 = time.perf_counter()
+                n = fn(spark, d).count()
+                sec = round(time.perf_counter() - t0, 2)
+            finally:
+                os.environ.pop("SPARK_GRAFT_Q194_MODE", None)
+            rec = {"query": "q194", "mode": mode, "corpus": label, "sec": sec, "rows": int(n)}
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+    return out
+
+
 def release(spark) -> None:
     # the shared cleanup contract — NOT a private copy (the r3 .toArray()
     # bug showed what a silently-divergent duplicate of this loop costs)
@@ -296,7 +350,39 @@ def main() -> None:
         help="run the vocabulary-axis probe instead (comma list of vocab sizes, "
         "e.g. 31,1000,10000)",
     )
+    ap.add_argument(
+        "--q194-modes",
+        default=None,
+        help="run the q194 exact-vs-lsh mode probe instead (comma list of "
+        "corpus multiples, e.g. 1,2,4; may be empty with --q194-vocab-docs)",
+    )
+    ap.add_argument(
+        "--q194-vocab-docs",
+        default=None,
+        help="vocab-axis corpora for the q194 mode probe (comma list of "
+        "document counts at V=1000, e.g. 5000,10000,20000)",
+    )
     args = ap.parse_args()
+
+    if args.q194_modes or args.q194_vocab_docs:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-probe-q194")
+        results = q194_mode_probe(
+            spark,
+            tuple(int(m) for m in args.q194_modes.split(","))
+            if args.q194_modes
+            else (),
+            tuple(int(n) for n in args.q194_vocab_docs.split(","))
+            if args.q194_vocab_docs
+            else (),
+        )
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, "q194_mode_probe_results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+        spark.stop()
+        return
 
     if args.vocab:
         os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
