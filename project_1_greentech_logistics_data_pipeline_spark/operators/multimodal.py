@@ -51,6 +51,33 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("lang"), F.col("lang"),
                 F.lit("source"), F.col("source"),
                 F.lit("n_chars"), F.col("n_chars").cast("string"),
+                # EXIF-style declared dimensions: carried as metadata so
+                # filters/resize planning run JVM-side without decoding —
+                # the 100 TB pattern (decode only to transform pixels)
+                F.lit("width"),
+                ((F.col("n_chars") % 1920) + 16).cast("string"),
+                F.lit("height"),
+                (((F.col("n_chars") * 7) % 1080) + 16).cast("string"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video assets: the deterministic doc_id % 5 == 0 slice of documents
+    as opaque video payloads. meta carries container-level facts a real
+    demuxer would surface without decoding (duration, fps) — derived
+    SQL-expressibly from n_chars so frame-sampling has an exact oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.col("text").cast("binary").alias("content"),
+            F.concat(F.lit("video/fake-"), F.col("source")).alias("mime"),
+            F.create_map(
+                F.lit("duration_ms"), (F.col("n_chars") * 40).cast("string"),
+                F.lit("fps"), F.lit("24"),
+                F.lit("source"), F.col("source"),
             ).alias("meta"),
         ).alias("media"),
     )
@@ -172,6 +199,226 @@ def q51_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("width"), 2).alias("avg_width"),
             F.round(F.avg("height"), 2).alias("avg_height"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample — the remaining multimodal verbs
+# ---------------------------------------------------------------------------
+
+RESIZE_MAX_W = 256
+RESIZE_MAX_H = 256
+FRAME_MAX_PER_ASSET = 32
+
+
+def _fit_dims(w: int, h: int, max_w: int = RESIZE_MAX_W, max_h: int = RESIZE_MAX_H):
+    """Aspect-preserving fit, never upscaling — INTEGER math only, shared
+    verbatim (as arithmetic) with the DuckDB oracle so the Python path is
+    exactly checked rather than rounded into agreement."""
+    if w <= max_w and h <= max_h:
+        return w, h
+    if w * max_h >= h * max_w:  # width-limited
+        return max_w, max(1, (h * max_w) // w)
+    return max(1, (w * max_h) // h), max_h
+
+
+def fake_resize(content: bytes, new_w: int, new_h: int) -> bytes:
+    """Deterministic stand-in for the pixel resample: the payload is the
+    source bytes cycled to the fake-compressed size new_w*new_h*3//64 + 16
+    (len() of this is the oracle-checked out_bytes column)."""
+    out_len = (new_w * new_h * 3) // 64 + 16
+    if not content:
+        return b"\x00" * out_len
+    reps = out_len // len(content) + 1
+    return (content * reps)[:out_len]
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("orig_w", T.IntegerType()),
+        T.StructField("orig_h", T.IntegerType()),
+        T.StructField("new_w", T.IntegerType()),
+        T.StructField("new_h", T.IntegerType()),
+        T.StructField("out_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Resize every asset to fit RESIZE_MAX_W x RESIZE_MAX_H: declared
+    dimensions are read from metadata JVM-side (no decode — the EXIF
+    path), only (binary, dims) cross the Arrow boundary, and the pixel
+    step itself is the stubbed decoder (fake payload, or
+    NotImplementedError when strict).
+
+    Plumbing contract at 100 TB: narrow 1:1 mapInPandas — no shuffle, no
+    driver state, partition-preserving; column pruning keeps everything
+    except (content, dims) out of the Arrow transfer, and batch memory is
+    bounded by spark.sql.execution.arrow.maxRecordsPerBatch x payload
+    size."""
+
+    pruned = media_df.select(
+        "media_id",
+        F.col("media.mime").alias("mime"),
+        F.col("media.content").alias("content"),
+        F.element_at(F.col("media.meta"), "width").cast("int").alias("w"),
+        F.element_at(F.col("media.meta"), "height").cast("int").alias("h"),
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _RESIZE_SCHEMA.fields}
+            for mid, mime, content, w, h in zip(
+                pdf["media_id"], pdf["mime"], pdf["content"], pdf["w"], pdf["h"]
+            ):
+                raw = bytes(content)
+                if strict:
+                    decode_media(raw, mime)  # raises: no codecs in env
+                nw, nh = _fit_dims(int(w), int(h))
+                payload = fake_resize(raw, nw, nh)
+                out["media_id"].append(int(mid))
+                out["mime"].append(mime)
+                out["orig_w"].append(int(w))
+                out["orig_h"].append(int(h))
+                out["new_w"].append(nw)
+                out["new_h"].append(nh)
+                out["out_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(_resize, schema=_RESIZE_SCHEMA)
+
+
+_Q52_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CONCAT('image/fake-', source) AS mime,
+         CAST((n_chars % 1920) + 16 AS INTEGER) AS orig_w,
+         CAST(((n_chars * 7) % 1080) + 16 AS INTEGER) AS orig_h
+  FROM documents
+)
+SELECT media_id, mime, orig_w, orig_h,
+  CAST(CASE
+    WHEN orig_w <= {RESIZE_MAX_W} AND orig_h <= {RESIZE_MAX_H} THEN orig_w
+    WHEN orig_w * {RESIZE_MAX_H} >= orig_h * {RESIZE_MAX_W}
+      THEN {RESIZE_MAX_W}
+    ELSE GREATEST(1, (orig_w * {RESIZE_MAX_H}) // orig_h)
+  END AS INTEGER) AS new_w,
+  CAST(CASE
+    WHEN orig_w <= {RESIZE_MAX_W} AND orig_h <= {RESIZE_MAX_H} THEN orig_h
+    WHEN orig_w * {RESIZE_MAX_H} >= orig_h * {RESIZE_MAX_W}
+      THEN GREATEST(1, (orig_h * {RESIZE_MAX_W}) // orig_w)
+    ELSE {RESIZE_MAX_H}
+  END AS INTEGER) AS new_h,
+  CAST((new_w * new_h * 3) // 64 + 16 AS BIGINT) AS out_bytes
+FROM m
+"""
+
+
+@query("q52_media_resize", _Q52_SQL)
+def q52_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize verb over the media table THROUGH the mapInPandas pixel
+    path — the scalar outputs (fit dimensions + fake-compressed payload
+    length, all computed in Python per asset) hash-match a pure-SQL
+    DuckDB oracle, so the Arrow round-trip and the Python math are
+    exactly checked, not rows-only. Payload BYTES are pinned separately
+    in pytest (length == out_bytes, deterministic, cycle structure)."""
+    tune(spark)
+    return resize_media(media_table(spark, sf_dir))
+
+
+def fake_frame(content: bytes, frame_idx: int) -> bytes:
+    """Deterministic stand-in for a decoded frame: a 64-byte window into
+    the payload starting at (frame_idx * 97) mod len, cycled."""
+    if not content:
+        return b"\x00" * 64
+    start = (frame_idx * 97) % len(content)
+    buf = content[start:] + content  # >= len(content) bytes from start, wrapped
+    return (buf * (64 // len(buf) + 1))[:64]
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(video_df: DataFrame, strict: bool = False) -> DataFrame:
+    """Frame-sample verb: one frame per second of declared duration,
+    capped at FRAME_MAX_PER_ASSET — a ROW-EXPANDING mapInPandas (one
+    input asset -> n_frames output rows), the batch shape the 1:1
+    feature extractor does not exercise. Duration comes from container
+    metadata JVM-side; the frame decode itself is the stub.
+
+    At 100 TB the expansion factor is the hazard: the per-asset cap
+    bounds output rows to FRAME_MAX_PER_ASSET x input rows, and a
+    repartition on media_id upstream spreads hot partitions before the
+    fan-out (Arrow batch memory stays maxRecordsPerBatch x frame size)."""
+
+    pruned = video_df.select(
+        "media_id",
+        F.col("media.content").alias("content"),
+        F.col("media.mime").alias("mime"),
+        F.element_at(F.col("media.meta"), "duration_ms").cast("long").alias("duration_ms"),
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _FRAME_SCHEMA.fields}
+            for mid, content, mime, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["mime"], pdf["duration_ms"]
+            ):
+                raw = bytes(content)
+                if strict:
+                    decode_media(raw, mime)  # raises: no codecs in env
+                n = max(1, min(FRAME_MAX_PER_ASSET, int(dur) // 1000))
+                for i in range(n):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * 1000)
+                    out["n_frames"].append(n)
+                    out["frame"].append(fake_frame(raw, i))
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(_sample, schema=_FRAME_SCHEMA)
+
+
+_Q53_SQL = f"""
+WITH v AS (
+  SELECT doc_id AS media_id,
+         GREATEST(1, LEAST({FRAME_MAX_PER_ASSET}, (n_chars * 40) // 1000))
+           AS n_frames
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_id,
+       frame_idx,
+       frame_idx * 1000 AS frame_ts_ms,
+       CAST(n_frames AS BIGINT) AS n_frames
+FROM (
+  SELECT media_id, n_frames,
+         UNNEST(GENERATE_SERIES(CAST(0 AS BIGINT), CAST(n_frames - 1 AS BIGINT)))
+           AS frame_idx
+  FROM v
+) t
+"""
+
+
+@query("q53_video_frame_sample", _Q53_SQL)
+def q53_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling THROUGH the row-expanding mapInPandas path, scalar
+    outputs only (the frame payload is dropped here; its bytes are pinned
+    in pytest — top-level binary would also defeat the driver hash). The
+    per-frame rows (index, timestamp, per-asset count) computed in Python
+    hash-match the UNNEST(GENERATE_SERIES) oracle exactly."""
+    tune(spark)
+    return sample_frames(video_table(spark, sf_dir)).select(
+        "media_id", "frame_idx", "frame_ts_ms", "n_frames"
     )
 
 

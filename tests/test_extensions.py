@@ -132,6 +132,84 @@ def test_multimodal_plumbing(spark):
         decode_media(b"bytes", "image/png")
 
 
+def test_media_resize_plumbing(spark):
+    """q52's oracle checks the scalar outputs; this pins the BYTES the
+    oracle cannot see: payload length == the declared out_bytes, cycle
+    structure, fit-math invariants, repartition-determinism, and the
+    strict decode stub."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
+        RESIZE_MAX_H,
+        RESIZE_MAX_W,
+        _fit_dims,
+        fake_resize,
+        media_table,
+        resize_media,
+    )
+
+    m = media_table(spark, SF)
+    rows = resize_media(m).collect()
+    assert len(rows) == m.count()
+    payload_by_id = {}
+    for r in rows:
+        # fit inside the box, never upscaling
+        assert 1 <= r["new_w"] <= min(r["orig_w"], RESIZE_MAX_W)
+        assert 1 <= r["new_h"] <= min(r["orig_h"], RESIZE_MAX_H)
+        assert (r["new_w"], r["new_h"]) == _fit_dims(r["orig_w"], r["orig_h"])
+        payload = fake_resize(b"x" * 100, r["new_w"], r["new_h"])
+        assert len(payload) == r["out_bytes"]
+        payload_by_id[r["media_id"]] = (r["new_w"], r["new_h"], r["out_bytes"])
+
+    # payload bytes: deterministic cycle of the source
+    p = fake_resize(b"abc", 16, 16)
+    assert len(p) == (16 * 16 * 3) // 64 + 16
+    assert p == (b"abc" * (len(p) // 3 + 1))[: len(p)]
+
+    # repartition must not change any output (Arrow batch boundaries move)
+    again = {
+        r["media_id"]: (r["new_w"], r["new_h"], r["out_bytes"])
+        for r in resize_media(m.repartition(7)).collect()
+    }
+    assert again == payload_by_id
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_media(m, strict=True).limit(1).collect()
+
+
+def test_frame_sample_plumbing(spark):
+    """Row-expanding mapInPandas contract: per-asset expansion equals the
+    declared n_frames (capped), frame bytes are the deterministic 64-byte
+    windows, and strict mode routes through the honest decode stub."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
+        FRAME_MAX_PER_ASSET,
+        fake_frame,
+        sample_frames,
+        video_table,
+    )
+
+    v = video_table(spark, SF)
+    n_assets = v.count()
+    assert n_assets > 0
+    frames = sample_frames(v).collect()
+
+    by_asset: dict = {}
+    for r in frames:
+        by_asset.setdefault(r["media_id"], []).append(r)
+    assert len(by_asset) == n_assets  # every asset yields >= 1 frame
+    src = {r["media_id"]: bytes(r["media"]["content"]) for r in v.collect()}
+    for mid, rows in by_asset.items():
+        n = rows[0]["n_frames"]
+        assert 1 <= n <= FRAME_MAX_PER_ASSET
+        assert len(rows) == n
+        assert sorted(r["frame_idx"] for r in rows) == list(range(n))
+        for r in rows:
+            assert r["frame_ts_ms"] == r["frame_idx"] * 1000
+            assert len(r["frame"]) == 64
+            assert bytes(r["frame"]) == fake_frame(src[mid], r["frame_idx"])
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        sample_frames(v, strict=True).limit(1).collect()
+
+
 def test_centroid_similarity_shape(spark):
     from project_1_greentech_logistics_data_pipeline_spark.operators.similarity import (
         q49b_centroid_similarity,
