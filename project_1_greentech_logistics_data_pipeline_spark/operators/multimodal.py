@@ -356,10 +356,12 @@ def sample_frames(video_df: DataFrame, strict: bool = False) -> DataFrame:
     feature extractor does not exercise. Duration comes from container
     metadata JVM-side; the frame decode itself is the stub.
 
-    At 100 TB the expansion factor is the hazard: the per-asset cap
-    bounds output rows to FRAME_MAX_PER_ASSET x input rows, and a
-    repartition on media_id upstream spreads hot partitions before the
-    fan-out (Arrow batch memory stays maxRecordsPerBatch x frame size)."""
+    At 100 TB the expansion factor is the hazard. What THIS code bounds:
+    output rows <= FRAME_MAX_PER_ASSET x input rows (the per-asset cap),
+    and Arrow batch memory <= maxRecordsPerBatch x frame size. What the
+    CALLER owns: if input partitions are payload-skewed, repartition on
+    media_id before calling — the 1:in-partition-order expansion here
+    inherits whatever partitioning arrives."""
 
     pruned = video_df.select(
         "media_id",

@@ -72,17 +72,27 @@ DEFAULT_PROBES = {
 }
 
 
-def build_corpus(spark, m: int) -> str:
-    """Materialize the m-fold corpus under WORK/x{m}; idempotent per run."""
+def build_corpus(spark, m: int, with_embeddings: bool = True) -> str:
+    """Materialize the m-fold corpus under WORK/x{m}; idempotent per run.
+    ``with_embeddings=False`` skips the embedding transform for
+    documents-only probes (q194); a cached full build still satisfies a
+    documents-only request, but not vice versa."""
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(WORK, f"x{m}")
     marker = os.path.join(out_dir, "_BUILT")
-    # the marker records the SOURCE corpus mtime: the driver testdata
-    # regenerates every round, and a derived corpus built from last
-    # round's sf0.1 would silently skew cross-round comparisons
-    src_stamp = str(os.stat(os.path.join(BASE, "documents.parquet")).st_mtime_ns)
-    if os.path.exists(marker) and open(marker).read() == src_stamp:
+    # the marker records the SOURCE mtimes (both derived tables) and
+    # whether embeddings were built: the driver testdata regenerates
+    # every round, and a derived corpus built from last round's sf0.1 —
+    # or a docs-only build served to an embedding probe — would silently
+    # skew cross-round comparisons
+    src = "|".join(
+        str(os.stat(os.path.join(BASE, f"{t}.parquet")).st_mtime_ns)
+        for t in ("documents", "embeddings")
+    )
+    want = f"{src}|emb={int(with_embeddings)}"
+    have = open(marker).read() if os.path.exists(marker) else None
+    if have == want or (not with_embeddings and have == f"{src}|emb=1"):
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -155,6 +165,11 @@ def build_corpus(spark, m: int) -> str:
         os.path.join(out_dir, "documents.parquet")
     )
 
+    if not with_embeddings:
+        with open(marker, "w") as fh:
+            fh.write(want)
+        return out_dir
+
     emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
     eparts = []
     for k in range(m):
@@ -179,7 +194,7 @@ def build_corpus(spark, m: int) -> str:
         os.path.join(out_dir, "embeddings.parquet")
     )
     with open(marker, "w") as fh:
-        fh.write(src_stamp)
+        fh.write(want)
     return out_dir
 
 
@@ -203,12 +218,12 @@ def build_vocab_corpus(
     Everything is Spark expressions — no driver-side text generation."""
     from pyspark.sql import functions as F
 
-    out_dir = os.path.join(
-        WORK,
-        f"v{vocab_size}" if n_docs == 5000 else f"v{vocab_size}_n{n_docs}",
-    )
+    out_dir = os.path.join(WORK, f"v{vocab_size}_n{n_docs}")
     marker = os.path.join(out_dir, "_BUILT")
-    if os.path.exists(marker):
+    # marker stamps the full generation parameters, so a dir cached by an
+    # earlier code revision with different defaults is rebuilt, not reused
+    want = f"v={vocab_size}|n={n_docs}|len={doc_len}|dup={dup_rate}"
+    if os.path.exists(marker) and open(marker).read() == want:
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -248,7 +263,8 @@ def build_vocab_corpus(
     u.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(want)
     return out_dir
 
 
@@ -308,7 +324,9 @@ def q194_mode_probe(spark, scales=(1, 2, 4), vocab_docs=()) -> list[dict]:
     import __spark_entry__ as em
 
     fn = em.queries()["q194_dedup_training_pairs"]
-    corpora = [(f"x{m}", build_corpus(spark, m)) for m in scales]
+    corpora = [
+        (f"x{m}", build_corpus(spark, m, with_embeddings=False)) for m in scales
+    ]
     corpora += [
         (f"v1000_n{n}", build_vocab_corpus(spark, 1000, n_docs=n))
         for n in vocab_docs
@@ -364,20 +382,20 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    if args.q194_modes or args.q194_vocab_docs:
+    if args.q194_modes is not None or args.q194_vocab_docs is not None:
+        scales = tuple(
+            int(m) for m in (args.q194_modes or "").split(",") if m.strip()
+        )
+        vdocs = tuple(
+            int(n) for n in (args.q194_vocab_docs or "").split(",") if n.strip()
+        )
+        if not scales and not vdocs:
+            ap.error("--q194-modes/--q194-vocab-docs given but both empty")
         os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
         from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
 
         spark = get_spark("scale-probe-q194")
-        results = q194_mode_probe(
-            spark,
-            tuple(int(m) for m in args.q194_modes.split(","))
-            if args.q194_modes
-            else (),
-            tuple(int(n) for n in args.q194_vocab_docs.split(","))
-            if args.q194_vocab_docs
-            else (),
-        )
+        results = q194_mode_probe(spark, scales, vdocs)
         os.makedirs(WORK, exist_ok=True)
         with open(os.path.join(WORK, "q194_mode_probe_results.json"), "w") as fh:
             json.dump(results, fh, indent=1)
