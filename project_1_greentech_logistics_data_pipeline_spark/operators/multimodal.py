@@ -257,14 +257,27 @@ def resize_media(media_df: DataFrame, strict: bool = False) -> DataFrame:
     driver state, partition-preserving; column pruning keeps everything
     except (content, dims) out of the Arrow transfer, and batch memory is
     bounded by spark.sql.execution.arrow.maxRecordsPerBatch x payload
-    size."""
+    size.
+
+    Scan-pruning note: against a STORED media table (parquet struct
+    column) nested schema pruning reads only the referenced sub-fields —
+    metadata-only planning never touches the binary payload (pinned in
+    tests/test_extensions.py::test_media_parquet_nested_pruning). The
+    synthesized test fixture (struct built on the fly from documents)
+    instead hits CollapseProject's duplicate-reference heuristic — the
+    multi-field extraction here keeps the whole constructed struct alive,
+    an extra fixture column in the scan, not a property of the stored
+    path."""
 
     pruned = media_df.select(
         "media_id",
         F.col("media.mime").alias("mime"),
         F.col("media.content").alias("content"),
-        F.element_at(F.col("media.meta"), "width").cast("int").alias("w"),
-        F.element_at(F.col("media.meta"), "height").cast("int").alias("h"),
+        # getItem (GetMapValue), NOT element_at (ElementAt): only the former
+        # is simplified by SimplifyExtractValueOps, which is what lets the
+        # unused meta entries (and their source columns) fall out of the scan
+        F.col("media.meta")["width"].cast("int").alias("w"),
+        F.col("media.meta")["height"].cast("int").alias("h"),
     )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -367,7 +380,7 @@ def sample_frames(video_df: DataFrame, strict: bool = False) -> DataFrame:
         "media_id",
         F.col("media.content").alias("content"),
         F.col("media.mime").alias("mime"),
-        F.element_at(F.col("media.meta"), "duration_ms").cast("long").alias("duration_ms"),
+        F.col("media.meta")["duration_ms"].cast("long").alias("duration_ms"),
     )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

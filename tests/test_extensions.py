@@ -175,6 +175,35 @@ def test_media_resize_plumbing(spark):
         resize_media(m, strict=True).limit(1).collect()
 
 
+def test_media_parquet_nested_pruning(spark, tmp_path):
+    """The 100 TB property of the media column design: when the media
+    table is STORED (parquet struct column — the production shape), a
+    metadata-only query reads ONLY the referenced sub-fields; the opaque
+    binary payload never leaves the row-group. This is what makes
+    plan/filter/rollup over media metadata cheap at scale — decode-free
+    AND IO-free on the payload."""
+    import re
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
+        media_table,
+    )
+
+    path = str(tmp_path / "media.parquet")
+    media_table(spark, SF).write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    meta_only = stored.select(
+        "media_id",
+        F.col("media.mime").alias("mime"),
+        F.col("media.meta")["width"].alias("w"),
+    )
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "content" not in schema, schema  # payload pruned from the scan
+    assert "mime" in schema and "meta" in schema
+    assert meta_only.count() == stored.count()
+
+
 def test_frame_sample_plumbing(spark):
     """Row-expanding mapInPandas contract: per-asset expansion equals the
     declared n_frames (capped), frame bytes are the deterministic 64-byte
