@@ -175,6 +175,41 @@ def test_media_resize_plumbing(spark):
         resize_media(m, strict=True).limit(1).collect()
 
 
+def test_fit_dims_properties():
+    """_fit_dims over its whole domain, not just the corpus's dim
+    distribution (the q52 oracle covers w in [16,1935], h in [16,1095]):
+    bounds, no-upscale, identity inside the box, and aspect-ratio
+    preservation within integer-floor tolerance."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
+        RESIZE_MAX_H,
+        RESIZE_MAX_W,
+        _fit_dims,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(1, 100_000), st.integers(1, 100_000))
+    def check(w, h):
+        nw, nh = _fit_dims(w, h)
+        assert 1 <= nw <= min(w, RESIZE_MAX_W)
+        assert 1 <= nh <= min(h, RESIZE_MAX_H)
+        if w <= RESIZE_MAX_W and h <= RESIZE_MAX_H:
+            assert (nw, nh) == (w, h)
+        else:
+            # the limiting axis is fully used…
+            assert nw == RESIZE_MAX_W or nh == RESIZE_MAX_H
+            # …and the other is the floor of the exact rescale: aspect
+            # preserved within one integer step
+            if nw == RESIZE_MAX_W and nh != RESIZE_MAX_H:
+                assert nh == max(1, (h * RESIZE_MAX_W) // w)
+            if nh == RESIZE_MAX_H and nw != RESIZE_MAX_W:
+                assert nw == max(1, (w * RESIZE_MAX_H) // h)
+
+    check()
+
+
 def test_media_parquet_nested_pruning(spark, tmp_path):
     """The 100 TB property of the media column design: when the media
     table is STORED (parquet struct column — the production shape), a
