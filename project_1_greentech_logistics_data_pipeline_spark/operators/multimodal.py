@@ -276,8 +276,15 @@ def resize_media(media_df: DataFrame, strict: bool = False) -> DataFrame:
         # getItem (GetMapValue), NOT element_at (ElementAt): only the former
         # is simplified by SimplifyExtractValueOps, which is what lets the
         # unused meta entries (and their source columns) fall out of the scan
-        F.col("media.meta")["width"].cast("int").alias("w"),
-        F.col("media.meta")["height"].cast("int").alias("h"),
+        F.col("media.meta")["width"].try_cast("int").alias("w"),
+        F.col("media.meta")["height"].try_cast("int").alias("h"),
+    ).filter(
+        # try_cast + filter: assets without parseable declared dims are
+        # EXCLUDED, not crashed on — ANSI cast would throw on garbage, and
+        # a NULL reaching pandas as NaN kills the job inside the Python
+        # worker. At scale such assets route to the decode-first path
+        # (extract_features) instead.
+        F.col("w").isNotNull() & F.col("h").isNotNull()
     )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -380,7 +387,11 @@ def sample_frames(video_df: DataFrame, strict: bool = False) -> DataFrame:
         "media_id",
         F.col("media.content").alias("content"),
         F.col("media.mime").alias("mime"),
-        F.col("media.meta")["duration_ms"].cast("long").alias("duration_ms"),
+        F.col("media.meta")["duration_ms"].try_cast("long").alias("duration_ms"),
+    ).filter(
+        # same contract as resize_media: un-parseable container metadata
+        # excludes the asset rather than NaN-crashing the Python worker
+        F.col("duration_ms").isNotNull()
     )
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -175,6 +175,32 @@ def test_media_resize_plumbing(spark):
         resize_media(m, strict=True).limit(1).collect()
 
 
+def test_media_verbs_exclude_unparseable_metadata(spark):
+    """A missing or garbage metadata entry must EXCLUDE the asset, not
+    reach pandas as NaN and kill the job inside the Python worker."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    rows = [
+        (1, (b"payload-a", "image/x", {"width": "100", "height": "50"})),
+        (2, (b"payload-b", "image/x", {"height": "50"})),  # no width
+        (3, (b"payload-c", "image/x", {"width": "N/A", "height": "50"})),
+        (4, (b"payload-d", "video/x", {"duration_ms": "3000"})),
+        (5, (b"payload-e", "video/x", {"fps": "24"})),  # no duration
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, media struct<content:binary,mime:string,meta:map<string,string>>",
+    )
+    resized = resize_media(df).collect()
+    assert [r["media_id"] for r in resized] == [1]
+    frames = sample_frames(df).collect()
+    assert {r["media_id"] for r in frames} == {4}
+    assert len(frames) == 3  # 3000ms at 1 fps
+
+
 def test_fit_dims_properties():
     """_fit_dims over its whole domain, not just the corpus's dim
     distribution (the q52 oracle covers w in [16,1935], h in [16,1095]):
@@ -217,11 +243,10 @@ def test_media_parquet_nested_pruning(spark, tmp_path):
     binary payload never leaves the row-group. This is what makes
     plan/filter/rollup over media metadata cheap at scale — decode-free
     AND IO-free on the payload."""
-    import re
-
     from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
         media_table,
     )
+    from project_1_greentech_logistics_data_pipeline_spark.plans import explain_str
 
     path = str(tmp_path / "media.parquet")
     media_table(spark, SF).write.parquet(path)
@@ -232,8 +257,9 @@ def test_media_parquet_nested_pruning(spark, tmp_path):
         F.col("media.mime").alias("mime"),
         F.col("media.meta")["width"].alias("w"),
     )
-    plan = meta_only._jdf.queryExecution().executedPlan().toString()
-    schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    plan = explain_str(meta_only)
+    assert "ReadSchema" in plan, plan
+    schema = plan.split("ReadSchema", 1)[1][:400]
     assert "content" not in schema, schema  # payload pruned from the scan
     assert "mime" in schema and "meta" in schema
     assert meta_only.count() == stored.count()
