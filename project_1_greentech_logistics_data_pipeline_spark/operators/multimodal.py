@@ -161,8 +161,18 @@ def fake_decode(content: bytes, mime: str) -> dict:
 
 def extract_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches out.
-    strict=True routes through the real (NotImplementedError) decoder."""
+    strict=True routes through the real (NotImplementedError) decoder.
+
+    Only (media_id, mime, content) cross the Arrow boundary — the meta
+    map is dead weight for decode and is projected away JVM-side before
+    any row is serialized to Python (same discipline as resize_media)."""
     decoder = decode_media if strict else fake_decode
+
+    pruned = media_df.select(
+        "media_id",
+        F.col("media.mime").alias("mime"),
+        F.col("media.content").alias("content"),
+    )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -170,9 +180,9 @@ def extract_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
                 "media_id": [], "mime": [], "nbytes": [],
                 "width": [], "height": [], "feature": [],
             }
-            for media_id, media in zip(pdf["media_id"], pdf["media"]):
-                content = media["content"]
-                mime = media["mime"]
+            for media_id, mime, content in zip(
+                pdf["media_id"], pdf["mime"], pdf["content"]
+            ):
                 d = decoder(bytes(content), mime)
                 out["media_id"].append(media_id)
                 out["mime"].append(mime)
@@ -182,7 +192,7 @@ def extract_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
                 out["feature"].append(d["feature"])
             yield pd.DataFrame(out)
 
-    return media_df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return pruned.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
 @query("q51_media_features", None)  # Pandas-UDF fake decode -> rows-only
