@@ -256,6 +256,35 @@ _RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _declared_dims() -> tuple:
+    """(w, h) extraction shared by resize_media and the fallback routing:
+    try_cast leaves NULL for missing or garbage metadata (ANSI cast would
+    throw). getItem (GetMapValue), NOT element_at (ElementAt): only the
+    former is simplified by SimplifyExtractValueOps, which is what lets
+    unused meta entries (and their source columns) fall out of the scan."""
+    return (
+        F.col("media.meta")["width"].try_cast("int"),
+        F.col("media.meta")["height"].try_cast("int"),
+    )
+
+
+def media_without_declared_dims(media_df: DataFrame) -> DataFrame:
+    """Complement of resize_media's input: assets whose declared dims are
+    missing/unparseable — the set a caller routes to the decode-first
+    path (extract_features) instead. Shares the exact predicate with
+    resize_media so the two partitions are guaranteed disjoint-and-total."""
+    w, h = _declared_dims()
+    return media_df.filter(w.isNull() | h.isNull())
+
+
+def videos_without_duration(media_df: DataFrame) -> DataFrame:
+    """Complement of sample_frames' input: assets without parseable
+    duration_ms container metadata (same contract as above)."""
+    return media_df.filter(
+        F.col("media.meta")["duration_ms"].try_cast("long").isNull()
+    )
+
+
 def resize_media(media_df: DataFrame, strict: bool = False) -> DataFrame:
     """Resize every asset to fit RESIZE_MAX_W x RESIZE_MAX_H: declared
     dimensions are read from metadata JVM-side (no decode — the EXIF
@@ -279,21 +308,19 @@ def resize_media(media_df: DataFrame, strict: bool = False) -> DataFrame:
     an extra fixture column in the scan, not a property of the stored
     path."""
 
+    w, h = _declared_dims()
     pruned = media_df.select(
         "media_id",
         F.col("media.mime").alias("mime"),
         F.col("media.content").alias("content"),
-        # getItem (GetMapValue), NOT element_at (ElementAt): only the former
-        # is simplified by SimplifyExtractValueOps, which is what lets the
-        # unused meta entries (and their source columns) fall out of the scan
-        F.col("media.meta")["width"].try_cast("int").alias("w"),
-        F.col("media.meta")["height"].try_cast("int").alias("h"),
+        w.alias("w"),
+        h.alias("h"),
     ).filter(
-        # try_cast + filter: assets without parseable declared dims are
-        # EXCLUDED, not crashed on — ANSI cast would throw on garbage, and
-        # a NULL reaching pandas as NaN kills the job inside the Python
-        # worker. At scale such assets route to the decode-first path
-        # (extract_features) instead.
+        # assets without parseable declared dims are EXCLUDED, not crashed
+        # on — a NULL reaching pandas as NaN would kill the job inside the
+        # Python worker. The complement is media_without_declared_dims
+        # (same predicate), which a caller feeds to extract_features for
+        # decode-first handling.
         F.col("w").isNotNull() & F.col("h").isNotNull()
     )
 
@@ -400,7 +427,8 @@ def sample_frames(video_df: DataFrame, strict: bool = False) -> DataFrame:
         F.col("media.meta")["duration_ms"].try_cast("long").alias("duration_ms"),
     ).filter(
         # same contract as resize_media: un-parseable container metadata
-        # excludes the asset rather than NaN-crashing the Python worker
+        # excludes the asset rather than NaN-crashing the Python worker;
+        # complement accessor: videos_without_duration
         F.col("duration_ms").isNotNull()
     )
 

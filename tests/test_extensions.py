@@ -179,8 +179,10 @@ def test_media_verbs_exclude_unparseable_metadata(spark):
     """A missing or garbage metadata entry must EXCLUDE the asset, not
     reach pandas as NaN and kill the job inside the Python worker."""
     from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
+        media_without_declared_dims,
         resize_media,
         sample_frames,
+        videos_without_duration,
     )
 
     rows = [
@@ -199,6 +201,15 @@ def test_media_verbs_exclude_unparseable_metadata(spark):
     frames = sample_frames(df).collect()
     assert {r["media_id"] for r in frames} == {4}
     assert len(frames) == 3  # 3000ms at 1 fps
+
+    # the complements make the exclusion routable (decode-first fallback):
+    # disjoint from the verb's output and together covering every asset
+    no_dims = {r["media_id"] for r in media_without_declared_dims(df).collect()}
+    assert no_dims == {2, 3, 4, 5}
+    assert no_dims | {r["media_id"] for r in resized} == {1, 2, 3, 4, 5}
+    no_dur = {r["media_id"] for r in videos_without_duration(df).collect()}
+    assert no_dur == {1, 2, 3, 5}
+    assert no_dur | {r["media_id"] for r in frames} == {1, 2, 3, 4, 5}
 
 
 def test_fit_dims_properties():
@@ -258,8 +269,11 @@ def test_media_parquet_nested_pruning(spark, tmp_path):
         F.col("media.meta")["width"].alias("w"),
     )
     plan = explain_str(meta_only)
-    assert "ReadSchema" in plan, plan
-    schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "ReadSchema: " in plan, plan
+    # exactly the schema token — a wider slice would spill into the
+    # Project node text and make the positive asserts vacuous
+    schema = plan.split("ReadSchema: ", 1)[1].split()[0]
+    assert schema.startswith("struct<"), schema
     assert "content" not in schema, schema  # payload pruned from the scan
     assert "mime" in schema and "meta" in schema
     assert meta_only.count() == stored.count()
