@@ -62,6 +62,26 @@ def hilo_sum_exprs(value_sql: str, alias: str) -> list[str]:
     ]
 
 
+def pos_zero(expr_sql: str) -> str:
+    """Normalize IEEE negative zero to +0.0; identity for every other value
+    (``-0.0 + 0.0 == +0.0``, ``x + 0.0 == x`` otherwise, NaN/NULL pass
+    through). Needed wherever a rounded/derived double output can be a
+    negative value that rounds to zero: Spark's BigDecimal ROUND emits
+    +0.0 where DuckDB's float round emits -0.0 — the two are ``==``-equal
+    (every tolerance/equality check passes) but serialize to different
+    bytes, so the driver's value-hash diverges (q122's four-round red).
+    Wrap BOTH the Spark expression and the oracle SQL, or share the
+    expression verbatim."""
+    return f"({expr_sql} + 0.0)"
+
+
+def pos_zero_col(c: Column) -> Column:
+    """Column-API twin of :func:`pos_zero` — apply to any rounded/derived
+    double output whose value can be a negative rounding to zero, and put
+    ``+ 0.0`` on the matching oracle expression."""
+    return c + F.lit(0.0)
+
+
 def hilo_reconstruct(alias: str) -> str:
     """The double value of the split sum — identical IEEE expression on
     both engines given identical hi/lo inputs."""

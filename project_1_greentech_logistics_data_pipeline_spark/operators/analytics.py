@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import dsum, hilo_reconstruct, hilo_sum_exprs
+from ..functions.deterministic import (
+    dsum,
+    hilo_reconstruct,
+    hilo_sum_exprs,
+    pos_zero,
+)
 from ..session import tune
 from ..sources.readers import load_table
 
@@ -361,12 +366,15 @@ def _q122_corr(i: int, x: str, y: str) -> str:
     written once so Spark and DuckDB evaluate the identical IEEE tree."""
     num = f"(sp_{i} - s_{x} * s_{y} / n)"
     den = f"SQRT((ss_{x} - s_{x} * s_{x} / n) * (ss_{y} - s_{y} * s_{y} / n))"
-    return f"CAST(ROUND({num} / {den}, 6) AS DOUBLE)"
+    return f"CAST({pos_zero(f'ROUND({num} / {den}, 6)')} AS DOUBLE)"
 
 
 def _q122_covar(i: int, x: str, y: str) -> str:
+    # pos_zero: a tiny negative covariance ROUNDs to zero with opposite
+    # signs on the two engines (Spark BigDecimal +0.0 vs DuckDB float
+    # -0.0) — ==-equal but hash-different; +0.0 normalizes both.
     num = f"(sp_{i} - s_{x} * s_{y} / n)"
-    return f"CAST(ROUND({num} / (n - 1), 4) AS DOUBLE)"
+    return f"CAST({pos_zero(f'ROUND({num} / (n - 1), 4)')} AS DOUBLE)"
 
 
 _Q122_SQL = (

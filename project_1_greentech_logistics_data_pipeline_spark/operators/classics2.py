@@ -766,7 +766,7 @@ SELECT nation, o_year, revenue,
   CAST(ROUND(
     (revenue - LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year))
       / NULLIF(LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year), 0.0), 6)
-    AS DOUBLE) AS yoy_growth
+    + 0.0 AS DOUBLE) AS yoy_growth
 FROM yearly
 ORDER BY nation, o_year
 """
@@ -803,7 +803,8 @@ def q106_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year",
         "revenue",
         prev.alias("prev_revenue"),
-        F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias(
-            "yoy_growth"
-        ),
+        # + 0.0: a tiny negative growth ROUNDs to zero with opposite signs
+        # on the two engines (q122 r4 signed-zero class).
+        (F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6) + F.lit(0.0))
+        .alias("yoy_growth"),
     ).orderBy("nation", "o_year")

@@ -497,7 +497,7 @@ def q53_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
   CAST(ROUND(
     (value - AVG(value) OVER w) / (STDDEV_SAMP(value) OVER w), 4)
-  AS DOUBLE) AS zscore
+  + 0.0 AS DOUBLE) AS zscore
 FROM events
 WINDOW w AS (PARTITION BY user_id)
 QUALIFY COUNT(*) OVER w > 1
@@ -534,8 +534,15 @@ def q75_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(pdf) < 2:
             return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=0.0)
         z = (pdf["value"] - pdf["value"].mean()) / pdf["value"].std(ddof=1)
+        # + 0.0: a tiny negative z ROUNDs to -0.0 (numpy and DuckDB agree
+        # today, but the driver hash treats -0.0 != +0.0 — q122 r4 class);
+        # normalize to +0.0 on both sides.
         return pd.DataFrame(
-            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z.round(4)}
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": z.round(4) + 0.0,
+            }
         )
 
     return e.groupBy("user_id").applyInPandas(_z, schema=schema)

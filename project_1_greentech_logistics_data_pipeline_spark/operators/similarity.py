@@ -52,7 +52,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id,
-  CAST(ROUND(cos_raw, 6) AS DOUBLE) AS cosine,
+  CAST(ROUND(cos_raw, 6) + 0.0 AS DOUBLE) AS cosine,
   CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {TOP_K}
 """
@@ -87,7 +87,10 @@ def q48_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos_raw", 6).cast("double").alias("cosine"),
+            # + 0.0: a near-orthogonal neighbor's tiny negative cosine
+            # ROUNDs to zero with opposite signs on the two engines
+            # (q122 r4 signed-zero class).
+            (F.round("cos_raw", 6) + F.lit(0.0)).cast("double").alias("cosine"),
             "rk",
         )
     )

@@ -403,7 +403,7 @@ SELECT
   t.doc_id,
   COUNT(*) AS n_sentiment_tokens,
   CAST(SUM(l.score) AS BIGINT) AS sentiment_sum,
-  CAST(ROUND(SUM(l.score)::DOUBLE / COUNT(*), 6) AS DOUBLE) AS sentiment_mean,
+  CAST(ROUND(SUM(l.score)::DOUBLE / COUNT(*), 6) + 0.0 AS DOUBLE) AS sentiment_mean,
   CASE WHEN SUM(l.score) > 0 THEN 'positive'
        WHEN SUM(l.score) < 0 THEN 'negative'
        ELSE 'neutral' END AS sentiment_label
@@ -430,7 +430,11 @@ def q93_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sentiment_tokens"),
             ssum.cast("bigint").alias("sentiment_sum"),
-            F.round(ssum.cast("double") / F.count("*"), 6).alias("sentiment_mean"),
+            # + 0.0: a tiny negative mean ROUNDs to zero with opposite
+            # signs on the two engines (q122 r4 signed-zero class).
+            (F.round(ssum.cast("double") / F.count("*"), 6) + F.lit(0.0)).alias(
+                "sentiment_mean"
+            ),
             F.when(ssum > 0, "positive")
             .when(ssum < 0, "negative")
             .otherwise("neutral")

@@ -9,6 +9,7 @@ decimal-cast aggregates, so the tolerance path flags anything suspicious).
 from __future__ import annotations
 
 import math
+import struct
 from pathlib import Path
 
 import duckdb
@@ -124,13 +125,40 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         # Tag floats so int != float (the driver's serialized hash
-        # distinguishes 44474 from 44474.0; Python == does not).
-        return ("f", round(v, 9))
+        # distinguishes 44474 from 44474.0; Python == does not), and
+        # compare the IEEE BYTES of the 1e-9-rounded value rather than the
+        # value: the driver hashes serialized bytes, so -0.0 vs +0.0 is a
+        # driver red even though Python == calls them equal (q122's
+        # four-round driver-only red; round() preserves the zero's sign,
+        # struct.pack exposes it).
+        return ("f", struct.pack("<d", round(v, 9)))
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+_NEG_ZERO = struct.pack("<d", -0.0)
+
+
+def _negzero_cols(cols, rows) -> set:
+    """Column names holding an IEEE -0.0 cell (recursing into lists).
+
+    A -0.0 anywhere in an oracle-backed output is latent hash drift: the
+    engines' ROUND implementations disagree on the sign of a
+    rounded-to-zero negative (Spark BigDecimal +0.0, DuckDB float -0.0),
+    so even when both sides agree TODAY, other data can split them. The
+    source must normalize with functions.deterministic.pos_zero (+ 0.0)."""
+
+    def hit(v):
+        if isinstance(v, float):
+            return struct.pack("<d", v) == _NEG_ZERO
+        if isinstance(v, (list, tuple)):
+            return any(hit(x) for x in v)
+        return False
+
+    return {cols[i] for r in rows for i, v in enumerate(r) if hit(v)}
 
 
 def _norm_rows(cols, rows):
@@ -162,6 +190,18 @@ def compare(spark, sf_dir: str, fn, sql: str, name: str = "?") -> None:
     )
     assert len(s_rows) == len(d_rows), (
         f"{name}: rowcount mismatch spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    nz = {
+        side: cols
+        for side, cols in (
+            ("spark", _negzero_cols(s_cols, s_rows)),
+            ("duckdb", _negzero_cols(d_cols, d_rows)),
+        )
+        if cols
+    }
+    assert not nz, (
+        f"{name}: -0.0 cells (latent driver hash drift — normalize the "
+        f"source with pos_zero / '+ 0.0'): {nz}"
     )
     sn, dn = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
     mismatches = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b]

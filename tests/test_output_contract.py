@@ -121,5 +121,87 @@ def test_no_round_over_float_accumulating_aggregates():
     )
 
 
+def test_harness_distinguishes_negative_zero():
+    """Regression for the q122 four-round driver-only red: Python ==
+    treats -0.0 and +0.0 as equal, so every tolerance/equality check was
+    green while the driver's serialized hash (which sees the sign bit)
+    stayed red. The harness float normalization must be byte-faithful."""
+    from .oracle_harness import _negzero_cols, _norm_cell
+
+    assert _norm_cell(-0.0) != _norm_cell(0.0)
+    assert _norm_cell(1.5) == _norm_cell(1.5)
+    assert _norm_cell(-0.0) == _norm_cell(-0.0)
+    # and the -0.0 sweep sees scalar and nested cells
+    assert _negzero_cols(["a", "b"], [(0.0, -0.0)]) == {"b"}
+    assert _negzero_cols(["a"], [([1.0, -0.0],)]) == {"a"}
+    assert _negzero_cols(["a"], [(None,), (3,)]) == set()
+
+
+def test_compare_rejects_cross_engine_signed_zero(spark):
+    """End-to-end shape of yesterday's q122 failure: Spark emits +0.0
+    (BigDecimal ROUND), the oracle emits -0.0 (float round) — equal under
+    ==, different under the driver hash. compare() must raise."""
+    from pyspark.sql import functions as F
+
+    from .oracle_harness import compare
+
+    def fn(spark, sf_dir):
+        # what Spark's ROUND produced for q122's (l_discount, l_tax) cell
+        return spark.range(1).select(F.lit(0.0).alias("v"))
+
+    with pytest.raises(AssertionError):
+        compare(spark, SF_DIR, fn, "SELECT -0.0 AS v", name="signed-zero-probe")
+
+
+def test_compare_rejects_agreeing_negative_zero(spark):
+    """Even when BOTH engines emit -0.0 (hash would agree today), the
+    harness flags it: the agreement is engine-version luck, and the
+    contract is that sources normalize with pos_zero."""
+    from pyspark.sql import functions as F
+
+    from .oracle_harness import compare
+
+    # divide a negative by infinity to force an IEEE -0.0 through the
+    # engine (a bare -0.0 literal risks being constant-folded away)
+    def fn_neg(spark, sf_dir):
+        return spark.range(1).select(
+            (F.lit(-1.0) / F.lit(float("inf"))).alias("v")
+        )
+
+    with pytest.raises(AssertionError, match="-0.0 cells"):
+        compare(spark, SF_DIR, fn_neg, "SELECT -1.0 / 1e308 / 1e308 AS v",
+                name="agreeing-negzero-probe")
+
+
+def test_pos_zero_normalizes_on_both_engines(spark):
+    """pos_zero's contract: -0.0 -> +0.0, identity elsewhere, on BOTH
+    engines (it ships inside shared oracle SQL)."""
+    import struct
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.functions.deterministic import (
+        pos_zero,
+        pos_zero_col,
+    )
+
+    rows = spark.range(1).select(
+        F.expr(pos_zero("-1.0 / CAST('Infinity' AS DOUBLE)")).alias("z"),
+        pos_zero_col(F.lit(-1.0) / F.lit(float("inf"))).alias("zc"),
+        pos_zero_col(F.lit(-2.5)).alias("neg"),
+        pos_zero_col(F.lit(3.25)).alias("pos"),
+    ).collect()[0]
+    pz = struct.pack("<d", 0.0)
+    assert struct.pack("<d", rows["z"]) == pz
+    assert struct.pack("<d", rows["zc"]) == pz
+    assert rows["neg"] == -2.5 and rows["pos"] == 3.25
+
+    d = duckdb.connect().execute(
+        f"SELECT {pos_zero('-1.0 / 1e308 / 1e308')} AS z"
+    ).fetchone()[0]
+    assert struct.pack("<d", d) == pz
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
