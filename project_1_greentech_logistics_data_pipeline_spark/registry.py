@@ -23,15 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _stamped_names() -> tuple[frozenset, frozenset]:
-    """(green, red): query names with a hash_match=true row in any driver
-    CORRECTNESS report, and names whose LATEST row is a mismatch."""
+def _stamped_names() -> tuple[frozenset, frozenset, dict]:
+    """(green, red, last_stamp_round): query names with a hash_match=true
+    row in any driver CORRECTNESS report, names whose LATEST row is a
+    mismatch, and the most recent round number that stamped each name
+    (green or not) — used to cycle the verification window through the
+    STALEST stamps once everything is green, instead of re-stamping the
+    same 50 every round."""
     green: set = set()
     latest: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 report = json.load(fh)
+            rnum = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         except Exception:
             continue
         for name, row in report.items():
@@ -39,26 +45,30 @@ def _stamped_names() -> tuple[frozenset, frozenset]:
             if ok:
                 green.add(name)
             latest[name] = ok
+            last_round[name] = max(rnum, last_round.get(name, 0))
     red = {n for n, ok in latest.items() if not ok}
-    return frozenset(green), frozenset(red)
+    return frozenset(green), frozenset(red), last_round
 
 
-_GREEN, _RED = _stamped_names()
+_GREEN, _RED, _LAST_ROUND = _stamped_names()
 
 
-def _priority(name: str, sql: str | None) -> int:
+def _priority(name: str, sql: str | None) -> tuple[int, int]:
     """Driver-verification priority for the first-50 stamping window:
     0 = oracle queries whose latest driver row FAILED (re-verify first),
     1 = oracle queries never green-stamped by any round's driver check,
-    2 = already-green oracles (rotate through as slots allow),
+    2 = already-green oracles — ordered STALEST STAMP FIRST, so once the
+        backlog is empty the window cycles through all 182 oracles over
+        ~4 rounds instead of re-stamping the same 50 (cumulative stamps
+        stay fresh against testdata regeneration),
     3 = rows-only queries (no oracle row either way)."""
     if sql is None:
-        return 3
+        return (3, 0)
     if name in _RED:
-        return 0
+        return (0, 0)
     if name not in _GREEN:
-        return 1
-    return 2
+        return (1, 0)
+    return (2, _LAST_ROUND.get(name, 0))
 
 
 def _collect() -> dict[str, tuple[Callable, str | None]]:

@@ -458,3 +458,62 @@ def test_q204_q205_bnlj_rows_are_one_row_scalar_broadcasts(spark):
         assert all("Build" in row for row in tree_bnlj), (fn.__name__, tree_bnlj)
         assert "IdentityBroadcastMode" in plan, fn.__name__
         assert "Keys: []" in plan, fn.__name__
+
+
+def test_every_bnlj_bearing_plan_is_a_one_row_scalar_broadcast(spark):
+    """Surface-wide extension of the q64/q204/q205 adjudication (VERDICT r4
+    item 4): walk EVERY declared query's physical plan and, wherever a
+    BroadcastNestedLoopJoin appears (q167/q179/q186/q119/q161/q166/q49b/q87
+    today), require the benign shape — a broadcast build side materialized
+    with IdentityBroadcastMode (a crossJoin of a 1-row aggregate), never a
+    keyed HashedRelation of a real data relation. A future plan regression
+    that introduces a data-relation nested loop anywhere on the surface
+    fails here instead of hiding among the adjudicated rows."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    # BNLJ carriers whose broadcast build is NOT a 1-row aggregate but is
+    # bounded-small by construction (inspected by hand; the bound does not
+    # grow with fact-table size, so the nested loop stays O(fact * O(1))):
+    ADJUDICATED_BOUNDED_BUILD = {
+        "q08b_join_cross": "deliberate cross join; build is the 5-row region dim",
+        "q31_range_join_bands": "build is the literal price-band table (4 rows)",
+        "q48_knn_bruteforce": "build is the constant N_QUERIES query set "
+        "(non-equi != condition forces BNLJ; the corpus side streams)",
+        "q166_hll_audience_overlap": "build is per-event-type HLL sketches "
+        "(|event types| rows, pairwise overlap)",
+        "q49b_centroid_similarity": "build is per-label centroids "
+        "(|labels| rows, pairwise cosine)",
+    }
+    offenders = {}
+    bnlj_queries = []
+    for name, fn in entrymod.queries().items():
+        plan = explain_str(fn(spark, SF))
+        tree_bnlj = re.findall(r"BroadcastNestedLoopJoin [^\n(]*", plan)
+        if not tree_bnlj:
+            continue
+        bnlj_queries.append(name)
+        problems = []
+        if "IdentityBroadcastMode" not in plan:
+            problems.append(
+                "no IdentityBroadcastMode broadcast in plan (keyed "
+                "HashedRelation feeding a nested loop?)"
+            )
+        if "Keys: []" not in plan and name not in ADJUDICATED_BOUNDED_BUILD:
+            problems.append(
+                "build side is neither a grouping-free (1-row) aggregate "
+                "nor an individually-adjudicated bounded relation — "
+                "inspect the plan and either fix the join or add an "
+                "adjudication entry with the boundedness argument"
+            )
+        if problems:
+            offenders[name] = problems
+    assert not offenders, f"non-scalar BroadcastNestedLoopJoin plans: {offenders}"
+    # the sweep must actually be exercising the known BNLJ carriers —
+    # if this set goes empty the regex or the plans changed shape
+    assert len(bnlj_queries) >= 5, bnlj_queries
+    # and adjudication entries must not outlive their BNLJ (stale rows
+    # would quietly whitelist a future, different nested loop)
+    stale = set(ADJUDICATED_BOUNDED_BUILD) - set(bnlj_queries)
+    assert not stale, f"adjudicated queries no longer carry a BNLJ: {stale}"
