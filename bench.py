@@ -100,10 +100,18 @@ def main() -> None:
         pass
 
     canary_post = canary_sec()
-    ratio = round(canary_post / canary_pre, 2) if canary_pre > 0 else None
     # two-sided: a suite that STARTED throttled and recovered shows
-    # ratio << 1 — those early per-query numbers are just as suspect
-    drift = max(ratio, 1.0 / ratio) if ratio else None
+    # ratio << 1 — those early per-query numbers are just as suspect.
+    # Drift comes from the UNROUNDED ratio (a 2dp-rounded 0.00 is falsy
+    # and would skip the exact started-throttled case this check exists
+    # for); rounding is display-only.
+    raw_ratio = canary_post / canary_pre if canary_pre > 0 else None
+    ratio = round(raw_ratio, 2) if raw_ratio is not None else None
+    drift = (
+        max(raw_ratio, 1.0 / raw_ratio)
+        if raw_ratio is not None and raw_ratio > 0
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     print(

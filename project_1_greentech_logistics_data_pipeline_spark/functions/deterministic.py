@@ -54,7 +54,15 @@ def davg(col: Column | str) -> Column:
 
 def hilo_sum_exprs(value_sql: str, alias: str) -> list[str]:
     """SQL aggregate expressions (Spark == DuckDB) whose two long sums
-    exactly determine SUM(value) at 1e-10 granularity, order-independently."""
+    exactly determine SUM(value) at 1e-10 granularity, order-independently.
+
+    PRECONDITION: ``value_sql`` must be non-null on every row. The moment
+    formulas built on these sums pair them with ``n = COUNT(*)``; a NULL
+    value would be skipped by SUM but counted by COUNT(*), silently
+    shifting corr/covar away from pairwise-complete semantics — and
+    identically on both engines, so the oracle differential CANNOT catch
+    it. The q19/q122 inputs (lineitem measures) are non-null by the TPC-H
+    schema; filter or COALESCE first if reusing over nullable columns."""
     v = f"({value_sql})"
     return [
         f"SUM(CAST(FLOOR({v}) AS BIGINT)) AS {alias}_hi",

@@ -86,13 +86,23 @@ def build_corpus(spark, m: int, with_embeddings: bool = True) -> str:
     # every round, and a derived corpus built from last round's sf0.1 —
     # or a docs-only build served to an embedding probe — would silently
     # skew cross-round comparisons
-    src = "|".join(
-        str(os.stat(os.path.join(BASE, f"{t}.parquet")).st_mtime_ns)
-        for t in ("documents", "embeddings")
-    )
-    want = f"{src}|emb={int(with_embeddings)}"
+    # embeddings.parquet enters the stamp only when it is actually an
+    # input: a docs-only probe must not crash on (or be invalidated by)
+    # an absent/regenerated embeddings table it never reads
+    doc_src = str(os.stat(os.path.join(BASE, "documents.parquet")).st_mtime_ns)
+    if with_embeddings:
+        emb_src = str(os.stat(os.path.join(BASE, "embeddings.parquet")).st_mtime_ns)
+        want = f"{doc_src}|{emb_src}|emb=1"
+    else:
+        want = f"{doc_src}|emb=0"
     have = open(marker).read() if os.path.exists(marker) else None
-    if have == want or (not with_embeddings and have == f"{src}|emb=1"):
+    full_build_ok = (
+        not with_embeddings
+        and have is not None
+        and have.startswith(f"{doc_src}|")
+        and have.endswith("|emb=1")
+    )
+    if have == want or full_build_ok:
         return out_dir
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
