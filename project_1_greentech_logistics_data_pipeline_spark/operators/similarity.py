@@ -194,39 +194,92 @@ def q49_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q49b_centroid_similarity", None)  # float-array agg order-dependent; rows-only
+_Q49B_SQL = """
+WITH comp AS (
+  SELECT label,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS pos,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM comp GROUP BY label, pos
+),
+norms AS (
+  SELECT label, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS n2
+  FROM cent GROUP BY label
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.m * b.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+  CAST(ROUND(d.dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) + 0.0 AS DOUBLE)
+    AS centroid_cosine
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+ORDER BY label_a, label_b
+"""
+
+
+@query("q49b_centroid_similarity", _Q49B_SQL)
 def q49b_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroids (posexplode + groupBy — the
     distributed mean over array<float>), then pairwise centroid cosines.
     This is the coarse-quantizer training step of an IVF index expressed as
-    DataFrame ops."""
+    DataFrame ops.
+
+    Previously rows-only (float-array avg is accumulation-order-dependent);
+    now exact and oracle-backed: each centroid component is a decimal-exact
+    sum / count (the dsum discipline at 38,12), per-label norms and pairwise
+    dots are decimal-exact sums over the component products, and the final
+    cosine is one shared IEEE expression — deterministic run-to-run and
+    engine-to-engine. The pairwise stage keys the join on the component
+    index (equi on pos, band on label), so it hash-partitions instead of
+    nested-looping; cost is O(|labels|^2 * dim) on centroid rows only,
+    independent of corpus size."""
     tune(spark)
     e = load_table(spark, sf_dir, "embeddings")
     comp = e.select("label", F.posexplode("embedding").alias("pos", "val"))
-    centroids = (
-        comp.groupBy("label", "pos")
-        .agg(F.avg("val").alias("mean_val"))
-        .groupBy("label")
+    cent = comp.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("n2")
+    )
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("m").alias("ma"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("pos").alias("pos_b"),
+                    F.col("m").alias("mb"))
+    dots = (
+        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "mean_val"))
-            ).alias("entries")
-        )
-        .select(
-            "label",
-            F.transform(F.col("entries"), lambda s: s["mean_val"]).alias("centroid"),
+            F.sum((F.col("ma") * F.col("mb")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot")
         )
     )
-    a = centroids.select(F.col("label").alias("label_a"), F.col("centroid").alias("c_a"))
-    b = centroids.select(F.col("label").alias("label_b"), F.col("centroid").alias("c_b"))
-    cos = cosine_similarity_expr("c_a", "c_b")
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    # + 0.0: near-orthogonal centroids' tiny negative cosine ROUNDs to
+    # zero with opposite signs on the two engines (q122 r4 class)
+    cos = F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6) + F.lit(0.0)
     return (
-        a.join(b, F.col("label_a") < F.col("label_b"))
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
         .select(
-            "label_a",
-            "label_b",
-            F.round(cos, 6).cast("double").alias("centroid_cosine"),
+            "label_a", "label_b", cos.cast("double").alias("centroid_cosine")
         )
+        .orderBy("label_a", "label_b")
     )
 
 

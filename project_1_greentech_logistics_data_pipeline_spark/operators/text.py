@@ -204,18 +204,69 @@ def q42_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATA_FRACTIONS = {"en": 0.2, "fr": 0.5, "es": 0.5, "de": 0.5, "zh": 0.5}
 SPLIT_SEED = 42
 
+# Portable deterministic sampling/splitting primitive: the first 15 hex
+# chars of md5(id || ':' || seed) are uniform on [0, 16^15) and IDENTICAL
+# in any engine that implements md5 (Spark, DuckDB, Python hashlib, ...) —
+# lowercase hex compares lexicographically, so "keep iff prefix < T(frac)"
+# needs no hex->int parsing anywhere. Unlike rand()-based samplers
+# (sampleBy/randomSplit), assignment is a pure function of the KEY: stable
+# under repartitioning, re-reads, engine swaps, and cluster size — the
+# property leakage-free reprocessing at 100 TB actually requires. md5 is a
+# JVM codegen built-in; on short id strings the cost is noise next to scan
+# I/O.
 
-@query("q79_stratified_sample", None)  # sampler is engine-specific -> rows-only
+
+def _md5_prefix(id_col: str, seed: int) -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 15
+    )
+
+
+def _md5_prefix_sql(id_sql: str, seed: int) -> str:
+    """DuckDB twin of _md5_prefix — same bytes in, same hex out."""
+    return f"SUBSTR(MD5(CAST({id_sql} AS VARCHAR) || ':{seed}'), 1, 15)"
+
+
+def _frac_threshold_hex(frac: float) -> str:
+    """The 15-hex-digit threshold T with P(prefix < T) == frac (to 1 ulp
+    of 16^-15)."""
+    return format(int(round(frac * 16**15)), "015x")
+
+
+_Q79_SQL = (
+    "WITH kept AS (\n"
+    "  SELECT lang FROM documents\n"
+    f"  WHERE {_md5_prefix_sql('doc_id', SPLIT_SEED)} < CASE lang\n"
+    + "\n".join(
+        f"    WHEN '{lang}' THEN '{_frac_threshold_hex(frac)}'"
+        for lang, frac in STRATA_FRACTIONS.items()
+    )
+    + "\n    ELSE '000000000000000' END\n"
+    ")\n"
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled\n"
+    "FROM kept GROUP BY lang"
+)
+
+
+@query("q79_stratified_sample", _Q79_SQL)
 def q79_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-language) sampling — the rebalancing step a
     training-data pipeline uses to downweight an over-represented language.
-    sampleBy is a one-pass Bernoulli filter with per-stratum rates: no
-    shuffle, no count-first, seeded for reproducibility. The output reports
-    per-stratum sampled counts (the invariant pytest checks proportions and
-    determinism)."""
+    A one-pass filter with per-stratum keep-thresholds over the md5-prefix
+    key (see _md5_prefix): no shuffle, no count-first, and — unlike
+    sampleBy's per-partition RNG — the kept SET is a pure function of the
+    doc ids, so it is reproducible across engines and partitionings (which
+    is also what makes an exact DuckDB oracle possible). Strata not in the
+    fraction map are excluded, matching sampleBy semantics."""
     d = _t(spark, sf_dir, "documents")
-    sampled = d.sampleBy("lang", STRATA_FRACTIONS, seed=SPLIT_SEED)
-    return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    thresh = F.lit("0" * 15)
+    for lang, frac in STRATA_FRACTIONS.items():
+        thresh = (
+            F.when(F.col("lang") == lang, F.lit(_frac_threshold_hex(frac)))
+            .otherwise(thresh)
+        )
+    sampled = d.filter(_md5_prefix("doc_id", SPLIT_SEED) < thresh)
+    return sampled.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_sampled"))
 
 
 def train_val_split(
@@ -226,22 +277,40 @@ def train_val_split(
     layout (re-reading with a different split count reassigns rows); hashing
     the id gives the SAME assignment for a row no matter how the data is
     partitioned, which is what leakage-free reprocessing requires at scale.
-    """
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000))
-    thresh = int(val_fraction * 1000)
-    val = df.filter(bucket < thresh)
-    train = df.filter(bucket >= thresh)
+    The md5-prefix key additionally makes the assignment engine-portable
+    (reproducible outside Spark — see _md5_prefix)."""
+    key = _md5_prefix(id_col, seed)
+    thresh = F.lit(_frac_threshold_hex(val_fraction))
+    val = df.filter(key < thresh)
+    train = df.filter(key >= thresh)
     return train, val
 
 
-@query("q79b_train_val_split", None)  # hash-based assignment -> rows-only
+_Q79B_SQL = f"""
+WITH tagged AS (
+  SELECT lang,
+         CASE WHEN {_md5_prefix_sql('doc_id', SPLIT_SEED)}
+                   < '{_frac_threshold_hex(0.1)}'
+              THEN 1 ELSE 0 END AS is_val
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(1 - is_val) AS BIGINT) AS n_train,
+       CAST(SUM(is_val) AS BIGINT) AS n_val
+FROM tagged GROUP BY lang
+"""
+
+
+@query("q79b_train_val_split", _Q79B_SQL)
 def q79b_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split summary per language: total, train, val counts (pytest checks
-    disjointness, conservation, fraction tolerance, and key-stability)."""
+    """Split summary per language: train/val counts. Exact oracle because
+    the assignment is the portable md5-prefix function of doc_id (pytest
+    additionally checks disjointness, conservation, fraction tolerance,
+    and key-stability under repartitioning)."""
     d = _t(spark, sf_dir, "documents")
     train, val = train_val_split(d, "doc_id", val_fraction=0.1)
-    t = train.groupBy("lang").agg(F.count("*").alias("n_train"))
-    v = val.groupBy("lang").agg(F.count("*").alias("n_val"))
+    t = train.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_train"))
+    v = val.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_val"))
     return (
         t.join(v, "lang", "full_outer")
         .select(

@@ -463,7 +463,7 @@ def test_q204_q205_bnlj_rows_are_one_row_scalar_broadcasts(spark):
 def test_every_bnlj_bearing_plan_is_a_one_row_scalar_broadcast(spark):
     """Surface-wide extension of the q64/q204/q205 adjudication (VERDICT r4
     item 4): walk EVERY declared query's physical plan and, wherever a
-    BroadcastNestedLoopJoin appears (q167/q179/q186/q119/q161/q166/q49b/q87
+    BroadcastNestedLoopJoin appears (q167/q179/q186/q119/q161/q166/q87
     today), require the benign shape — a broadcast build side materialized
     with IdentityBroadcastMode (a crossJoin of a 1-row aggregate), never a
     keyed HashedRelation of a real data relation. A future plan regression
@@ -483,8 +483,6 @@ def test_every_bnlj_bearing_plan_is_a_one_row_scalar_broadcast(spark):
         "(non-equi != condition forces BNLJ; the corpus side streams)",
         "q166_hll_audience_overlap": "build is per-event-type HLL sketches "
         "(|event types| rows, pairwise overlap)",
-        "q49b_centroid_similarity": "build is per-label centroids "
-        "(|labels| rows, pairwise cosine)",
     }
     offenders = {}
     bnlj_queries = []
