@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import dsum, hilo_reconstruct, hilo_sum_exprs
+from ..functions.deterministic import (
+    dsum,
+    hilo_reconstruct,
+    hilo_sum_exprs,
+    pos_zero,
+)
 from ..session import tune
 from ..sources.readers import load_table
 
@@ -192,14 +197,14 @@ _Q19_RECON = ["l_returnflag", "median_price", "p90_price", "n"] + [
 _Q19_STATS = [
     "CAST(ROUND(SQRT((ss_p - s_p * s_p / n) / (n - 1)), 2) AS DOUBLE) AS stddev_price",
     "CAST(ROUND((ss_q - s_q * s_q / n) / (n - 1), 4) AS DOUBLE) AS var_qty",
-    # corr/covar can be a tiny NEGATIVE rounding to zero — Spark's
-    # BigDecimal ROUND emits +0.0 where DuckDB's float round emits -0.0
-    # (==-equal, hash-different: the q122 r4 class), so normalize with
-    # `+ 0.0` on the shared expression.
-    "CAST(ROUND((s_qp - s_q * s_p / n) / (SQRT(ss_q - s_q * s_q / n)"
-    " * SQRT(ss_p - s_p * s_p / n)), 6) + 0.0 AS DOUBLE) AS corr_qty_price",
-    "CAST(ROUND((s_qp - s_q * s_p / n) / (n - 1), 2) + 0.0 AS DOUBLE)"
-    " AS covar_qty_price",
+    # pos_zero: corr/covar can be a tiny NEGATIVE rounding to zero — the
+    # q122 r4 signed-zero class (see functions/deterministic.pos_zero).
+    "CAST(" + pos_zero(
+        "ROUND((s_qp - s_q * s_p / n) / (SQRT(ss_q - s_q * s_q / n)"
+        " * SQRT(ss_p - s_p * s_p / n)), 6)"
+    ) + " AS DOUBLE) AS corr_qty_price",
+    "CAST(" + pos_zero("ROUND((s_qp - s_q * s_p / n) / (n - 1), 2)")
+    + " AS DOUBLE) AS covar_qty_price",
 ]
 
 _Q19_SQL = f"""

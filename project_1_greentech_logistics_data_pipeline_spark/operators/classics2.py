@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import dsum
+from ..functions.deterministic import dsum, pos_zero_col
 from ..session import tune
 from ..sources.readers import load_table
 
@@ -803,8 +803,9 @@ def q106_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year",
         "revenue",
         prev.alias("prev_revenue"),
-        # + 0.0: a tiny negative growth ROUNDs to zero with opposite signs
-        # on the two engines (q122 r4 signed-zero class).
-        (F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6) + F.lit(0.0))
-        .alias("yoy_growth"),
+        # pos_zero: a tiny negative growth rounds to zero with opposite
+        # signs on the two engines (q122 r4 signed-zero class).
+        pos_zero_col(
+            F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6)
+        ).alias("yoy_growth"),
     ).orderBy("nation", "o_year")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.deterministic import pos_zero
 from ..session import tune
 from ..sources.readers import load_table
 
@@ -491,18 +492,17 @@ def q53_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q75_grouped_zscore_pandas",
-    """
+_Q75_Z = "ROUND((value - AVG(value) OVER w) / (STDDEV_SAMP(value) OVER w), 4)"
+_Q75_SQL = f"""
 SELECT event_id, user_id,
-  CAST(ROUND(
-    (value - AVG(value) OVER w) / (STDDEV_SAMP(value) OVER w), 4)
-  + 0.0 AS DOUBLE) AS zscore
+  CAST({pos_zero(_Q75_Z)} AS DOUBLE) AS zscore
 FROM events
 WINDOW w AS (PARTITION BY user_id)
 QUALIFY COUNT(*) OVER w > 1
-""",
-)
+"""
+
+
+@query("q75_grouped_zscore_pandas", _Q75_SQL)
 def q75_grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score via applyInPandas — the grouped-map UDAF surface
     (SURVEY §2.9), deliberately in pandas to pin down the escape hatch's

@@ -20,6 +20,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_expr, dot_expr
+from ..functions.deterministic import (
+    hilo_reconstruct,
+    hilo_sum_exprs,
+    pos_zero,
+    pos_zero_col,
+)
 from ..session import tune
 from ..sources.readers import load_table
 
@@ -52,7 +58,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id,
-  CAST(ROUND(cos_raw, 6) + 0.0 AS DOUBLE) AS cosine,
+  CAST({pos_zero("ROUND(cos_raw, 6)")} AS DOUBLE) AS cosine,
   CAST(rk AS BIGINT) AS rk
 FROM ranked WHERE rk <= {TOP_K}
 """
@@ -87,10 +93,10 @@ def q48_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            # + 0.0: a near-orthogonal neighbor's tiny negative cosine
-            # ROUNDs to zero with opposite signs on the two engines
+            # pos_zero: a near-orthogonal neighbor's tiny negative cosine
+            # rounds to zero with opposite signs on the two engines
             # (q122 r4 signed-zero class).
-            (F.round("cos_raw", 6) + F.lit(0.0)).cast("double").alias("cosine"),
+            pos_zero_col(F.round("cos_raw", 6)).cast("double").alias("cosine"),
             "rk",
         )
     )
@@ -194,31 +200,48 @@ def q49_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q49B_SQL = """
+# All three aggregation stages use the split-integer (hi/lo) long-sum
+# discipline of q19/q122 (functions/deterministic.hilo_sum_exprs), NOT
+# double->DECIMAL casts: Spark rounds a double to decimal HALF_UP on its
+# shortest decimal repr while DuckDB rounds the exact binary value
+# half-to-even, so tie-valued components (any float whose lowest set bit
+# is 2^-(scale+1) — common in float32 data) would make "decimal-exact"
+# sums differ by 1 ulp-of-scale per hit between engines. FLOOR-based
+# splitting has no rounding step at all: both long sums are exact integer
+# functions of the identical input doubles, so every stage is
+# engine-identical by construction (truncation at 1e-10 perturbs the
+# centroid identically on both sides — determinism, not approximation
+# error, is what the oracle differential needs).
+_Q49B_MEAN = f"({hilo_reconstruct('sv')}) / CAST(n AS DOUBLE)"
+_Q49B_COS = "d.dot / (SQRT(na.n2) * SQRT(nb.n2))"
+
+_Q49B_SQL = f"""
 WITH comp AS (
   SELECT label,
          GENERATE_SUBSCRIPTS(embedding, 1) AS pos,
          UNNEST(CAST(embedding AS DOUBLE[])) AS val
   FROM embeddings
 ),
-cent AS (
-  SELECT label, pos,
-         CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+cent0 AS (
+  SELECT label, pos, COUNT(*) AS n,
+         {", ".join(hilo_sum_exprs("val", "sv"))}
   FROM comp GROUP BY label, pos
 ),
-norms AS (
-  SELECT label, CAST(SUM(CAST(m * m AS DECIMAL(38,18))) AS DOUBLE) AS n2
+cent AS (SELECT label, pos, {_Q49B_MEAN} AS m FROM cent0),
+norm0 AS (
+  SELECT label, {", ".join(hilo_sum_exprs("m * m", "s2"))}
   FROM cent GROUP BY label
 ),
-dots AS (
+norms AS (SELECT label, {hilo_reconstruct("s2")} AS n2 FROM norm0),
+dot0 AS (
   SELECT a.label AS label_a, b.label AS label_b,
-         CAST(SUM(CAST(a.m * b.m AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         {", ".join(hilo_sum_exprs("a.m * b.m", "sd"))}
   FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
   GROUP BY 1, 2
-)
+),
+dots AS (SELECT label_a, label_b, {hilo_reconstruct("sd")} AS dot FROM dot0)
 SELECT d.label_a, d.label_b,
-  CAST(ROUND(d.dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) + 0.0 AS DOUBLE)
-    AS centroid_cosine
+  CAST({pos_zero(f"ROUND({_Q49B_COS}, 6)")} AS DOUBLE) AS centroid_cosine
 FROM dots d
 JOIN norms na ON na.label = d.label_a
 JOIN norms nb ON nb.label = d.label_b
@@ -234,27 +257,33 @@ def q49b_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame ops.
 
     Previously rows-only (float-array avg is accumulation-order-dependent);
-    now exact and oracle-backed: each centroid component is a decimal-exact
-    sum / count (the dsum discipline at 38,12), per-label norms and pairwise
-    dots are decimal-exact sums over the component products, and the final
-    cosine is one shared IEEE expression — deterministic run-to-run and
-    engine-to-engine. The pairwise stage keys the join on the component
-    index (equi on pos, band on label), so it hash-partitions instead of
-    nested-looping; cost is O(|labels|^2 * dim) on centroid rows only,
-    independent of corpus size."""
+    now exact and oracle-backed: every aggregation is a split-integer
+    (hi/lo) long sum — order-independent AND free of the engine-specific
+    double->decimal tie rounding (see _Q49B_SQL comment) — and the mean /
+    norm / cosine derivations are expressions shared verbatim with the
+    oracle, so results are bit-identical run-to-run and engine-to-engine.
+    The pairwise stage keys the join on the component index (equi on pos,
+    band on label), so it hash-partitions instead of nested-looping; cost
+    is O(|labels|^2 * dim) on centroid rows only, independent of corpus
+    size."""
     tune(spark)
     e = load_table(spark, sf_dir, "embeddings")
-    comp = e.select("label", F.posexplode("embedding").alias("pos", "val"))
-    cent = comp.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("m")
+    comp = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
     )
-    norms = cent.groupBy("label").agg(
-        F.sum((F.col("m") * F.col("m")).cast("decimal(38,18)"))
-        .cast("double")
-        .alias("n2")
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *(F.expr(x) for x in hilo_sum_exprs("val", "sv")),
+        )
+        .selectExpr("label", "pos", f"{_Q49B_MEAN} AS m")
+    )
+    norms = (
+        cent.groupBy("label")
+        .agg(*(F.expr(x) for x in hilo_sum_exprs("m * m", "s2")))
+        .selectExpr("label", f"{hilo_reconstruct('s2')} AS n2")
     )
     a = cent.select(F.col("label").alias("label_a"), "pos", F.col("m").alias("ma"))
     b = cent.select(F.col("label").alias("label_b"), F.col("pos").alias("pos_b"),
@@ -262,17 +291,14 @@ def q49b_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = (
         a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("label_a") < F.col("label_b")))
         .groupBy("label_a", "label_b")
-        .agg(
-            F.sum((F.col("ma") * F.col("mb")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("dot")
-        )
+        .agg(*(F.expr(x) for x in hilo_sum_exprs("ma * mb", "sd")))
+        .selectExpr("label_a", "label_b", f"{hilo_reconstruct('sd')} AS dot")
     )
     na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
-    # + 0.0: near-orthogonal centroids' tiny negative cosine ROUNDs to
-    # zero with opposite signs on the two engines (q122 r4 class)
-    cos = F.round(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6) + F.lit(0.0)
+    cos = F.expr(
+        pos_zero("ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6)")
+    )
     return (
         dots.join(F.broadcast(na), "label_a")
         .join(F.broadcast(nb), "label_b")

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import pos_zero, pos_zero_col
 from ..session import tune
 from ..sources.readers import load_table
 
@@ -217,19 +218,41 @@ SPLIT_SEED = 42
 
 
 def _md5_prefix(id_col: str, seed: int) -> F.Column:
+    # COALESCE before hashing: concat NULL-propagates on both engines, and
+    # a NULL key would otherwise fail BOTH `key < T` and `key >= T`,
+    # dropping the row from train AND val (conservation violation)
     return F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 15
+        F.md5(
+            F.concat(
+                F.coalesce(F.col(id_col).cast("string"), F.lit("__null__")),
+                F.lit(f":{seed}"),
+            )
+        ),
+        1,
+        15,
     )
 
 
 def _md5_prefix_sql(id_sql: str, seed: int) -> str:
     """DuckDB twin of _md5_prefix — same bytes in, same hex out."""
-    return f"SUBSTR(MD5(CAST({id_sql} AS VARCHAR) || ':{seed}'), 1, 15)"
+    return (
+        f"SUBSTR(MD5(COALESCE(CAST({id_sql} AS VARCHAR), '__null__')"
+        f" || ':{seed}'), 1, 15)"
+    )
 
 
 def _frac_threshold_hex(frac: float) -> str:
-    """The 15-hex-digit threshold T with P(prefix < T) == frac (to 1 ulp
-    of 16^-15)."""
+    """The threshold T with P(prefix < T) == frac (to 1 ulp of 16^-15).
+
+    frac >= 1 returns 'g': every hex prefix sorts before it ('f' < 'g'),
+    so the whole population is kept — the 16-digit hex for 16^15 would
+    compare lexicographically by FIRST character against 15-digit
+    prefixes and wrongly exclude everything above '0fff...'. frac <= 0
+    returns the all-zero threshold, which no prefix is below."""
+    if frac >= 1.0:
+        return "g"
+    if frac <= 0.0:
+        return "0" * 15
     return format(int(round(frac * 16**15)), "015x")
 
 
@@ -461,7 +484,7 @@ def q92_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scores -> exact aggregation, no float accumulation concerns).
 SENTIMENT_LEXICON = [("fast", 2), ("big", 1), ("small", -1), ("slow", -2)]
 
-_Q93_SQL = """
+_Q93_SQL = f"""
 WITH lex(word, score) AS (
   VALUES ('fast', 2), ('big', 1), ('small', -1), ('slow', -2)
 ), toks AS (
@@ -472,7 +495,8 @@ SELECT
   t.doc_id,
   COUNT(*) AS n_sentiment_tokens,
   CAST(SUM(l.score) AS BIGINT) AS sentiment_sum,
-  CAST(ROUND(SUM(l.score)::DOUBLE / COUNT(*), 6) + 0.0 AS DOUBLE) AS sentiment_mean,
+  CAST({pos_zero("ROUND(SUM(l.score)::DOUBLE / COUNT(*), 6)")} AS DOUBLE)
+    AS sentiment_mean,
   CASE WHEN SUM(l.score) > 0 THEN 'positive'
        WHEN SUM(l.score) < 0 THEN 'negative'
        ELSE 'neutral' END AS sentiment_label
@@ -499,9 +523,9 @@ def q93_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sentiment_tokens"),
             ssum.cast("bigint").alias("sentiment_sum"),
-            # + 0.0: a tiny negative mean ROUNDs to zero with opposite
+            # pos_zero: a tiny negative mean rounds to zero with opposite
             # signs on the two engines (q122 r4 signed-zero class).
-            (F.round(ssum.cast("double") / F.count("*"), 6) + F.lit(0.0)).alias(
+            pos_zero_col(F.round(ssum.cast("double") / F.count("*"), 6)).alias(
                 "sentiment_mean"
             ),
             F.when(ssum > 0, "positive")

@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,9 +38,13 @@ def _stamped_names() -> tuple[frozenset, frozenset, dict]:
         try:
             with open(path) as fh:
                 report = json.load(fh)
-            rnum = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         except Exception:
             continue
+        # round number is freshness metadata only — an oddly named report
+        # (no digits) must still contribute its green/red stamps, so the
+        # parse may not throw the rows away with it
+        m = re.search(r"_r0*(\d+)", os.path.basename(path))
+        rnum = int(m.group(1)) if m else 0
         for name, row in report.items():
             ok = bool(row.get("hash_match")) and not row.get("err")
             if ok:

@@ -138,19 +138,30 @@ def test_harness_distinguishes_negative_zero():
 
 
 def test_compare_rejects_cross_engine_signed_zero(spark):
-    """End-to-end shape of yesterday's q122 failure: Spark emits +0.0
-    (BigDecimal ROUND), the oracle emits -0.0 (float round) — equal under
-    ==, different under the driver hash. compare() must raise."""
+    """End-to-end shape of yesterday's q122 failure: Spark's BigDecimal
+    ROUND emits +0.0 where DuckDB's float ROUND emits -0.0 for the same
+    tiny negative — equal under ==, different under the driver hash.
+    compare() must raise. (A bare `SELECT -0.0` would NOT reproduce this:
+    DuckDB parses it as DECIMAL and loses the sign bit — the oracle must
+    run the actual float-ROUND mechanism.)"""
     from pyspark.sql import functions as F
 
     from .oracle_harness import compare
 
     def fn(spark, sf_dir):
-        # what Spark's ROUND produced for q122's (l_discount, l_tax) cell
-        return spark.range(1).select(F.lit(0.0).alias("v"))
+        # Spark's ROUND of the same value: BigDecimal path, +0.0
+        return spark.range(1).select(
+            F.round(F.lit(-1e-9).cast("double"), 6).cast("double").alias("v")
+        )
 
     with pytest.raises(AssertionError):
-        compare(spark, SF_DIR, fn, "SELECT -0.0 AS v", name="signed-zero-probe")
+        compare(
+            spark,
+            SF_DIR,
+            fn,
+            "SELECT ROUND(CAST(-1e-9 AS DOUBLE), 6) AS v",
+            name="signed-zero-probe",
+        )
 
 
 def test_compare_rejects_agreeing_negative_zero(spark):

@@ -460,15 +460,71 @@ def test_q204_q205_bnlj_rows_are_one_row_scalar_broadcasts(spark):
         assert "Keys: []" in plan, fn.__name__
 
 
+def _plan_details(plan: str) -> dict:
+    """id -> details body for each `(N) Operator` block of a formatted plan."""
+    import re
+
+    out = {}
+    for m in re.finditer(
+        r"^\((\d+)\) [^\n]+\n((?:(?!^\(\d+\) )[^\n]*\n?)*)", plan, re.M
+    ):
+        out[int(m.group(1))] = m.group(2)
+    return out
+
+
+def _non_one_row_identity_broadcasts(plan: str) -> list:
+    """Exchange ids of IdentityBroadcastMode broadcasts (the kind that feed
+    BroadcastNestedLoopJoin) whose build SUBTREE is not provably <= 1 row.
+
+    Anchored to the build side, not the whole plan string: walking down
+    from each such BroadcastExchange in the tree section, skipping
+    row-count-preserving wrappers (Filter/Project), the first real operator
+    must be a HashAggregate with empty grouping keys (`Keys: []` in ITS
+    details block). A plan-wide 'IdentityBroadcastMode in plan' or
+    'Keys: [] in plan' check is vacuous — a BNLJ's own broadcast always
+    uses IdentityBroadcastMode, and any unrelated scalar aggregate
+    elsewhere in the plan contributes a 'Keys: []'."""
+    import re
+
+    det = _plan_details(plan)
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        mm = re.search(r"BroadcastExchange \((\d+)\)\s*$", line)
+        if not mm:
+            continue
+        exch_id = int(mm.group(1))
+        if "IdentityBroadcastMode" not in det.get(exch_id, ""):
+            continue  # keyed HashedRelation (a BHJ build) — not BNLJ-bound
+        indent = line.index("BroadcastExchange")
+        ok = False
+        j = i + 1
+        while j < len(lines):
+            cm = re.search(r"([A-Za-z]+(?: [A-Za-z]+)*) \((\d+)\)\s*$", lines[j])
+            if not cm or lines[j].find(cm.group(1)) <= indent:
+                break  # dedent: left the build subtree
+            name = cm.group(1)
+            if name in ("Filter", "Project"):
+                j += 1
+                continue
+            ok = name == "HashAggregate" and "Keys: []" in det.get(
+                int(cm.group(2)), ""
+            )
+            break
+        if not ok:
+            bad.append(exch_id)
+    return bad
+
+
 def test_every_bnlj_bearing_plan_is_a_one_row_scalar_broadcast(spark):
     """Surface-wide extension of the q64/q204/q205 adjudication (VERDICT r4
     item 4): walk EVERY declared query's physical plan and, wherever a
     BroadcastNestedLoopJoin appears (q167/q179/q186/q119/q161/q166/q87
-    today), require the benign shape — a broadcast build side materialized
-    with IdentityBroadcastMode (a crossJoin of a 1-row aggregate), never a
-    keyed HashedRelation of a real data relation. A future plan regression
-    that introduces a data-relation nested loop anywhere on the surface
-    fails here instead of hiding among the adjudicated rows."""
+    today), require the benign shape — the build subtree bounded to one
+    row (grouping-free aggregate under the IdentityBroadcastMode
+    exchange), never a data relation. A future plan regression that
+    introduces a real nested loop anywhere on the surface fails here
+    instead of hiding among the adjudicated rows."""
     import re
 
     import __spark_entry__ as entrymod
@@ -488,25 +544,19 @@ def test_every_bnlj_bearing_plan_is_a_one_row_scalar_broadcast(spark):
     bnlj_queries = []
     for name, fn in entrymod.queries().items():
         plan = explain_str(fn(spark, SF))
-        tree_bnlj = re.findall(r"BroadcastNestedLoopJoin [^\n(]*", plan)
-        if not tree_bnlj:
+        if not re.search(r"BroadcastNestedLoopJoin ", plan):
             continue
         bnlj_queries.append(name)
-        problems = []
-        if "IdentityBroadcastMode" not in plan:
-            problems.append(
-                "no IdentityBroadcastMode broadcast in plan (keyed "
-                "HashedRelation feeding a nested loop?)"
+        if name in ADJUDICATED_BOUNDED_BUILD:
+            continue
+        bad = _non_one_row_identity_broadcasts(plan)
+        if bad:
+            offenders[name] = (
+                f"BNLJ build subtree(s) at exchange id(s) {bad} are not "
+                "grouping-free 1-row aggregates — inspect the plan and "
+                "either fix the join or add an adjudication entry with "
+                "the boundedness argument"
             )
-        if "Keys: []" not in plan and name not in ADJUDICATED_BOUNDED_BUILD:
-            problems.append(
-                "build side is neither a grouping-free (1-row) aggregate "
-                "nor an individually-adjudicated bounded relation — "
-                "inspect the plan and either fix the join or add an "
-                "adjudication entry with the boundedness argument"
-            )
-        if problems:
-            offenders[name] = problems
     assert not offenders, f"non-scalar BroadcastNestedLoopJoin plans: {offenders}"
     # the sweep must actually be exercising the known BNLJ carriers —
     # if this set goes empty the regex or the plans changed shape
@@ -515,3 +565,34 @@ def test_every_bnlj_bearing_plan_is_a_one_row_scalar_broadcast(spark):
     # would quietly whitelist a future, different nested loop)
     stale = set(ADJUDICATED_BOUNDED_BUILD) - set(bnlj_queries)
     assert not stale, f"adjudicated queries no longer carry a BNLJ: {stale}"
+
+
+def test_bnlj_build_subtree_checker_detects_data_relation(spark):
+    """Meta-check: the subtree walker actually reds on a genuine
+    data-relation nested loop (a non-equi crossish join of two real
+    tables), and greens on the benign 1-row scalar-broadcast shape."""
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    n = load_table(spark, SF, "nation")
+    c = load_table(spark, SF, "customer")
+    # real data-relation BNLJ: non-equi-only condition, nation broadcast
+    bad_plan = explain_str(
+        c.join(F.broadcast(n), c.c_nationkey != n.n_nationkey).select("c_custkey")
+    )
+    assert "BroadcastNestedLoopJoin" in bad_plan
+    assert _non_one_row_identity_broadcasts(bad_plan), (
+        "walker missed a data-relation BNLJ build"
+    )
+    # benign: crossJoin of a 1-row aggregate
+    ok_plan = explain_str(
+        c.crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_total"))))
+        .select("c_custkey", "n_total")
+    )
+    assert "BroadcastNestedLoopJoin" in ok_plan
+    assert not _non_one_row_identity_broadcasts(ok_plan), (
+        "walker flagged the benign scalar-broadcast shape"
+    )
