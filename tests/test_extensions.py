@@ -738,3 +738,77 @@ def test_join_size_forecast_matches_actual_join(spark):
     anti_r = c.join(o, o.o_custkey == c.c_custkey, "left_anti").count()
     assert row["left_rows_unmatched"] == anti_l
     assert row["right_rows_unmatched"] == anti_r
+
+
+def test_registry_stamp_rotation_priority(monkeypatch):
+    """The driver stamps only the FIRST 50 oracle-backed registry entries,
+    so ordering is load-bearing: red-latest queries must re-verify first,
+    then never-stamped ones, then already-green ones STALEST stamp first
+    (so the window cycles the whole oracle surface across rounds instead
+    of re-stamping one cohort), with rows-only queries last."""
+    from project_1_greentech_logistics_data_pipeline_spark import registry
+
+    monkeypatch.setattr(registry, "_RED", frozenset({"q_red"}))
+    monkeypatch.setattr(registry, "_GREEN", frozenset({"q_old", "q_new"}))
+    monkeypatch.setattr(registry, "_LAST_ROUND", {"q_old": 1, "q_new": 4})
+
+    names = ["q_rows_only", "q_new", "q_old", "q_never", "q_red"]
+    sqls = {"q_rows_only": None}
+    ranked = sorted(names, key=lambda n: registry._priority(n, sqls.get(n, "SELECT 1")))
+    assert ranked == ["q_red", "q_never", "q_old", "q_new", "q_rows_only"]
+
+
+def test_registry_round_parse_tolerates_odd_report_names(tmp_path, monkeypatch):
+    """A CORRECTNESS file matching the glob but with no digits in its name
+    must still contribute its stamps (freshness metadata degrades to round
+    0; the rows must NOT be dropped with the failed int parse)."""
+    import json
+
+    from project_1_greentech_logistics_data_pipeline_spark import registry
+
+    (tmp_path / "CORRECTNESS_rerun.json").write_text(
+        json.dumps({"q_x": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None}})
+    )
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({"q_y": {"rows_match": True, "schema_match": True,
+                            "hash_match": False, "err": None}})
+    )
+    monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
+    green, red, last = registry._stamped_names()
+    assert "q_x" in green and "q_y" in red
+    assert last["q_x"] == 0 and last["q_y"] == 7
+
+
+def test_md5_split_matches_independent_hashlib_implementation(spark):
+    """Triple-engine check of the portable split primitive: the Spark
+    assignment (and, transitively via the q79b oracle test, DuckDB's)
+    must equal a from-scratch Python hashlib computation of the same
+    contract — first 15 hex chars of md5('<id>:<seed>') compared against
+    _frac_threshold_hex. Also sanity-checks the threshold math: the kept
+    fraction lands near the requested fraction."""
+    import hashlib
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        SPLIT_SEED,
+        _frac_threshold_hex,
+        train_val_split,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id")
+    frac = 0.25
+    _, val = train_val_split(d, "doc_id", val_fraction=frac)
+    spark_val = {r["doc_id"] for r in val.collect()}
+
+    ids = [r["doc_id"] for r in d.collect()]
+    thresh = _frac_threshold_hex(frac)
+    py_val = {
+        i
+        for i in ids
+        if hashlib.md5(f"{i}:{SPLIT_SEED}".encode()).hexdigest()[:15] < thresh
+    }
+    assert spark_val == py_val
+    assert abs(len(py_val) - frac * len(ids)) <= max(10, 0.06 * len(ids))
