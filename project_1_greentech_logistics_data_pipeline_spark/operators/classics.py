@@ -196,7 +196,11 @@ _Q19_RECON = ["l_returnflag", "median_price", "p90_price", "n"] + [
 
 _Q19_STATS = [
     "CAST(ROUND(SQRT((ss_p - s_p * s_p / n) / (n - 1)), 2) AS DOUBLE) AS stddev_price",
-    "CAST(ROUND((ss_q - s_q * s_q / n) / (n - 1), 4) AS DOUBLE) AS var_qty",
+    # var_qty is pos_zero-wrapped too: a (near-)constant group makes the
+    # true variance ~0 and the cancellation residual of s_q*s_q/n can be
+    # a tiny NEGATIVE — the same signed-zero class as corr/covar below
+    "CAST(" + pos_zero("ROUND((ss_q - s_q * s_q / n) / (n - 1), 4)")
+    + " AS DOUBLE) AS var_qty",
     # pos_zero: corr/covar can be a tiny NEGATIVE rounding to zero — the
     # q122 r4 signed-zero class (see functions/deterministic.pos_zero).
     "CAST(" + pos_zero(

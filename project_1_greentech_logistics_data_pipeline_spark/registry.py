@@ -49,7 +49,11 @@ def _stamped_names() -> tuple[frozenset, frozenset, dict]:
             ok = bool(row.get("hash_match")) and not row.get("err")
             if ok:
                 green.add(name)
-            latest[name] = ok
+            # "latest" is decided by ROUND NUMBER, not file sort order: a
+            # digitless report (round 0) sorts lexicographically after
+            # _rNN files and must not override newer rounds' verdicts
+            if rnum >= last_round.get(name, -1):
+                latest[name] = ok
             last_round[name] = max(rnum, last_round.get(name, 0))
     red = {n for n, ok in latest.items() if not ok}
     return frozenset(green), frozenset(red), last_round

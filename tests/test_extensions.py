@@ -774,10 +774,27 @@ def test_registry_round_parse_tolerates_odd_report_names(tmp_path, monkeypatch):
         json.dumps({"q_y": {"rows_match": True, "schema_match": True,
                             "hash_match": False, "err": None}})
     )
+    # and a digitless (round-0) file must NOT override a newer round's
+    # verdict just because it sorts lexicographically last: q_z is red in
+    # the rerun file but green in r07 — r07 wins
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps({
+            "q_y": {"rows_match": True, "schema_match": True,
+                    "hash_match": False, "err": None},
+            "q_z": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        })
+    )
+    rerun = json.loads((tmp_path / "CORRECTNESS_rerun.json").read_text())
+    rerun["q_z"] = {"rows_match": False, "schema_match": True,
+                    "hash_match": False, "err": None}
+    (tmp_path / "CORRECTNESS_rerun.json").write_text(json.dumps(rerun))
+
     monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
     green, red, last = registry._stamped_names()
     assert "q_x" in green and "q_y" in red
     assert last["q_x"] == 0 and last["q_y"] == 7
+    assert "q_z" not in red and "q_z" in green
 
 
 def test_md5_split_matches_independent_hashlib_implementation(spark):
@@ -805,10 +822,14 @@ def test_md5_split_matches_independent_hashlib_implementation(spark):
 
     ids = [r["doc_id"] for r in d.collect()]
     thresh = _frac_threshold_hex(frac)
+
+    def key(i):  # mirror _md5_prefix's NULL contract exactly
+        return "__null__" if i is None else str(i)
+
     py_val = {
         i
         for i in ids
-        if hashlib.md5(f"{i}:{SPLIT_SEED}".encode()).hexdigest()[:15] < thresh
+        if hashlib.md5(f"{key(i)}:{SPLIT_SEED}".encode()).hexdigest()[:15] < thresh
     }
     assert spark_val == py_val
     assert abs(len(py_val) - frac * len(ids)) <= max(10, 0.06 * len(ids))
