@@ -252,7 +252,9 @@ def q19_percentiles_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates + sampling (sketch/sample surface; no exact oracle)
+# Approximate aggregates + sampling (q28's HLL sketch stays rows-only —
+# engine-specific estimator; q29's sample is key-stable md5-threshold, so
+# it carries an exact oracle)
 # ---------------------------------------------------------------------------
 
 
@@ -268,14 +270,45 @@ def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q29_sample", None)  # RNG is engine-specific -> rows-only
+_Q29_SEED = 42
+_Q29_FRAC = 0.1
+
+
+def _q29_sql() -> str:
+    from .text import _frac_threshold_hex, _md5_prefix_sql
+
+    key = _md5_prefix_sql("l_orderkey || ':' || l_linenumber", _Q29_SEED)
+    return (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem\n"
+        f"WHERE {key} < '{_frac_threshold_hex(_Q29_FRAC)}'"
+    )
+
+
+@query("q29_sample", _q29_sql())
 def q29_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sample with a fixed seed: reproducible within Spark (same
-    seed, same split layout), engine-specific RNG so no cross-engine oracle.
-    The size check lives in tests/test_extensions.py."""
+    """Key-stable Bernoulli sample over the (l_orderkey, l_linenumber)
+    primary key via the md5-prefix threshold (text._md5_prefix): the kept
+    SET is a pure function of each row's key, so — unlike ``df.sample(seed=)``,
+    whose per-partition RNG reassigns rows whenever the partition layout
+    changes (re-read with a different split count, AQE coalesce, engine
+    swap) — the same rows are kept on every run, every layout, and every
+    engine. That stability is what audit/reprocess at 100 TB requires, and
+    it is also what makes an exact DuckDB oracle possible. The size check
+    lives in tests/test_extensions.py."""
+    from .text import _frac_threshold_hex, _md5_prefix
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    keyed = li.withColumn(
+        "_sk",
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    return (
+        keyed.filter(_md5_prefix("_sk", _Q29_SEED) < F.lit(_frac_threshold_hex(_Q29_FRAC)))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
     )
 
 

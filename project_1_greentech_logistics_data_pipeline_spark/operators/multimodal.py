@@ -196,19 +196,66 @@ def extract_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
     return pruned.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
-@query("q51_media_features", None)  # Pandas-UDF fake decode -> rows-only
+# Exact oracle for the Pandas-UDF decode path: fake_decode's FNV-1a over
+# the first 256 payload bytes re-derived in pure SQL — a recursive CTE
+# steps the hash one byte (one lowercase-hex pair) per level, then
+# width/height fall out of the same % arithmetic the Python runs. This
+# checks the mapInPandas plumbing end-to-end (bytes in, per-asset scalars
+# out) against an engine that never runs the Python. Integer sums, not
+# rounded averages: double ROUND of a quotient is not engine-identical at
+# ties (see functions/deterministic.py), while SUM(int) is exact.
+_Q51_SQL = """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CONCAT('image/fake-', source) AS mime,
+         OCTET_LENGTH(ENCODE(text)) AS nbytes,
+         LOWER(HEX(ENCODE(text))) AS hx,
+         LEAST(OCTET_LENGTH(ENCODE(text)), 256) AS nb
+  FROM documents
+),
+fnv AS (
+  SELECT doc_id, 0 AS i, CAST(2166136261 AS BIGINT) AS acc FROM base
+  UNION ALL
+  SELECT f.doc_id, f.i + 1,
+         (xor(f.acc,
+              CAST((STRPOS('0123456789abcdef', SUBSTR(b.hx, 2*f.i + 1, 1)) - 1) * 16
+                 + (STRPOS('0123456789abcdef', SUBSTR(b.hx, 2*f.i + 2, 1)) - 1) AS BIGINT))
+          * 16777619) % 4294967296 AS acc
+  FROM fnv f JOIN base b USING (doc_id)
+  WHERE f.i < b.nb
+),
+decoded AS (
+  SELECT b.mime, b.nbytes,
+         f.acc % 1920 + 1 AS width,
+         (f.acc // 256) % 1080 + 1 AS height
+  FROM fnv f JOIN base b USING (doc_id)
+  WHERE f.i = b.nb
+)
+SELECT mime,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(height) AS BIGINT) AS sum_height
+FROM decoded GROUP BY mime
+"""
+
+
+@query("q51_media_features", _Q51_SQL)
 def q51_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode->feature-extract over media assets (stubbed decode, real
-    plumbing), then a JVM-side rollup of the extracted features."""
+    plumbing), then a JVM-side rollup of the extracted features. The
+    oracle recomputes fake_decode's FNV-1a dimension derivation in pure
+    SQL (recursive CTE over hex pairs), so the Python decode path is
+    exactly cross-checked, not just row-counted."""
     tune(spark)
     feats = extract_features(media_table(spark, sf_dir))
     return (
         feats.groupBy("mime")
         .agg(
-            F.count("*").alias("n_assets"),
+            F.count("*").cast("bigint").alias("n_assets"),
             F.sum("nbytes").cast("bigint").alias("total_bytes"),
-            F.round(F.avg("width"), 2).alias("avg_width"),
-            F.round(F.avg("height"), 2).alias("avg_height"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("height").cast("bigint").alias("sum_height"),
         )
     )
 

@@ -67,7 +67,7 @@ def _priority(name: str, sql: str | None) -> tuple[int, int]:
     0 = oracle queries whose latest driver row FAILED (re-verify first),
     1 = oracle queries never green-stamped by any round's driver check,
     2 = already-green oracles — ordered STALEST STAMP FIRST, so once the
-        backlog is empty the window cycles through all 182 oracles over
+        backlog is empty the window cycles through every oracle over
         ~4 rounds instead of re-stamping the same 50 (cumulative stamps
         stay fresh against testdata regeneration),
     3 = rows-only queries (no oracle row either way)."""

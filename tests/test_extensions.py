@@ -344,9 +344,48 @@ def test_sample_size_and_determinism(spark):
 
     n1 = q29_sample(spark, SF).count()
     n2 = q29_sample(spark, SF).count()
-    assert n1 == n2  # same seed + layout -> same sample
+    assert n1 == n2  # key-stable: same keys -> same sample, any layout
     total = 6000  # sf0.001 lineitem rows
     assert 0.05 * total <= n1 <= 0.15 * total
+
+
+def test_sample_is_exactly_the_hashlib_keep_set(spark):
+    """q29's kept set must equal a from-scratch Python hashlib computation
+    of the md5-prefix threshold over every (l_orderkey, l_linenumber) key —
+    the engine-independent differential that pins the sample as a pure
+    function of the key, not of Spark's partition layout."""
+    import hashlib
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics import (
+        _Q29_FRAC,
+        _Q29_SEED,
+        q29_sample,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        _frac_threshold_hex,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    thresh = _frac_threshold_hex(_Q29_FRAC)
+    all_keys = [
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    ]
+    expected = {
+        (ok, ln)
+        for ok, ln in all_keys
+        if hashlib.md5(f"{ok}:{ln}:{_Q29_SEED}".encode()).hexdigest()[:15] < thresh
+    }
+    got = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in q29_sample(spark, SF).collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < len(all_keys)
 
 
 def test_salted_join_equivalence(spark):
