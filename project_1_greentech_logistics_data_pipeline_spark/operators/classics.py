@@ -298,11 +298,15 @@ def q29_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import _frac_threshold_hex, _md5_prefix
 
     li = _t(spark, sf_dir, "lineitem")
+    # F.concat, not concat_ws: concat NULL-propagates exactly like the
+    # oracle's `||`, so a NULL key component reaches _md5_prefix's
+    # COALESCE('__null__') sentinel on BOTH engines (concat_ws would
+    # silently drop the NULL on the Spark side only)
     keyed = li.withColumn(
         "_sk",
-        F.concat_ws(
-            ":",
+        F.concat(
             F.col("l_orderkey").cast("string"),
+            F.lit(":"),
             F.col("l_linenumber").cast("string"),
         ),
     )

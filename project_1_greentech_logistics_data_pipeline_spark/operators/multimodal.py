@@ -212,6 +212,7 @@ WITH RECURSIVE base AS (
          LOWER(HEX(ENCODE(text))) AS hx,
          LEAST(OCTET_LENGTH(ENCODE(text)), 256) AS nb
   FROM documents
+  WHERE text IS NOT NULL
 ),
 fnv AS (
   SELECT doc_id, 0 AS i, CAST(2166136261 AS BIGINT) AS acc FROM base
@@ -248,7 +249,14 @@ def q51_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (recursive CTE over hex pairs), so the Python decode path is
     exactly cross-checked, not just row-counted."""
     tune(spark)
-    feats = extract_features(media_table(spark, sf_dir))
+    # NULL-payload contract made explicit on both sides: the oracle's base
+    # CTE has WHERE text IS NOT NULL; without this twin filter a NULL
+    # content would crash the Python worker while the oracle silently
+    # dropped the row — divergence instead of a loud shared failure
+    assets = media_table(spark, sf_dir).filter(
+        F.col("media.content").isNotNull()
+    )
+    feats = extract_features(assets)
     return (
         feats.groupBy("mime")
         .agg(
