@@ -132,6 +132,46 @@ def test_multimodal_plumbing(spark):
         decode_media(b"bytes", "image/png")
 
 
+def test_q51_fnv_oracle_matches_fake_decode_on_boundary_payloads():
+    """The q51 oracle re-derives fake_decode's FNV-1a in SQL (recursive
+    CTE over hex pairs). Pin the re-derivation on the payloads the sf
+    testdata never exercises: empty, 1 byte, exactly at/around the
+    256-byte hash-prefix boundary, and multibyte UTF-8 — pure DuckDB vs
+    pure Python, no Spark in the loop."""
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.multimodal import (
+        _Q51_SQL,
+        fake_decode,
+    )
+
+    payloads = [
+        "",                      # nb=0: recursion anchor only
+        "a",                     # single byte
+        "é世\U0001f600",  # multibyte UTF-8 (2+3+4 bytes)
+        "x" * 255,               # one under the prefix boundary
+        "y" * 256,               # exactly the boundary
+        "z" * 300,               # bytes past 256 must not enter the hash
+        "k" * 255 + "Q",         # same 255-prefix as above? no — distinct
+    ]
+    docs = [(i, f"src{i % 2}", t) for i, t in enumerate(payloads)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+    got = {r[0]: r[1:] for r in con.execute(_Q51_SQL).fetchall()}
+
+    expected: dict = {}
+    for doc_id, source, text in docs:
+        content = text.encode("utf-8")
+        d = fake_decode(content, "image/fake-" + source)
+        mime = "image/fake-" + source
+        n, tb, sw, sh = expected.get(mime, (0, 0, 0, 0))
+        expected[mime] = (n + 1, tb + len(content), sw + d["width"], sh + d["height"])
+
+    assert got == expected
+
+
 def test_media_resize_plumbing(spark):
     """q52's oracle checks the scalar outputs; this pins the BYTES the
     oracle cannot see: payload length == the declared out_bytes, cycle
