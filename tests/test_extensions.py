@@ -152,7 +152,7 @@ def test_q51_fnv_oracle_matches_fake_decode_on_boundary_payloads():
         "x" * 255,               # one under the prefix boundary
         "y" * 256,               # exactly the boundary
         "z" * 300,               # bytes past 256 must not enter the hash
-        "k" * 255 + "Q",         # same 255-prefix as above? no — distinct
+        "k" * 255 + "Q",         # 256 bytes: the final byte must enter the hash
     ]
     docs = [(i, f"src{i % 2}", t) for i, t in enumerate(payloads)]
 
