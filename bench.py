@@ -135,6 +135,16 @@ def main() -> None:
                     # collapse mode (r3) was 3-7x.
                     "throttled": bool(drift and drift > 2.5),
                 },
+                # Headline fields REPEATED as the LAST keys (dict order is
+                # emission order): the driver stores a tail-truncated
+                # capture of this line, so anything before the large
+                # per-query map can be cut off — the tail must be
+                # self-describing for BASELINE.md cross-checks.
+                "slowest_5": dict(
+                    sorted(timings.items(), key=lambda t: -t[1])[:5]
+                ),
+                "n_queries": len(timings),
+                "total_query_sec": total,
             }
         )
     )

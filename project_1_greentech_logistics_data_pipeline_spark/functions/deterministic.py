@@ -62,8 +62,20 @@ def hilo_sum_exprs(value_sql: str, alias: str) -> list[str]:
     shifting corr/covar away from pairwise-complete semantics — and
     identically on both engines, so the oracle differential CANNOT catch
     it. The q19/q122 inputs (lineitem measures) are non-null by the TPC-H
-    schema; filter or COALESCE first if reusing over nullable columns."""
-    v = f"({value_sql})"
+    schema; filter or COALESCE first if reusing over nullable columns.
+
+    The precondition is ENFORCED, not just documented: the value is
+    wrapped in ``COALESCE(v, 1e19)``, and FLOOR(1e19) overflows the
+    BIGINT cast on BOTH engines (Spark ANSI CAST_OVERFLOW, DuckDB
+    Conversion Error) — so a NULL-bearing measure fails the query loudly
+    at runtime instead of silently agreeing on pairwise-incomplete
+    moments. For non-null rows COALESCE is an identity, so values,
+    hashes, and codegen behavior are unchanged. (An error-function trap
+    isn't portable — Spark raise_error vs DuckDB error — and a CASE
+    branch holding a foldable failing CAST risks plan-time evaluation;
+    the arithmetic trap is shared-verbatim SQL with neither problem.)
+    """
+    v = f"(COALESCE(({value_sql}), 1e19))"
     return [
         f"SUM(CAST(FLOOR({v}) AS BIGINT)) AS {alias}_hi",
         f"SUM(CAST(FLOOR(({v} - FLOOR({v})) * 1e10) AS BIGINT)) AS {alias}_lo",

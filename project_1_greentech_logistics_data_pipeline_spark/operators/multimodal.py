@@ -86,7 +86,7 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q50_SQL = """
 SELECT
-  CONCAT('image/fake-', source) AS mime,
+  ('image/fake-' || source) AS mime,
   COUNT(*) AS n_assets,
   CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
   MIN(SHA256(text)) AS min_sha256
@@ -204,10 +204,18 @@ def extract_features(media_df: DataFrame, strict: bool = False) -> DataFrame:
 # out) against an engine that never runs the Python. Integer sums, not
 # rounded averages: double ROUND of a quotient is not engine-identical at
 # ties (see functions/deterministic.py), while SUM(int) is exact.
+# mime uses '||' (not CONCAT): DuckDB's CONCAT SKIPS NULL arguments where
+# Spark's F.concat NULL-propagates; '||' NULL-propagates on both engines,
+# so a NULL documents.source groups as NULL mime on both sides.
+# PRECONDITION: doc_id is UNIQUE in documents (PK; verified by
+# tests/test_extensions.py). The recursion joins fnv->base USING (doc_id)
+# to fetch the next hex pair, so a duplicate doc_id would fan out hash
+# states in the oracle while the Python path hashes each row
+# independently — the uniqueness makes the per-key recursion well-defined.
 _Q51_SQL = """
 WITH RECURSIVE base AS (
   SELECT doc_id,
-         CONCAT('image/fake-', source) AS mime,
+         ('image/fake-' || source) AS mime,
          OCTET_LENGTH(ENCODE(text)) AS nbytes,
          LOWER(HEX(ENCODE(text))) AS hx,
          LEAST(OCTET_LENGTH(ENCODE(text)), 256) AS nb
@@ -406,7 +414,7 @@ def resize_media(media_df: DataFrame, strict: bool = False) -> DataFrame:
 _Q52_SQL = f"""
 WITH m AS (
   SELECT doc_id AS media_id,
-         CONCAT('image/fake-', source) AS mime,
+         ('image/fake-' || source) AS mime,
          CAST((n_chars % 1920) + 16 AS INTEGER) AS orig_w,
          CAST(((n_chars * 7) % 1080) + 16 AS INTEGER) AS orig_h
   FROM documents

@@ -214,6 +214,14 @@ def q49_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # error, is what the oracle differential needs).
 _Q49B_MEAN = f"({hilo_reconstruct('sv')}) / CAST(n AS DOUBLE)"
 _Q49B_COS = "d.dot / (SQRT(na.n2) * SQRT(nb.n2))"
+# Residual accepted risk (assessed, ADVICE r5): the final ROUND(cos, 6) is
+# a double round, the one cross-engine tie class left (Spark BigDecimal
+# HALF_UP vs DuckDB binary round can differ by 1e-6 on an exact-tie
+# quotient). Ties are measure-zero on real cosines — every upstream stage
+# is bit-identical by the hilo construction, so both engines round the
+# SAME double. If a tie ever reds a driver stamp, the drop-in fix is to
+# emit the unrounded {_Q49B_COS} (shared verbatim) or the sd/n2 hi/lo
+# integer components instead.
 
 _Q49B_SQL = f"""
 WITH comp AS (

@@ -79,6 +79,35 @@ def test_hilo_sum_precision_vs_exact():
     assert abs(got - exact) <= len(values) * 1e-10 + 1e-9 * abs(exact)
 
 
+def test_hilo_sum_null_trips_guard_both_engines(spark):
+    """The non-null PRECONDITION is enforced at runtime: a NULL value
+    reaching hilo_sum_exprs must ERROR on BOTH engines (the COALESCE →
+    1e19 → BIGINT-overflow trap), never silently skip the row — a
+    skipped row shifts every COUNT(*)-paired moment identically on both
+    engines, which the oracle differential cannot catch."""
+    import pyspark.errors
+    from pyspark.sql import functions as F
+
+    values = [(1.5,), (None,), (2.25,)]
+
+    df = spark.createDataFrame(values, "v double")
+    agg = df.agg(*(F.expr(e) for e in hilo_sum_exprs("v", "s")))
+    with pytest.raises(pyspark.errors.PySparkException):
+        agg.collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", values)
+    with pytest.raises(duckdb.Error):
+        con.execute(
+            f"SELECT {', '.join(hilo_sum_exprs('v', 's'))} FROM t"
+        ).fetchall()
+
+    # and the trap is an IDENTITY on non-null rows (bit-exactness of the
+    # whole mechanism is pinned by the hypothesis test above)
+    assert _duck_hilo([1.5, 2.25]) == 3.75
+
+
 def test_neg_sample_predicate_overflow_safe(spark):
     """_neg_sample_sql must evaluate (not raise) for ids up to int64 max
     on BOTH engines, and agree bit-for-bit — the old rule overflowed at

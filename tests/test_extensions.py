@@ -172,6 +172,27 @@ def test_q51_fnv_oracle_matches_fake_decode_on_boundary_payloads():
     assert got == expected
 
 
+def test_q51_oracle_preconditions_hold_in_testdata():
+    """The q51 recursive-CTE oracle assumes (a) doc_id is UNIQUE — the
+    fnv->base USING (doc_id) join fetches the next hex pair per key, so a
+    duplicate would fan out hash states in the oracle while the Python
+    path hashes each row independently — and (b) the '||' mime derivation
+    NULL-propagates identically. Pin (a) on the actual driver-scale
+    testdata and sanity-check (b)'s DuckDB semantics so an engine upgrade
+    that changes either fails here, not as an opaque driver red."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n, nd = con.execute(
+            "SELECT COUNT(*), COUNT(DISTINCT doc_id) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()
+        assert n == nd, f"{sf}: doc_id not unique ({n} rows, {nd} distinct)"
+    # '||' must NULL-propagate (DuckDB CONCAT would skip the NULL instead)
+    assert con.execute("SELECT 'image/fake-' || NULL").fetchone()[0] is None
+
+
 def test_media_resize_plumbing(spark):
     """q52's oracle checks the scalar outputs; this pins the BYTES the
     oracle cannot see: payload length == the declared out_bytes, cycle

@@ -78,12 +78,19 @@ def test_no_round_over_float_accumulating_aggregates():
     - q99: EXP(AVG(LN(x))) is THE pandas-UDAF surface under test; its
       reorder drift (~1e-14 rel) is ~6 orders below the 4-dp granularity.
     - q75: per-user window AVG/STDDEV over small n; same margin.
+    - q93: SUM(l.score) is a SUM over the INTEGER lexicon column (exact,
+      order-independent); the ::DOUBLE cast happens only AFTER the exact
+      integer SUM, so the ROUND argument carries no accumulation drift.
     """
     import re
 
     import __spark_entry__ as entrymod
 
-    ALLOW = {"q99_pandas_udaf_geomean", "q75_grouped_zscore_pandas"}
+    ALLOW = {
+        "q99_pandas_udaf_geomean",
+        "q75_grouped_zscore_pandas",
+        "q93_lexicon_sentiment",
+    }
     offenders = {}
     for name, sql in entrymod.oracle_sql().items():
         if name in ALLOW:
@@ -108,9 +115,6 @@ def test_no_round_over_float_accumulating_aggregates():
                 and "DECIMAL" not in arg
                 and "_HI" not in arg
                 and "_LO" not in arg
-                # integer-typed sums are exact; the known one casts to
-                # double only AFTER the exact integer SUM
-                and "SUM(L.SCORE)" not in arg
             ):
                 hits.append(arg[:80])
         if hits:
@@ -118,6 +122,65 @@ def test_no_round_over_float_accumulating_aggregates():
     assert not offenders, (
         "ROUND over order-dependent float accumulation (use dsum / "
         f"hilo_sum_exprs / integer sums instead): {offenders}"
+    )
+
+
+# The -0.0 cell sweep runs at BOTH the fast default scale and the driver's
+# sf0.01: rounded-to-zero negatives are data-dependent, so sf0.001 green
+# does not imply sf0.01 green (the scale the driver actually hashes at).
+_CONTRACT_SFS = sorted({SF_DIR, "/root/testdata/sf0.01"})
+
+
+@pytest.mark.parametrize("sf_dir", _CONTRACT_SFS, ids=os.path.basename)
+def test_no_negative_zero_cells_on_either_engine(spark, sf_dir):
+    """Surface-wide -0.0 sweep, BOTH engines: a -0.0 anywhere in an
+    oracle-backed output is latent driver hash drift even when today's
+    hashes agree (the q122 class — Spark BigDecimal ROUND emits +0.0
+    where DuckDB's float ROUND emits -0.0 for the same tiny negative).
+    compare() already sweeps whatever scale the oracle suite runs at;
+    this test pins the driver's sf0.01 in-suite without needing
+    ORACLE_SF_DIR. Value equality is NOT re-checked here — that is the
+    oracle suite's job — so this stays ~rowcount-cheap on the DuckDB
+    side and one collect per query on the Spark side."""
+    import __spark_entry__ as entrymod
+
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    from .oracle_harness import _negzero_cols, duckdb_con
+
+    qs = entrymod.queries()
+    offenders: dict = {}
+    con = duckdb_con(sf_dir)
+    try:
+        for i, (name, sql) in enumerate(entrymod.oracle_sql().items()):
+            sdf = qs[name](spark, sf_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(sql)
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+            nz = {
+                side: cols
+                for side, cols in (
+                    ("spark", _negzero_cols(sdf.columns, s_rows)),
+                    ("duckdb", _negzero_cols(d_cols, d_rows)),
+                )
+                if cols
+            }
+            if nz:
+                offenders[name] = nz
+            # unpin cache/localCheckpoint blocks the iterative family
+            # leaves behind; every query would be overkill (System.gc),
+            # every 25 bounds residency at sf0.01
+            if i % 25 == 24:
+                release_session_state(spark)
+    finally:
+        con.close()
+        release_session_state(spark)
+    assert not offenders, (
+        f"-0.0 cells at {sf_dir} (latent driver hash drift — normalize "
+        f"the source with pos_zero / '+ 0.0'): {offenders}"
     )
 
 

@@ -43,7 +43,12 @@ def test_all_queries_return_rows(spark):
         df.limit(5).collect()  # must execute
 
 
-def test_no_vacuous_results(spark):
+@pytest.mark.parametrize(
+    "sf_dir",
+    sorted({SF_DIR, "/root/testdata/sf0.01"}),
+    ids=os.path.basename,
+)
+def test_no_vacuous_results(spark, sf_dir):
     """Every declared query must return >= 1 row — a 0-row result passes
     its oracle differential VACUOUSLY (0 == 0), which is how q87's
     'never ordered' predicate silently went dead when the round-3
@@ -51,15 +56,16 @@ def test_no_vacuous_results(spark):
     regenerates each round, so this guard is what catches the next
     data-drift-induced emptiness locally instead of in the judge's read.
 
-    Runs at every ORACLE_SF_DIR (the queries are tuned to be non-empty
-    from sf0.001 up)."""
+    Runs at ORACLE_SF_DIR AND at the driver's sf0.01 (emptiness is
+    data-dependent — sf0.001 non-empty does not imply sf0.01 non-empty;
+    the queries are tuned to be non-empty from sf0.001 up)."""
     import __spark_entry__ as entrymod
 
     empty = []
     for name, fn in entrymod.queries().items():
-        if fn(spark, SF_DIR).limit(1).count() == 0:
+        if fn(spark, sf_dir).limit(1).count() == 0:
             empty.append(name)
-    assert not empty, f"vacuous (0-row) query results at {SF_DIR}: {empty}"
+    assert not empty, f"vacuous (0-row) query results at {sf_dir}: {empty}"
 
 
 def test_entry_smoke(spark):
