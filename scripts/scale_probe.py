@@ -69,6 +69,14 @@ DEFAULT_PROBES = {
     "q47_embedding_cosine_neardup": (1, 2, 4),
     "q74_knn_ivf": (1, 2, 4, 8),
     "q132_semantic_dedup_clustered": (1, 2, 4, 8),
+    # r5-reworked plans (VERDICT r5 item 8): the md5-prefix-threshold
+    # samples are single filter-scans (expect ~linear), q49b's pos-equi
+    # centroid join has constant centroid count as the corpus grows
+    # (expect ~linear component aggregation, flat pairwise stage)
+    "q29_sample": (1, 2, 4, 8),
+    "q79_stratified_sample": (1, 2, 4, 8),
+    "q79b_train_val_split": (1, 2, 4, 8),
+    "q49b_centroid_similarity": (1, 2, 4, 8),
 }
 
 
@@ -90,16 +98,19 @@ def build_corpus(spark, m: int, with_embeddings: bool = True) -> str:
     # input: a docs-only probe must not crash on (or be invalidated by)
     # an absent/regenerated embeddings table it never reads
     doc_src = str(os.stat(os.path.join(BASE, "documents.parquet")).st_mtime_ns)
+    li_src = str(os.stat(os.path.join(BASE, "lineitem.parquet")).st_mtime_ns)
     if with_embeddings:
         emb_src = str(os.stat(os.path.join(BASE, "embeddings.parquet")).st_mtime_ns)
-        want = f"{doc_src}|{emb_src}|emb=1"
+        want = f"{doc_src}|{li_src}|{emb_src}|emb=1"
     else:
-        want = f"{doc_src}|emb=0"
+        want = f"{doc_src}|{li_src}|emb=0"
     have = open(marker).read() if os.path.exists(marker) else None
+    # the li_src prefix also invalidates any dir cached by the pre-q29
+    # revision of this script, which never built a lineitem table
     full_build_ok = (
         not with_embeddings
         and have is not None
-        and have.startswith(f"{doc_src}|")
+        and have.startswith(f"{doc_src}|{li_src}|")
         and have.endswith("|emb=1")
     )
     if have == want or full_build_ok:
@@ -173,6 +184,24 @@ def build_corpus(spark, m: int, with_embeddings: bool = True) -> str:
         u = u.unionByName(p)
     u.repartition(max(4, 4 * m)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
+    )
+
+    # lineitem x m for the q29 key-stable sample probe: copy k offsets
+    # l_orderkey so every copy carries FRESH (l_orderkey, l_linenumber)
+    # PKs — the md5-prefix filter then keeps an independent ~1% slice per
+    # copy, and the probe measures the pure filter-scan growth (no
+    # vocabulary semantics apply to lineitem; value columns are reused
+    # verbatim)
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    lp = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000))
+        for k in range(m)
+    ]
+    ul = lp[0]
+    for p in lp[1:]:
+        ul = ul.unionByName(p)
+    ul.repartition(max(4, 4 * m)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
     )
 
     if not with_embeddings:
