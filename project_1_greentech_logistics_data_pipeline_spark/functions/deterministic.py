@@ -64,21 +64,32 @@ def hilo_sum_exprs(value_sql: str, alias: str) -> list[str]:
     it. The q19/q122 inputs (lineitem measures) are non-null by the TPC-H
     schema; filter or COALESCE first if reusing over nullable columns.
 
-    The precondition is ENFORCED, not just documented: the value is
-    wrapped in ``COALESCE(v, 1e19)``, and FLOOR(1e19) overflows the
-    BIGINT cast on BOTH engines (Spark ANSI CAST_OVERFLOW, DuckDB
-    Conversion Error) — so a NULL-bearing measure fails the query loudly
-    at runtime instead of silently agreeing on pairwise-incomplete
-    moments. For non-null rows COALESCE is an identity, so values,
-    hashes, and codegen behavior are unchanged. (An error-function trap
-    isn't portable — Spark raise_error vs DuckDB error — and a CASE
-    branch holding a foldable failing CAST risks plan-time evaluation;
-    the arithmetic trap is shared-verbatim SQL with neither problem.)
+    The precondition is ENFORCED, not just documented: a NULL row routes
+    the CASE to a 1e19 DOUBLE whose explicit ``CAST(... AS BIGINT)``
+    errors on BOTH engines (Spark ANSI CAST_OVERFLOW, DuckDB Conversion
+    Error) — so a NULL-bearing measure fails the query loudly at runtime
+    instead of silently agreeing on pairwise-incomplete moments. The CAST
+    must wrap a DOUBLE-typed CASE: Spark's FLOOR(double) returns LONG and
+    silently SATURATES 1e19 to Long.MaxValue even under ANSI (measured on
+    4.1.2), so a ``COALESCE(v, 1e19)`` fed straight to FLOOR only errors
+    if the rest of the group happens to push the long SUM past MaxValue —
+    e.g. a lone NULL, or a NULL among values summing <= 0, would emit
+    ~9.2e18 garbage with no error. The non-null branch round-trips
+    FLOOR's long through DOUBLE (CASE type coercion), exact below 2^53 —
+    far above the documented n*max|v| < 2^63 usage bound's per-row
+    magnitudes. (An error-function trap isn't portable — Spark
+    raise_error vs DuckDB error — so the trap stays arithmetic and
+    shared-verbatim.)
     """
-    v = f"(COALESCE(({value_sql}), 1e19))"
+    v = f"({value_sql})"
+    v0 = f"(COALESCE({v}, 0.0))"
+
+    def trap(inner: str) -> str:
+        return f"CAST(CASE WHEN {v} IS NULL THEN 1e19 ELSE {inner} END AS BIGINT)"
+
     return [
-        f"SUM(CAST(FLOOR({v}) AS BIGINT)) AS {alias}_hi",
-        f"SUM(CAST(FLOOR(({v} - FLOOR({v})) * 1e10) AS BIGINT)) AS {alias}_lo",
+        f"SUM({trap(f'FLOOR({v0})')}) AS {alias}_hi",
+        f"SUM({trap(f'FLOOR(({v0} - FLOOR({v0})) * 1e10)')}) AS {alias}_lo",
     ]
 
 

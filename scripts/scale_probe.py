@@ -98,19 +98,22 @@ def build_corpus(spark, m: int, with_embeddings: bool = True) -> str:
     # input: a docs-only probe must not crash on (or be invalidated by)
     # an absent/regenerated embeddings table it never reads
     doc_src = str(os.stat(os.path.join(BASE, "documents.parquet")).st_mtime_ns)
-    li_src = str(os.stat(os.path.join(BASE, "lineitem.parquet")).st_mtime_ns)
     if with_embeddings:
+        # lineitem + embeddings are built (and stamped) on full builds
+        # only — the docs-only q194 mode probe reads neither, so their
+        # mtimes must not invalidate (or slow down) a docs-only build.
+        # li_src in the stamp also invalidates any full dir cached by the
+        # pre-q29 script revision, which never built a lineitem table.
+        li_src = str(os.stat(os.path.join(BASE, "lineitem.parquet")).st_mtime_ns)
         emb_src = str(os.stat(os.path.join(BASE, "embeddings.parquet")).st_mtime_ns)
         want = f"{doc_src}|{li_src}|{emb_src}|emb=1"
     else:
-        want = f"{doc_src}|{li_src}|emb=0"
+        want = f"{doc_src}|emb=0"
     have = open(marker).read() if os.path.exists(marker) else None
-    # the li_src prefix also invalidates any dir cached by the pre-q29
-    # revision of this script, which never built a lineitem table
     full_build_ok = (
         not with_embeddings
         and have is not None
-        and have.startswith(f"{doc_src}|{li_src}|")
+        and have.startswith(f"{doc_src}|")
         and have.endswith("|emb=1")
     )
     if have == want or full_build_ok:
@@ -186,12 +189,18 @@ def build_corpus(spark, m: int, with_embeddings: bool = True) -> str:
         os.path.join(out_dir, "documents.parquet")
     )
 
-    # lineitem x m for the q29 key-stable sample probe: copy k offsets
+    if not with_embeddings:
+        with open(marker, "w") as fh:
+            fh.write(want)
+        return out_dir
+
+    # lineitem x m for the q29 key-stable sample probe (full builds only —
+    # the docs-only q194 mode probe never reads lineitem): copy k offsets
     # l_orderkey so every copy carries FRESH (l_orderkey, l_linenumber)
-    # PKs — the md5-prefix filter then keeps an independent ~1% slice per
-    # copy, and the probe measures the pure filter-scan growth (no
-    # vocabulary semantics apply to lineitem; value columns are reused
-    # verbatim)
+    # PKs — the md5-prefix filter then keeps an independent ~10% slice per
+    # copy (_Q29_FRAC = 0.1), and the probe measures the pure filter-scan
+    # growth (no vocabulary semantics apply to lineitem; value columns are
+    # reused verbatim)
     li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
     lp = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000))
@@ -203,11 +212,6 @@ def build_corpus(spark, m: int, with_embeddings: bool = True) -> str:
     ul.repartition(max(4, 4 * m)).write.mode("overwrite").parquet(
         os.path.join(out_dir, "lineitem.parquet")
     )
-
-    if not with_embeddings:
-        with open(marker, "w") as fh:
-            fh.write(want)
-        return out_dir
 
     emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
     eparts = []

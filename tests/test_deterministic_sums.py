@@ -88,20 +88,24 @@ def test_hilo_sum_null_trips_guard_both_engines(spark):
     import pyspark.errors
     from pyspark.sql import functions as F
 
-    values = [(1.5,), (None,), (2.25,)]
+    # the three shapes that distinguish a REAL trap from an accidental
+    # ANSI SUM overflow: a lone NULL and NULL-among-nonpositive-values
+    # would slip through a Long.MaxValue-saturating FLOOR (Spark's
+    # FLOOR(double) returns LONG and saturates 1e19 silently — measured),
+    # while NULL-among-positives overflows the SUM either way
+    for values in ([(None,)], [(None,), (-1.0,)], [(1.5,), (None,), (2.25,)]):
+        df = spark.createDataFrame(values, "v double")
+        agg = df.agg(*(F.expr(e) for e in hilo_sum_exprs("v", "s")))
+        with pytest.raises(pyspark.errors.PySparkException):
+            agg.collect()
 
-    df = spark.createDataFrame(values, "v double")
-    agg = df.agg(*(F.expr(e) for e in hilo_sum_exprs("v", "s")))
-    with pytest.raises(pyspark.errors.PySparkException):
-        agg.collect()
-
-    con = duckdb.connect()
-    con.execute("CREATE TABLE t (v DOUBLE)")
-    con.executemany("INSERT INTO t VALUES (?)", values)
-    with pytest.raises(duckdb.Error):
-        con.execute(
-            f"SELECT {', '.join(hilo_sum_exprs('v', 's'))} FROM t"
-        ).fetchall()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", values)
+        with pytest.raises(duckdb.Error):
+            con.execute(
+                f"SELECT {', '.join(hilo_sum_exprs('v', 's'))} FROM t"
+            ).fetchall()
 
     # and the trap is an IDENTITY on non-null rows (bit-exactness of the
     # whole mechanism is pinned by the hypothesis test above)

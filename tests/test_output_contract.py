@@ -74,7 +74,10 @@ def test_no_round_over_float_accumulating_aggregates():
     decimal-cast sums (dsum), split-integer hi/lo sums
     (functions/deterministic.hilo_sum_exprs), or integer sums.
 
-    Allowlist (assessed exceptions, drift orders below round granularity):
+    Allowlist: NAMED queries, each scoped to a regex over the ROUND
+    ARGUMENT it justifies — an unrelated float-agg ROUND later added to
+    the same query's SQL is still flagged (assessed exceptions, drift
+    orders below round granularity):
     - q99: EXP(AVG(LN(x))) is THE pandas-UDAF surface under test; its
       reorder drift (~1e-14 rel) is ~6 orders below the 4-dp granularity.
     - q75: per-user window AVG/STDDEV over small n; same margin.
@@ -87,14 +90,13 @@ def test_no_round_over_float_accumulating_aggregates():
     import __spark_entry__ as entrymod
 
     ALLOW = {
-        "q99_pandas_udaf_geomean",
-        "q75_grouped_zscore_pandas",
-        "q93_lexicon_sentiment",
+        "q99_pandas_udaf_geomean": r"EXP\(AVG\(LN\(",
+        "q75_grouped_zscore_pandas": r"\b(AVG|STDDEV)\(",
+        "q93_lexicon_sentiment": r"SUM\(L\.SCORE\)",
     }
     offenders = {}
     for name, sql in entrymod.oracle_sql().items():
-        if name in ALLOW:
-            continue
+        allow_re = ALLOW.get(name)
         u = sql.upper()
         hits = []
         for m in re.finditer(r"ROUND\(", u):
@@ -104,6 +106,8 @@ def test_no_round_over_float_accumulating_aggregates():
                 depth -= u[i] == ")"
                 i += 1
             arg = u[m.end() : i - 1]
+            if allow_re and re.search(allow_re, arg):
+                continue
             if re.search(
                 r"\b(AVG|STDDEV|STDDEV_SAMP|VAR_SAMP|VAR_POP|CORR|"
                 r"COVAR_SAMP|COVAR_POP)\s*\(",
@@ -125,10 +129,13 @@ def test_no_round_over_float_accumulating_aggregates():
     )
 
 
-# The -0.0 cell sweep runs at BOTH the fast default scale and the driver's
-# sf0.01: rounded-to-zero negatives are data-dependent, so sf0.001 green
-# does not imply sf0.01 green (the scale the driver actually hashes at).
-_CONTRACT_SFS = sorted({SF_DIR, "/root/testdata/sf0.01"})
+# The dedicated -0.0 sweep runs at the driver's sf0.01 ONLY: rounded-to-zero
+# negatives are data-dependent, so the default-scale green does not imply
+# sf0.01 green — but the default scale is already swept by compare()'s
+# _negzero_cols check inside every test_oracle case, so re-collecting the
+# whole surface here at SF_DIR would duplicate that work for zero new
+# coverage (review finding r6).
+_CONTRACT_SFS = ["/root/testdata/sf0.01"]
 
 
 @pytest.mark.parametrize("sf_dir", _CONTRACT_SFS, ids=os.path.basename)

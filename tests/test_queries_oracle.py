@@ -61,10 +61,24 @@ def test_no_vacuous_results(spark, sf_dir):
     the queries are tuned to be non-empty from sf0.001 up)."""
     import __spark_entry__ as entrymod
 
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
     empty = []
-    for name, fn in entrymod.queries().items():
-        if fn(spark, sf_dir).limit(1).count() == 0:
-            empty.append(name)
+    try:
+        for i, (name, fn) in enumerate(entrymod.queries().items()):
+            if fn(spark, sf_dir).limit(1).count() == 0:
+                empty.append(name)
+            # unpin cache/localCheckpoint blocks the iterative family
+            # leaves behind — without this, blocks accumulate across all
+            # ~200 queries and memory-starve the tail (the documented
+            # bench.py mode: q48 2.4s->20s); every 25 bounds residency
+            # without paying System.gc() per query
+            if i % 25 == 24:
+                release_session_state(spark)
+    finally:
+        release_session_state(spark)
     assert not empty, f"vacuous (0-row) query results at {sf_dir}: {empty}"
 
 
