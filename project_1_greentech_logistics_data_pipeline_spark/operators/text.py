@@ -702,3 +702,161 @@ def q110_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "matched_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q206: Gopher-style repetition quality signals (SURVEY §2.10 quality family)
+# ---------------------------------------------------------------------------
+# The published corpus-curation repetition rules (Gopher / Rae et al. 2021
+# §A1.1, reused by RefinedWeb and Dolma): a document dominated by one
+# repeated n-gram, or with a large fraction of its positions inside
+# duplicated n-grams, is boilerplate/spam and gets filtered before
+# training. Token-granularity analogs here (the corpus is whitespace-
+# tokenized): top-2-gram mass = positions covered by the single most
+# frequent bigram / n_tokens; duplicate-3-gram fraction = trigram
+# positions whose trigram occurs more than once / trigram positions.
+# Complements q40 (length/TTR/stopword) — repetition is the signal family
+# q40 does not measure.
+#
+# Determinism: ratio outputs are UNROUNDED single IEEE divisions of exact
+# integers — bit-identical on both engines with no ROUND tie class at all
+# (the q51/q49b lesson applied up front), and non-negative so -0.0 cannot
+# occur. NULL contracts: text IS NOT NULL twin-filtered; a doc too short
+# to have any bigram (trigram) gets count 0 and a NULL ratio on BOTH
+# sides (LEFT-JOIN/empty-SUM semantics), and `flagged` COALESCEs each
+# NULL comparison to false identically.
+#
+# 100 TB shape: gram construction is array-side inside whole-stage
+# codegen on the scan (zip_with over slices — no explode until the grams
+# exist, no window); then two partial-aggregatable shuffles, both
+# prefixed by doc_id (count per (doc,k,gram), then rollup per doc).
+# Output is one row per document; nothing is quadratic and no driver
+# state exists.
+
+_Q206_SQL = """
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+g2 AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, n),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM base WHERE n >= 2
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, MAX(c) AS top2 FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, n - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM base WHERE n >= 3
+),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+a3 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+  FROM c3 GROUP BY doc_id
+)
+SELECT
+  b.doc_id,
+  CAST(b.n AS BIGINT) AS n_tokens,
+  CAST(COALESCE(a2.top2, 0) AS BIGINT) AS top_bigram_count,
+  CAST(CAST(a2.top2 AS DOUBLE) * 2.0 / b.n AS DOUBLE) AS top_bigram_mass,
+  CAST(COALESCE(a3.dup3, 0) AS BIGINT) AS dup_trigram_tokens,
+  CAST(CAST(a3.dup3 AS DOUBLE) / (b.n - 2.0) AS DOUBLE) AS dup_trigram_frac,
+  (COALESCE(a2.top2 >= 2 AND CAST(a2.top2 AS DOUBLE) * 2.0 / b.n > 0.20, FALSE)
+   OR COALESCE(CAST(a3.dup3 AS DOUBLE) / (b.n - 2.0) > 0.30, FALSE))
+    AS flagged
+FROM base b
+LEFT JOIN a2 ON a2.doc_id = b.doc_id
+LEFT JOIN a3 ON a3.doc_id = b.doc_id
+"""
+
+
+@query("q206_repetition_signals", _Q206_SQL)
+def q206_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per document: most-frequent-bigram mass
+    and duplicate-trigram position fraction, with a Gopher-style
+    (token-adapted) discard flag at 0.20 / 0.30. The mass arm of the
+    flag additionally requires the top bigram to actually REPEAT
+    (count >= 2): mass has a 2/n floor, so short all-distinct docs would
+    otherwise be flagged with zero repetition present. See the block comment
+    above for determinism/NULL contracts and the 100 TB plan shape."""
+    # Gram construction via posexplode + window lead, NOT array
+    # higher-order lambdas: the first cut built grams with nested
+    # zip_with/transform lambdas and measured 8.9 s at sf0.1 for a 270k-
+    # token corpus — HOF lambdas evaluate interpreted, outside
+    # whole-stage codegen (the q92 lesson: nested SQL lambdas 118 s vs
+    # the Arrow path). posexplode and lead() keep gram building in
+    # generated code; the extra window shuffle partitions by doc_id with
+    # ~doc-length groups, which is linear and skew-free at any scale.
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # The doc_id hash exchange the window requires is placed BEFORE the
+    # posexplode: EnsureRequirements then adds no second shuffle, and the
+    # token-fan-out generate runs at full parallelism even when the scan
+    # has few input splits (a 5000-doc single-file scan ran the generate
+    # in ONE task: 2.9 s single-threaded vs ~0.9 s repartitioned; at
+    # cluster scale the scan has many splits and this exchange simply
+    # relocates the window's own). The partition COUNT is explicit:
+    # AQE's coalescer targets bytes, and this exchange's input is small
+    # BEFORE the fan-out — a count-less repartition was coalesced back
+    # to one task, single-threading the generate again (measured).
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = d.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id",
+        F.size(tokens_expr("text")).alias("n"),
+        F.posexplode(tokens_expr("text")).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lead1 = F.lead("tok", 1).over(w)
+    lead2 = F.lead("tok", 2).over(w)
+    # F.concat NULL-propagates, so the last 1 (2) positions of each doc
+    # yield NULL grams — kept through the explode (a 2-element array of
+    # tagged structs, no lambdas) so every doc, even a 1-token one,
+    # survives to the final projection; the conditional aggregates below
+    # then require g IS NOT NULL
+    led = base.select("doc_id", "n", "tok", lead1.alias("t1"), lead2.alias("t2"))
+    g = led.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).alias("k"),
+                    F.concat("tok", F.lit(" "), "t1").alias("g"),
+                ),
+                F.struct(
+                    F.lit(3).alias("k"),
+                    F.concat("tok", F.lit(" "), "t1", F.lit(" "), "t2").alias("g"),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "n", F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+    counts = g.groupBy("doc_id", "n", "k", "g").agg(F.count("*").alias("c"))
+    notnull = F.col("g").isNotNull()
+    agg = counts.groupBy("doc_id", "n").agg(
+        # conditional aggs skip the other k and the NULL-gram buckets: an
+        # empty input leaves the metric NULL, matching the oracle's
+        # LEFT-JOIN semantics exactly
+        F.max(F.when((F.col("k") == 2) & notnull, F.col("c"))).alias("top2"),
+        F.sum(
+            F.when(
+                (F.col("k") == 3) & notnull,
+                F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)),
+            )
+        ).alias("dup3"),
+    )
+    top_mass = F.col("top2").cast("double") * F.lit(2.0) / F.col("n")
+    dup_frac = F.col("dup3").cast("double") / (F.col("n") - F.lit(2.0))
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("top2"), F.lit(0)).cast("bigint").alias("top_bigram_count"),
+        top_mass.cast("double").alias("top_bigram_mass"),
+        F.coalesce(F.col("dup3"), F.lit(0)).cast("bigint").alias("dup_trigram_tokens"),
+        dup_frac.cast("double").alias("dup_trigram_frac"),
+        (
+            F.coalesce((F.col("top2") >= 2) & (top_mass > 0.20), F.lit(False))
+            | F.coalesce(dup_frac > 0.30, F.lit(False))
+        ).alias("flagged"),
+    )

@@ -933,3 +933,69 @@ def test_md5_split_matches_independent_hashlib_implementation(spark):
     }
     assert spark_val == py_val
     assert abs(len(py_val) - frac * len(ids)) <= max(10, 0.06 * len(ids))
+
+
+def test_q206_repetition_signals_edge_cases(spark):
+    """Pin q206's metric definitions on payloads the sf corpus never
+    exercises — gram-less docs (0/1/2 tokens), a fully-repeated doc, a
+    no-repetition doc — against hand-computed values, and check the
+    Spark path and the DuckDB oracle agree row-for-row on exactly these
+    NULL-bearing edges (the LEFT-JOIN / empty-conditional-agg contract)."""
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        _Q206_SQL,
+        q206_repetition_signals,
+    )
+
+    docs = [
+        (1, "x"),                        # 1 token: no grams at all
+        (2, "a b"),                      # 1 bigram, no trigram
+        (3, "a b a b a b"),              # "a b" dominates; all trigrams repeat
+        (4, "t0 t1 t2 t3 t4 t5"),        # all distinct: top2=1, dup3=0
+        (5, None),                       # NULL text: excluded both sides
+    ]
+
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="q206_")
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in q206_repetition_signals(spark, d).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["top_bigram_count"], r1["dup_trigram_tokens"]) == (1, 0, 0)
+    assert r1["top_bigram_mass"] is None and r1["dup_trigram_frac"] is None
+    assert r1["flagged"] is False
+
+    r2 = rows[2]
+    assert (r2["n_tokens"], r2["top_bigram_count"]) == (2, 1)
+    assert r2["top_bigram_mass"] == 1.0          # 1 bigram * 2 / 2 tokens
+    # mass floor is 2/n — a single (unrepeated) bigram must NOT flag
+    assert r2["dup_trigram_frac"] is None and r2["flagged"] is False
+
+    r3 = rows[3]
+    # bigrams: 'a b' x3, 'b a' x2 -> top 3; mass 3*2/6 = 1.0
+    # trigrams: 'a b a' x2, 'b a b' x2 -> all 4 positions duplicated
+    assert (r3["top_bigram_count"], r3["top_bigram_mass"]) == (3, 1.0)
+    assert (r3["dup_trigram_tokens"], r3["dup_trigram_frac"]) == (4, 1.0)
+    assert r3["flagged"] is True
+
+    r4 = rows[4]
+    assert (r4["top_bigram_count"], r4["dup_trigram_tokens"]) == (1, 0)
+    assert r4["top_bigram_mass"] == 2.0 / 6.0 and r4["dup_trigram_frac"] == 0.0
+    assert r4["flagged"] is False
+
+    # oracle agreement on the same edge corpus (None-safe sort; bytes on
+    # floats is the oracle suite's job — here the NULL pattern is the point)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(_Q206_SQL).fetchall()}
+    assert set(drows) == {1, 2, 3, 4}
+    for k, sr in rows.items():
+        assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
