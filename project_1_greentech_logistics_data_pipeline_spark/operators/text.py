@@ -712,9 +712,12 @@ def q110_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repeated n-gram, or with a large fraction of its positions inside
 # duplicated n-grams, is boilerplate/spam and gets filtered before
 # training. Token-granularity analogs here (the corpus is whitespace-
-# tokenized): top-2-gram mass = positions covered by the single most
-# frequent bigram / n_tokens; duplicate-3-gram fraction = trigram
-# positions whose trigram occurs more than once / trigram positions.
+# tokenized): top-2-gram mass = 2 x occurrences of the single most
+# frequent bigram / n_tokens (occurrence-weighted, NOT a position-
+# coverage fraction: a self-overlapping bigram — 'a a' in 'a a a a'
+# occurs 3x over 4 tokens — double-counts shared positions and yields
+# mass 1.5 > 1); duplicate-3-gram fraction = trigram positions whose
+# trigram occurs more than once / trigram positions.
 # Complements q40 (length/TTR/stopword) — repetition is the signal family
 # q40 does not measure.
 #
@@ -802,10 +805,22 @@ def q206_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BEFORE the fan-out — a count-less repartition was coalesced back
     # to one task, single-threading the generate again (measured).
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = d.repartition(n_shuffle, F.col("doc_id")).select(
-        "doc_id",
-        F.size(tokens_expr("text")).alias("n"),
-        F.posexplode(tokens_expr("text")).alias("pos", "tok"),
+    # Materialize the token array ONCE before fanning out: size() and
+    # posexplode() both consume the same `toks` attribute, so the regex
+    # split runs once per document. Writing size(tokens_expr(..)) next to
+    # posexplode(tokens_expr(..)) in one select planned the size() copy in
+    # the Project ABOVE the Generate — the full-document split re-ran once
+    # per exploded token row, O(n_tokens * doc_len) per doc (review-caught,
+    # confirmed in the executed plan; CollapseProject leaves the two-step
+    # projection alone because split is non-cheap and referenced twice).
+    base = (
+        d.repartition(n_shuffle, F.col("doc_id"))
+        .select("doc_id", tokens_expr("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.posexplode("toks").alias("pos", "tok"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy("pos")
     lead1 = F.lead("tok", 1).over(w)

@@ -935,7 +935,7 @@ def test_md5_split_matches_independent_hashlib_implementation(spark):
     assert abs(len(py_val) - frac * len(ids)) <= max(10, 0.06 * len(ids))
 
 
-def test_q206_repetition_signals_edge_cases(spark):
+def test_q206_repetition_signals_edge_cases(spark, tmp_path):
     """Pin q206's metric definitions on payloads the sf corpus never
     exercises — gram-less docs (0/1/2 tokens), a fully-repeated doc, a
     no-repetition doc — against hand-computed values, and check the
@@ -956,8 +956,8 @@ def test_q206_repetition_signals_edge_cases(spark):
         (5, None),                       # NULL text: excluded both sides
     ]
 
-    import tempfile, os
-    d = tempfile.mkdtemp(prefix="q206_")
+    import os
+    d = str(tmp_path)
     spark.createDataFrame(docs, "doc_id long, text string").write.mode(
         "overwrite"
     ).parquet(os.path.join(d, "documents.parquet"))
