@@ -77,6 +77,11 @@ DEFAULT_PROBES = {
     "q79_stratified_sample": (1, 2, 4, 8),
     "q79b_train_val_split": (1, 2, 4, 8),
     "q49b_centroid_similarity": (1, 2, 4, 8),
+    # late-r6: gram fan-out + two doc_id-prefixed aggs; per-doc work is
+    # corpus-size-independent (expect ~linear clock, linear rows). The
+    # vocab-permutation corpus preserves within-copy repetition structure
+    # bijectively, so each copy's signal distribution is identical.
+    "q206_repetition_signals": (1, 2, 4, 8),
 }
 
 
