@@ -1263,3 +1263,154 @@ def q194_dedup_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard", F.lit(False).alias("is_duplicate"))
     )
     return pos.unionByName(neg).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# q207: span-level exact dedup with document reassembly (C4-style)
+# ---------------------------------------------------------------------------
+# The sub-document granularity the doc-level ops above cannot express: C4
+# (Raffel et al. 2020, §2.2) discards "all but one of any three-sentence
+# span occurring more than once in the data set" and keeps the REST of each
+# document — the corpus transform, not just a duplicate report (q43) or a
+# containment report (q143). Token-adapted here: disjoint 3-token spans
+# over the whitespace-tokenized corpus (the reference corpus has no
+# sentence markers); the first occurrence GLOBALLY (min (doc_id, span_id))
+# survives, every later occurrence — across documents or within one — is
+# removed, and each document is reassembled from its surviving spans in
+# position order.
+#
+# Determinism: outputs are integers and strings only — no floats, so the
+# ROUND/-0.0 drift classes cannot occur by construction. The keeper rule is
+# a pure argmin over the unique key (doc_id, span_id); the oracle's
+# ROW_NUMBER(ORDER BY doc_id, span_id) and Spark's MIN(STRUCT(doc_id,
+# span_id)) are the same argmin with no ties possible. NULL text is
+# twin-filtered; a document whose every span first occurred elsewhere keeps
+# zero spans and reassembles to '' (COALESCE on both engines).
+#
+# 100 TB shape — deliberately NOT a window over span_text: boilerplate
+# spans ("click here to subscribe") carry millions of occurrences at scale,
+# and a window's sort-within-partition has no partial aggregation, so one
+# hot span serializes one reducer. The keeper is found with a
+# partial-aggregatable groupBy(span_text) -> MIN(STRUCT(...)): map-side
+# combine collapses each span's duplicate mass to one row per map task
+# BEFORE the shuffle, so the hot key ships O(tasks) rows, not O(dups).
+# Reassembly then shuffles only the SURVIVING spans by doc_id, and the
+# final totals-vs-kept join is exchange-free (both sides are already
+# hash-partitioned by doc_id by their own aggregations). Span construction
+# is sequence+slice inside whole-stage codegen (the q206 lesson: no
+# higher-order lambdas on the fan-out path; the only lambda runs over the
+# per-document POST-aggregation array). Reference corpus transform parity:
+# Glue_job.py keeps dropDuplicates at whole-record granularity
+# (/root/reference/Glue/Glue_job.py:98); this is its sub-record analog.
+
+_SPAN = 3
+
+_Q207_SQL = f"""
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+spans AS (
+  SELECT doc_id,
+    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {_SPAN}.0) AS BIGINT)),
+      i -> {{'span_id': i,
+            'span_text': ARRAY_TO_STRING(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})], ' '),
+            'span_len': LEN(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})])}})) AS s
+  FROM base
+),
+ranked AS (
+  SELECT doc_id, s.span_id AS span_id, s.span_text AS span_text,
+         s.span_len AS span_len,
+         ROW_NUMBER() OVER (PARTITION BY s.span_text
+                            ORDER BY doc_id, s.span_id) AS rn
+  FROM spans
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(span_len) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+  CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN span_len END), 0) AS BIGINT) AS kept_tokens,
+  COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_id), '')
+    AS dedup_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@query("q207_span_dedup_reassemble", _Q207_SQL)
+def q207_span_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup + reassembly (C4 §2.2, token-adapted): split
+    each document into disjoint 3-token spans, keep only each span's first
+    global occurrence (argmin (doc_id, span_id)), and rebuild every
+    document from its surviving spans in position order. One row per
+    document: span/token totals, kept counts, and the deduplicated text.
+    See the block comment above for the skew-safe keeper plan (partial-agg
+    MIN(STRUCT) instead of a window over span_text) and determinism notes."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Fan-out parallelism + reuse: this exchange both parallelizes the
+    # sequence/slice generate on a few-split scan (q206 lesson) and IS the
+    # doc_id partitioning the totals aggregation needs — one shuffle, two
+    # jobs. Explicit count because AQE sizes the pre-fan-out input.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = d.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id", tokens_expr("text").alias("toks")
+    )
+    n_spans = F.ceil(F.size("toks") / float(_SPAN)).cast("bigint")
+    sl = F.slice("toks", F.col("span_id") * _SPAN + 1, _SPAN)
+    spans = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_spans - 1)).alias("span_id"),
+    ).select(
+        "doc_id",
+        "span_id",
+        F.array_join(sl, " ").alias("span_text"),
+        F.size(sl).cast("bigint").alias("span_len"),
+    )
+    # Disjoint spans cover the token array exactly, so the per-document
+    # totals are a pure projection of `base` — no second fan-out, no
+    # aggregation, and the rows are already hash-partitioned by doc_id for
+    # the final join. (The oracle derives the same totals from the exploded
+    # spans, which doubles as a disjoint-cover check.)
+    totals = base.select(
+        "doc_id",
+        n_spans.alias("n_spans"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    )
+    # span_len is constant across a span_text group (same tokens); MAX is
+    # the deterministic way to carry it through without joining back.
+    firsts = spans.groupBy("span_text").agg(
+        F.min(F.struct("doc_id", "span_id")).alias("fo"),
+        F.max("span_len").alias("span_len"),
+    )
+    kept = (
+        firsts.select(
+            F.col("fo.doc_id").alias("doc_id"),
+            F.col("fo.span_id").alias("span_id"),
+            "span_text",
+            "span_len",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_spans"),
+            F.sum("span_len").alias("kept_tokens"),
+            # span_id is unique per doc, so the struct sort never compares
+            # span_text; the lambda runs once per document over an already
+            # aggregated (small) array, not on the fan-out path.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_id", "span_text"))),
+                    lambda s: s.span_text,
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("kept_spans", F.lit(0)).cast("bigint").alias("kept_spans"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )

@@ -82,6 +82,13 @@ DEFAULT_PROBES = {
     # vocab-permutation corpus preserves within-copy repetition structure
     # bijectively, so each copy's signal distribution is identical.
     "q206_repetition_signals": (1, 2, 4, 8),
+    # late-r6: span fan-out + partial-agg MIN(STRUCT) keeper + per-doc
+    # reassembly. The vocab permutation preserves within-copy span
+    # duplication bijectively while cross-copy spans diverge, so kept
+    # fraction per copy is constant (expect ~linear clock AND ~linear
+    # kept rows; a window-based keeper would instead degrade with the
+    # hottest span's global multiplicity).
+    "q207_span_dedup_reassemble": (1, 2, 4, 8),
 }
 
 

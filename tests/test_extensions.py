@@ -999,3 +999,107 @@ def test_q206_repetition_signals_edge_cases(spark, tmp_path):
     assert set(drows) == {1, 2, 3, 4}
     for k, sr in rows.items():
         assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
+
+
+def test_q207_span_dedup_edge_cases(spark, tmp_path):
+    """Pin q207's keeper semantics on a hand-built corpus: cross-document
+    dedup, WITHIN-document dedup, a trailing partial span deduped against
+    another doc's partial span, a doc that loses every span, and NULL
+    text — then check the Spark path and the DuckDB oracle agree
+    row-for-row on exactly these edges."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q207_SQL,
+        q207_span_dedup_reassemble,
+    )
+
+    docs = [
+        (1, "a b c d e"),        # spans: 'a b c'(3), 'd e'(2) — both first
+        (2, "a b c"),            # sole span dups doc1 -> keeps nothing
+        (3, "a b c a b c x"),    # two in-doc copies dup doc1; 'x' survives
+        (4, "d e"),              # partial span dups doc1's TRAILING span
+        (5, None),               # excluded both sides
+        (6, "z z z z z z"),      # within-doc dup: second 'z z z' removed
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in q207_span_dedup_reassemble(spark, d).collect()}
+    assert set(rows) == {1, 2, 3, 4, 6}
+
+    def tup(r):
+        return (r["n_spans"], r["n_tokens"], r["kept_spans"], r["kept_tokens"],
+                r["dedup_text"])
+
+    assert tup(rows[1]) == (2, 5, 2, 5, "a b c d e")
+    assert tup(rows[2]) == (1, 3, 0, 0, "")
+    assert tup(rows[3]) == (3, 7, 1, 1, "x")
+    assert tup(rows[4]) == (1, 2, 0, 0, "")
+    assert tup(rows[6]) == (2, 6, 1, 3, "z z z")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(_Q207_SQL).fetchall()}
+    assert set(drows) == {1, 2, 3, 4, 6}
+    for k, sr in rows.items():
+        assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
+
+
+def test_q207_span_dedup_invariants(spark):
+    """q207 on the sf corpus: the kept-span total equals the global
+    distinct-span count (every distinct span survives exactly once), the
+    dedup actually fires (duplicates exist at every sf — measured ~19%),
+    and each reassembled text carries exactly kept_tokens tokens."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _SPAN,
+        q207_span_dedup_reassemble,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        tokens_expr,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    out = q207_span_dedup_reassemble(spark, SF)
+    agg = out.agg(
+        F.sum("n_spans").alias("total"),
+        F.sum("kept_spans").alias("kept"),
+        F.sum(
+            F.when(
+                F.col("dedup_text") != "",
+                F.size(F.split(F.col("dedup_text"), " ")),
+            ).otherwise(F.lit(0))
+        ).alias("retok"),
+        F.sum("kept_tokens").alias("kept_tok"),
+    ).collect()[0]
+    assert 0 < agg["kept"] < agg["total"], "span dedup never fired"
+    # reassembled text re-tokenizes to exactly the kept token count
+    assert agg["retok"] == agg["kept_tok"]
+
+    # global distinct-span count == total kept spans
+    d = load_table(spark, SF, "documents").filter(F.col("text").isNotNull())
+    toks = tokens_expr("text")
+    n_spans = F.ceil(F.size("toks") / float(_SPAN)).cast("bigint")
+    sl = F.slice("toks", F.col("span_id") * _SPAN + 1, _SPAN)
+    distinct_spans = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_spans - 1)
+            ).alias("span_id"),
+            "toks",
+        )
+        .select(F.array_join(sl, " ").alias("span_text"))
+        .distinct()
+        .count()
+    )
+    assert agg["kept"] == distinct_spans
