@@ -40,8 +40,19 @@ def audit_query_plans(spark, sf_dir: str) -> list[dict]:
             df.collect()
             # simple mode prints each operator once (formatted repeats them
             # in the detail section, doubling counts); codegen spans only
-            # appear as '*(n)' stage prefixes in simple mode
-            plan = explain_str(df, mode="simple")
+            # appear as '*(n)' stage prefixes in simple mode.
+            # Census the FINAL adaptive section only: explainString on an
+            # executed AQE plan prints '== Final Plan ==' AND '== Initial
+            # Plan ==', and counting both roughly doubled every figure
+            # (r1-r6 audits did; the ratios between rows were still
+            # comparable, the absolute numbers were not). A ReusedExchange
+            # line references its original as ', Exchange hash...' — drop
+            # those lines too: a reuse reads an existing shuffle's output,
+            # it does not repartition again.
+            plan = explain_str(df, mode="simple").split("== Initial Plan ==")[0]
+            plan = "\n".join(
+                l for l in plan.splitlines() if "ReusedExchange" not in l
+            )
             formatted = explain_str(df)
         except Exception as exc:  # plan build itself failed — surface it
             rows.append({"query": name, "error": str(exc)[:120]})

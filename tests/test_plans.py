@@ -415,8 +415,9 @@ def test_q184_two_aggregates_one_shuffle_key(spark):
 
 
 def test_q64_bnlj_rows_are_one_row_scalar_broadcasts(spark):
-    """PLAN_AUDIT flags 2 BroadcastNestedLoopJoin rows in q64; pin that
-    both are the benign kind — a broadcast of the 1-row global-threshold
+    """PLAN_AUDIT flags BroadcastNestedLoopJoin rows in q64 (1 in the
+    final-plan census; the pre-AQE plan checked here may carry another);
+    pin that every one is the benign kind — a broadcast of the 1-row global-threshold
     aggregate (grouping-free HashAggregate feeding BroadcastExchange),
     never a real O(n*m) nested loop between data relations (VERDICT r2
     item 6)."""
