@@ -22,6 +22,41 @@ def plan_has(df: DataFrame, *needles: str, mode: str = "formatted") -> dict[str,
     return {n: (n in text) for n in needles}
 
 
+def strip_initial_plan_sections(plan: str) -> str:
+    """Drop every '== Initial Plan ==' BLOCK from a simple-mode explain of
+    an executed adaptive plan, keeping all Final Plan content.
+
+    A naive split at the first marker is wrong for cache-bearing queries:
+    an InMemoryTableScan prints its cached relation's own nested
+    AdaptiveSparkPlan (with its own Final/Initial markers) INSIDE the outer
+    final plan, so the first '== Initial Plan ==' can appear long before
+    the outer tree ends and a split truncates later join branches. Blocks
+    are delimited by tree indentation instead: a section's content is
+    drawn AT the marker's indent and deeper ('+- == Initial Plan ==' at
+    column 3, its first operator also at column 3), so a marker's block is
+    every subsequent line at indent >= the marker's; the outer tree
+    resumes strictly shallower (markers stack for nested cached plans)."""
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    out: list[str] = []
+    skips: list[int] = []  # indents of active Initial-Plan markers
+    for line in plan.splitlines():
+        if not line.strip():
+            continue
+        ind = indent(line)
+        while skips and ind < skips[-1]:
+            skips.pop()
+        if "== Initial Plan ==" in line:
+            skips.append(ind)
+            continue
+        if skips:
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def audit_query_plans(spark, sf_dir: str) -> list[dict]:
     """Physical-plan census over every declared query: exchanges (shuffles),
     join strategies, codegen presence, scan pushdown. The per-query scale
@@ -41,15 +76,19 @@ def audit_query_plans(spark, sf_dir: str) -> list[dict]:
             # simple mode prints each operator once (formatted repeats them
             # in the detail section, doubling counts); codegen spans only
             # appear as '*(n)' stage prefixes in simple mode.
-            # Census the FINAL adaptive section only: explainString on an
+            # Census the FINAL adaptive sections only: explainString on an
             # executed AQE plan prints '== Final Plan ==' AND '== Initial
-            # Plan ==', and counting both roughly doubled every figure
-            # (r1-r6 audits did; the ratios between rows were still
-            # comparable, the absolute numbers were not). A ReusedExchange
+            # Plan ==' (r1-r6 audits counted both, roughly doubling every
+            # figure), and cache-bearing queries nest MORE marker pairs
+            # inside each InMemoryTableScan — see
+            # strip_initial_plan_sections. Cached subtrees that ran once at
+            # materialization stay counted in every consuming query's row
+            # (the census answers "what does executing this query's plan
+            # contain", not "what did this query add"). A ReusedExchange
             # line references its original as ', Exchange hash...' — drop
             # those lines too: a reuse reads an existing shuffle's output,
             # it does not repartition again.
-            plan = explain_str(df, mode="simple").split("== Initial Plan ==")[0]
+            plan = strip_initial_plan_sections(explain_str(df, mode="simple"))
             plan = "\n".join(
                 l for l in plan.splitlines() if "ReusedExchange" not in l
             )

@@ -1023,6 +1023,8 @@ def test_q207_span_dedup_edge_cases(spark, tmp_path):
         (4, "d e"),              # partial span dups doc1's TRAILING span
         (5, None),               # excluded both sides
         (6, "z z z z z z"),      # within-doc dup: second 'z z z' removed
+        (7, ""),                 # empty text: one '' span (split('')==[''])
+        (8, "   "),              # whitespace-only: TRIMs to the same '' span
     ]
     d = str(tmp_path)
     spark.createDataFrame(docs, "doc_id long, text string").write.mode(
@@ -1030,7 +1032,7 @@ def test_q207_span_dedup_edge_cases(spark, tmp_path):
     ).parquet(os.path.join(d, "documents.parquet"))
 
     rows = {r["doc_id"]: r for r in q207_span_dedup_reassemble(spark, d).collect()}
-    assert set(rows) == {1, 2, 3, 4, 6}
+    assert set(rows) == {1, 2, 3, 4, 6, 7, 8}
 
     def tup(r):
         return (r["n_spans"], r["n_tokens"], r["kept_spans"], r["kept_tokens"],
@@ -1041,6 +1043,10 @@ def test_q207_span_dedup_edge_cases(spark, tmp_path):
     assert tup(rows[3]) == (3, 7, 1, 1, "x")
     assert tup(rows[4]) == (1, 2, 0, 0, "")
     assert tup(rows[6]) == (2, 6, 1, 3, "z z z")
+    # empty text yields the single span '' (1 token by split-contract);
+    # doc 7 keeps it, the whitespace-only doc 8 dedups against it
+    assert tup(rows[7]) == (1, 1, 1, 1, "")
+    assert tup(rows[8]) == (1, 1, 0, 0, "")
 
     con = duckdb.connect()
     con.execute(
@@ -1048,7 +1054,7 @@ def test_q207_span_dedup_edge_cases(spark, tmp_path):
         f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
     )
     drows = {r[0]: r for r in con.execute(_Q207_SQL).fetchall()}
-    assert set(drows) == {1, 2, 3, 4, 6}
+    assert set(drows) == {1, 2, 3, 4, 6, 7, 8}
     for k, sr in rows.items():
         assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
 
@@ -1073,9 +1079,12 @@ def test_q207_span_dedup_invariants(spark):
     agg = out.agg(
         F.sum("n_spans").alias("total"),
         F.sum("kept_spans").alias("kept"),
+        # guard on kept_spans, not dedup_text != '': an empty-text doc's
+        # single kept span IS '' (split('') == [''] on both engines), and
+        # its dedup_text '' re-tokenizes to 1 token, matching kept_tokens=1
         F.sum(
             F.when(
-                F.col("dedup_text") != "",
+                F.col("kept_spans") > 0,
                 F.size(F.split(F.col("dedup_text"), " ")),
             ).otherwise(F.lit(0))
         ).alias("retok"),
