@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Start-of-round testdata sanity sniff (per-round ritual step 1).
+
+The driver regenerates /root/testdata each round; physical encodings and
+NULL shapes have drifted across rounds (events.ts shipped as both
+TIMESTAMP(NANOS) and TIMESTAMP(MICROS); readers footer-sniff, see
+sources/readers.py::_events_ts_unit). This script prints, per scale
+factor:
+
+- each table's row count and the PHYSICAL type of every timestamp column
+  (from the parquet footer, not the logical schema),
+- the oracle-precondition profile the query surface depends on:
+  documents.doc_id uniqueness (q51's recursive-CTE oracle joins on it),
+  NULL counts for documents.text/source (the twin-filter and '||'
+  NULL-propagation contracts), embeddings.vec_id uniqueness,
+- quick anomaly flags (empty tables, all-1970 timestamps = a reader
+  bypassed the unit sniff).
+
+Read-only; uses pyarrow + duckdb, no Spark session.
+
+Usage: python scripts/testdata_sniff.py [sf0.001 sf0.01 sf0.1]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+ROOT = "/root/testdata"
+
+
+def sniff(sf: str) -> list[str]:
+    issues: list[str] = []
+    d = os.path.join(ROOT, sf)
+    con = duckdb.connect()
+    print(f"== {d} ==")
+    for t in TABLES:
+        path = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(path):
+            issues.append(f"{sf}/{t}: MISSING")
+            continue
+        f = pq.ParquetFile(path)
+        n = f.metadata.num_rows
+        ts_cols = []
+        sch = f.schema_arrow
+        for field in sch:
+            if str(field.type).startswith("timestamp"):
+                ts_cols.append(f"{field.name}:{field.type}")
+        print(f"  {t:<10} rows={n:<8} {' '.join(ts_cols)}")
+        if n == 0:
+            issues.append(f"{sf}/{t}: EMPTY")
+    # oracle preconditions
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    docs = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT doc_id), "
+        "SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN TRIM(COALESCE(text,'x')) = '' THEN 1 ELSE 0 END) "
+        "FROM documents"
+    ).fetchone()
+    print(
+        f"  documents: n={docs[0]} distinct_doc_id={docs[1]} "
+        f"null_text={docs[2]} null_source={docs[3]} blank_text={docs[4]}"
+    )
+    if docs[0] != docs[1]:
+        issues.append(
+            f"{sf}: documents.doc_id NOT unique ({docs[0]} rows, {docs[1]} ids) — "
+            "q51's recursive-CTE oracle precondition broken (see "
+            "test_q51_oracle_preconditions_hold_in_testdata)"
+        )
+    if docs[2] or docs[3]:
+        print(
+            "    note: NULL text/source present — twin-filter and '||' "
+            "NULL-propagation contracts are exercised this round"
+        )
+    emb = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT vec_id) FROM embeddings"
+    ).fetchone()
+    if emb[0] != emb[1]:
+        issues.append(f"{sf}: embeddings.vec_id NOT unique")
+    ev = con.execute(
+        "SELECT MIN(ts), MAX(ts), COUNT(*) FROM events"
+    ).fetchone()
+    print(f"  events: ts range {ev[0]} .. {ev[1]} n={ev[2]}")
+    if ev[1] is not None and str(ev[1]).startswith("1970"):
+        issues.append(
+            f"{sf}: ALL events.ts in 1970 — a reader bypassed the unit sniff "
+            "(readers.py::_events_ts_unit)"
+        )
+    return issues
+
+
+def main() -> int:
+    sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
+    all_issues: list[str] = []
+    for sf in sfs:
+        all_issues += sniff(sf)
+    if all_issues:
+        print("ISSUES:")
+        for i in all_issues:
+            print(" -", i)
+        return 1
+    print("OK: no anomalies")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
