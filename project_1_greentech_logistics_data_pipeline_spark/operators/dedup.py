@@ -1,5 +1,5 @@
 """Deduplication operators (SURVEY §2.10): exact, n-gram Jaccard, MinHash+LSH,
-SimHash, embedding-cosine near-dup.
+SimHash, embedding-cosine near-dup, span-level exact dedup + reassembly.
 
 Scale stance per variant:
 - exact: hash groupBy on a canonical fingerprint — one shuffle, fully

@@ -597,3 +597,51 @@ def test_bnlj_build_subtree_checker_detects_data_relation(spark):
     assert not _non_one_row_identity_broadcasts(ok_plan), (
         "walker flagged the benign scalar-broadcast shape"
     )
+
+
+def test_strip_initial_plan_sections_handles_nested_cached_plans():
+    """The census parser must drop every '== Initial Plan ==' BLOCK —
+    including marker pairs nested inside an InMemoryTableScan's cached
+    relation — while keeping all Final-Plan content (review-caught: a
+    first-marker split truncated every cache-bearing query's census).
+    Canned text mirrors the real simple-mode layout: section content is
+    drawn AT the marker's indent."""
+    from project_1_greentech_logistics_data_pipeline_spark.plans.inspect import (
+        strip_initial_plan_sections,
+    )
+
+    plan = "\n".join(
+        [
+            "== Physical Plan ==",
+            "AdaptiveSparkPlan isFinalPlan=true",
+            "+- == Final Plan ==",
+            "   *(3) BroadcastHashJoin [k], [k], Inner, BuildRight",
+            "   :- InMemoryTableScan [k, s]",
+            "   :     +- InMemoryRelation [k, s], StorageLevel(memory)",
+            "   :           +- AdaptiveSparkPlan isFinalPlan=true",
+            "   :              +- == Final Plan ==",
+            "   :                 Exchange hashpartitioning(k, 8)",
+            "   :                 +- *(1) Range (0, 1000, step=1)",
+            "   :              +- == Initial Plan ==",
+            "   :                 Exchange hashpartitioning(k, 8)  [nested-initial]",
+            "   :                 +- Range (0, 1000, step=1)",
+            "   +- BroadcastExchange HashedRelationBroadcastMode",
+            "      +- Exchange hashpartitioning(k, 8)  [outer-final-after-nested]",
+            "         +- *(2) Filter isnotnull(k)",
+            "+- == Initial Plan ==",
+            "   SortMergeJoin [k], [k], Inner  [outer-initial]",
+            "   +- Exchange hashpartitioning(k, 8)  [outer-initial]",
+        ]
+    )
+    kept = strip_initial_plan_sections(plan)
+    # the whole outer final tree survives, including content AFTER the
+    # nested cached plan's Initial block
+    assert "outer-final-after-nested" in kept
+    assert "BroadcastHashJoin" in kept and "*(2) Filter" in kept
+    # nested cached FINAL content is kept (it ran at materialization)
+    assert "*(1) Range" in kept
+    # every Initial block is gone, nested and top-level
+    assert "nested-initial" not in kept and "outer-initial" not in kept
+    assert "SortMergeJoin" not in kept
+    # net exchange census: nested final 1 + outer broadcast build 1
+    assert kept.count("Exchange hashpartitioning") == 2
