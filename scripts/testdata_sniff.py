@@ -53,47 +53,56 @@ def sniff(sf: str) -> list[str]:
         print(f"  {t:<10} rows={n:<8} {' '.join(ts_cols)}")
         if n == 0:
             issues.append(f"{sf}/{t}: EMPTY")
-    # oracle preconditions
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
-        )
-    docs = con.execute(
+    # Oracle preconditions — query the three relevant parquet files
+    # directly (no views: duckdb binds views eagerly, so a single missing
+    # TPC-H file would kill checks it has nothing to do with), and convert
+    # any failure into an ISSUES entry instead of a traceback: unforeseen
+    # drift (renamed column, corrupt footer) is exactly what must land in
+    # the report.
+    def q(table: str, sql: str):
+        try:
+            return con.execute(
+                sql.format(src=f"read_parquet('{d}/{table}.parquet')")
+            ).fetchone()
+        except Exception as exc:
+            issues.append(f"{sf}/{table}: precondition query failed — {exc}")
+            return None
+
+    docs = q(
+        "documents",
         "SELECT COUNT(*), COUNT(DISTINCT doc_id), "
         "SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), "
         "SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), "
         "SUM(CASE WHEN TRIM(COALESCE(text,'x')) = '' THEN 1 ELSE 0 END) "
-        "FROM documents"
-    ).fetchone()
-    print(
-        f"  documents: n={docs[0]} distinct_doc_id={docs[1]} "
-        f"null_text={docs[2]} null_source={docs[3]} blank_text={docs[4]}"
+        "FROM {src}",
     )
-    if docs[0] != docs[1]:
-        issues.append(
-            f"{sf}: documents.doc_id NOT unique ({docs[0]} rows, {docs[1]} ids) — "
-            "q51's recursive-CTE oracle precondition broken (see "
-            "test_q51_oracle_preconditions_hold_in_testdata)"
-        )
-    if docs[2] or docs[3]:
+    if docs:
         print(
-            "    note: NULL text/source present — twin-filter and '||' "
-            "NULL-propagation contracts are exercised this round"
+            f"  documents: n={docs[0]} distinct_doc_id={docs[1]} "
+            f"null_text={docs[2]} null_source={docs[3]} blank_text={docs[4]}"
         )
-    emb = con.execute(
-        "SELECT COUNT(*), COUNT(DISTINCT vec_id) FROM embeddings"
-    ).fetchone()
-    if emb[0] != emb[1]:
+        if docs[0] != docs[1]:
+            issues.append(
+                f"{sf}: documents.doc_id NOT unique ({docs[0]} rows, {docs[1]} ids) — "
+                "q51's recursive-CTE oracle precondition broken (see "
+                "test_q51_oracle_preconditions_hold_in_testdata)"
+            )
+        if docs[2] or docs[3]:
+            print(
+                "    note: NULL text/source present — twin-filter and '||' "
+                "NULL-propagation contracts are exercised this round"
+            )
+    emb = q("embeddings", "SELECT COUNT(*), COUNT(DISTINCT vec_id) FROM {src}")
+    if emb and emb[0] != emb[1]:
         issues.append(f"{sf}: embeddings.vec_id NOT unique")
-    ev = con.execute(
-        "SELECT MIN(ts), MAX(ts), COUNT(*) FROM events"
-    ).fetchone()
-    print(f"  events: ts range {ev[0]} .. {ev[1]} n={ev[2]}")
-    if ev[1] is not None and str(ev[1]).startswith("1970"):
-        issues.append(
-            f"{sf}: ALL events.ts in 1970 — a reader bypassed the unit sniff "
-            "(readers.py::_events_ts_unit)"
-        )
+    ev = q("events", "SELECT MIN(ts), MAX(ts), COUNT(*) FROM {src}")
+    if ev:
+        print(f"  events: ts range {ev[0]} .. {ev[1]} n={ev[2]}")
+        if ev[1] is not None and str(ev[1]).startswith("1970"):
+            issues.append(
+                f"{sf}: ALL events.ts in 1970 — a reader bypassed the unit "
+                "sniff (readers.py::_events_ts_unit)"
+            )
     return issues
 
 
@@ -101,7 +110,11 @@ def main() -> int:
     sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
     all_issues: list[str] = []
     for sf in sfs:
-        all_issues += sniff(sf)
+        # one bad scale factor must not hide the others' reports
+        try:
+            all_issues += sniff(sf)
+        except Exception as exc:
+            all_issues.append(f"{sf}: sniff aborted — {exc}")
     if all_issues:
         print("ISSUES:")
         for i in all_issues:
