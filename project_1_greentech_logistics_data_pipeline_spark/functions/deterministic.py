@@ -74,18 +74,27 @@ def hilo_sum_exprs(value_sql: str, alias: str) -> list[str]:
     4.1.2), so a ``COALESCE(v, 1e19)`` fed straight to FLOOR only errors
     if the rest of the group happens to push the long SUM past MaxValue —
     e.g. a lone NULL, or a NULL among values summing <= 0, would emit
-    ~9.2e18 garbage with no error. The non-null branch round-trips
-    FLOOR's long through DOUBLE (CASE type coercion), exact below 2^53 —
-    far above the documented n*max|v| < 2^63 usage bound's per-row
-    magnitudes. (An error-function trap isn't portable — Spark
-    raise_error vs DuckDB error — so the trap stays arithmetic and
-    shared-verbatim.)
+    ~9.2e18 garbage with no error. (An error-function trap isn't
+    portable — Spark raise_error vs DuckDB error — so the trap stays
+    arithmetic and shared-verbatim.)
+
+    SECOND PRECONDITION, also enforced: per-row ``|v| < 2^53``. The
+    non-null branch round-trips FLOOR's long through DOUBLE (CASE type
+    coercion), which is exact only below 2^53 — a per-row magnitude in
+    [2^53, 2^63) would lose low bits IDENTICALLY on both engines, the
+    same silent-symmetric class as the NULL case, so the trap routes
+    ``ABS(v) >= 2^53`` into the same erroring 1e19 branch. The documented
+    usage bound is therefore n * max|v| < 2^63 AND max|v| < 2^53; q19/
+    q122/q49b per-row magnitudes are ~1e10, five million times under it.
     """
     v = f"({value_sql})"
     v0 = f"(COALESCE({v}, 0.0))"
 
     def trap(inner: str) -> str:
-        return f"CAST(CASE WHEN {v} IS NULL THEN 1e19 ELSE {inner} END AS BIGINT)"
+        return (
+            f"CAST(CASE WHEN {v} IS NULL OR ABS({v}) >= 9007199254740992.0"
+            f" THEN 1e19 ELSE {inner} END AS BIGINT)"
+        )
 
     return [
         f"SUM({trap(f'FLOOR({v0})')}) AS {alias}_hi",

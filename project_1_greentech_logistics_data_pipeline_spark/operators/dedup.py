@@ -564,7 +564,7 @@ def _blocked_cosine_pairs(
         ]
     )
 
-    def _tile_gemm(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _tile_gemm(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         ti, tj = key
         lp = pdf[pdf["role"] == 0]
         rp = pdf[pdf["role"] == 1]

@@ -400,7 +400,7 @@ def q132_semantic_dedup_clustered(
         "vec_id", "nemb", F.explode("clusters").alias("cluster")
     )
 
-    def _cluster_gemm(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _cluster_gemm(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         if len(pdf) < 2:
@@ -416,7 +416,6 @@ def q132_semantic_dedup_clustered(
             {"vec_a": ids[li], "vec_b": ids[ri], "cosine": sims[li, ri]}
         )
 
-    _cluster_gemm.__annotations__ = {}
     pairs = postings.groupBy("cluster").applyInPandas(
         _cluster_gemm, schema="vec_a long, vec_b long, cosine double"
     )

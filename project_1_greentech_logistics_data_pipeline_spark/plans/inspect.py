@@ -35,7 +35,15 @@ def strip_initial_plan_sections(plan: str) -> str:
     drawn AT the marker's indent and deeper ('+- == Initial Plan ==' at
     column 3, its first operator also at column 3), so a marker's block is
     every subsequent line at indent >= the marker's; the outer tree
-    resumes strictly shallower (markers stack for nested cached plans)."""
+    resumes strictly shallower (markers stack for nested cached plans).
+
+    Belt-and-braces for marker ORDER: Spark 4.1.2 prints Final before
+    Initial at every nesting level (asserted against a live explainString
+    in tests/test_plans.py so a version change fails loudly), but a
+    '== Final Plan ==' marker at indent <= an active Initial marker's
+    indent ALSO terminates that skip here — if a future Spark reorders
+    the sections or emits a same-indent Final sibling after an Initial
+    block, its content is kept rather than silently dropped."""
 
     def indent(line: str) -> int:
         return len(line) - len(line.lstrip(" :+-"))
@@ -48,6 +56,11 @@ def strip_initial_plan_sections(plan: str) -> str:
         ind = indent(line)
         while skips and ind < skips[-1]:
             skips.pop()
+        if "== Final Plan ==" in line:
+            while skips and skips[-1] >= ind:
+                skips.pop()
+            out.append(line)
+            continue
         if "== Initial Plan ==" in line:
             skips.append(ind)
             continue

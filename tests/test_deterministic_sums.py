@@ -112,6 +112,33 @@ def test_hilo_sum_null_trips_guard_both_engines(spark):
     assert _duck_hilo([1.5, 2.25]) == 3.75
 
 
+def test_hilo_sum_magnitude_guard_both_engines(spark):
+    """The per-row |v| < 2^53 PRECONDITION is enforced: above it, the
+    FLOOR-long -> DOUBLE round-trip inside the CASE would lose low bits
+    IDENTICALLY on both engines (silent-symmetric, invisible to the
+    oracle differential), so such a row must ERROR via the same 1e19
+    trap — on BOTH engines — while 2^53 - 1 still sums exactly."""
+    import pyspark.errors
+    from pyspark.sql import functions as F
+
+    two53 = 9007199254740992.0
+    for bad in (two53, -two53, two53 * 4):
+        df = spark.createDataFrame([(bad,), (1.0,)], "v double")
+        agg = df.agg(*(F.expr(e) for e in hilo_sum_exprs("v", "s")))
+        with pytest.raises(pyspark.errors.PySparkException):
+            agg.collect()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(bad,), (1.0,)])
+        with pytest.raises(duckdb.Error):
+            con.execute(
+                f"SELECT {', '.join(hilo_sum_exprs('v', 's'))} FROM t"
+            ).fetchall()
+
+    # just under the bound is exact, not trapped
+    assert _duck_hilo([two53 - 1.0]) == two53 - 1.0
+
+
 def test_neg_sample_predicate_overflow_safe(spark):
     """_neg_sample_sql must evaluate (not raise) for ids up to int64 max
     on BOTH engines, and agree bit-for-bit — the old rule overflowed at

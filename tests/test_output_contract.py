@@ -80,7 +80,9 @@ def test_no_round_over_float_accumulating_aggregates():
     orders below round granularity):
     - q99: EXP(AVG(LN(x))) is THE pandas-UDAF surface under test; its
       reorder drift (~1e-14 rel) is ~6 orders below the 4-dp granularity.
-    - q75: per-user window AVG/STDDEV over small n; same margin.
+    - q75: the per-user small-n window zscore specifically — anchored to
+      the OVER-window context and the `value` column, so an unrelated
+      float-agg ROUND later added to q75's SQL is still flagged.
     - q93: SUM(l.score) is a SUM over the INTEGER lexicon column (exact,
       order-independent); the ::DOUBLE cast happens only AFTER the exact
       integer SUM, so the ROUND argument carries no accumulation drift.
@@ -91,7 +93,7 @@ def test_no_round_over_float_accumulating_aggregates():
 
     ALLOW = {
         "q99_pandas_udaf_geomean": r"EXP\(AVG\(LN\(",
-        "q75_grouped_zscore_pandas": r"\b(AVG|STDDEV)\(",
+        "q75_grouped_zscore_pandas": r"\b(AVG|STDDEV_SAMP)\(VALUE\) OVER W\b",
         "q93_lexicon_sentiment": r"SUM\(L\.SCORE\)",
     }
     offenders = {}

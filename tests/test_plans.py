@@ -645,3 +645,54 @@ def test_strip_initial_plan_sections_handles_nested_cached_plans():
     assert "SortMergeJoin" not in kept
     # net exchange census: nested final 1 + outer broadcast build 1
     assert kept.count("Exchange hashpartitioning") == 2
+
+
+def test_strip_initial_plan_sections_survives_marker_reorder():
+    """Belt-and-braces (advice-caught): the stripper must not silently
+    depend on Final always printing before Initial. If a Final marker
+    appears at the same indent AFTER an Initial block — a hypothetical
+    future-Spark reorder — its content must be KEPT, not swallowed by
+    the still-active skip."""
+    from project_1_greentech_logistics_data_pipeline_spark.plans.inspect import (
+        strip_initial_plan_sections,
+    )
+
+    plan = "\n".join(
+        [
+            "== Physical Plan ==",
+            "AdaptiveSparkPlan isFinalPlan=true",
+            "+- == Initial Plan ==",
+            "   Exchange hashpartitioning(k, 8)  [initial-content]",
+            "   +- Range (0, 1000, step=1)",
+            "+- == Final Plan ==",
+            "   *(1) HashAggregate(keys=[k])  [final-after-initial]",
+            "   +- Exchange hashpartitioning(k, 8)",
+        ]
+    )
+    kept = strip_initial_plan_sections(plan)
+    assert "final-after-initial" in kept
+    assert "initial-content" not in kept
+    assert kept.count("Exchange hashpartitioning") == 1
+
+
+def test_live_explain_prints_final_before_initial(spark):
+    """Pin the layout assumption the census stripper's primary path rests
+    on: on THIS Spark, an executed adaptive plan's simple-mode
+    explainString prints '== Final Plan ==' before '== Initial Plan =='
+    (the reorder fallback above covers a future version flipping it, but
+    a flip should also fail loudly here so the census gets re-audited)."""
+    from project_1_greentech_logistics_data_pipeline_spark.plans.inspect import (
+        explain_str,
+    )
+
+    df = (
+        spark.range(1000)
+        .selectExpr("id % 7 AS k", "id AS v")
+        .groupBy("k")
+        .count()
+    )
+    df.collect()
+    text = explain_str(df, mode="simple")
+    f, i = text.find("== Final Plan =="), text.find("== Initial Plan ==")
+    assert f != -1 and i != -1, "AQE sections missing from executed explain"
+    assert f < i, "Spark changed Final/Initial ordering — re-audit the census"
