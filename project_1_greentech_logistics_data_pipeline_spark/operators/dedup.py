@@ -1414,3 +1414,145 @@ def q207_span_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q208: line-level boilerplate scrub with document reassembly
+# (RefinedWeb / CCNet-style per-line frequency filtering)
+# ---------------------------------------------------------------------------
+# The remaining dedup granularity between document (q43) and span-keeper
+# (q207): CCNet (Wenzek et al. 2020, §3) and RefinedWeb (Penedo et al.
+# 2023, §3.3) hash each LINE of every document and remove lines duplicated
+# across documents — navigation menus, cookie banners, "click to
+# subscribe" — keeping the rest of each document. The filter rule differs
+# from q207's in kind, not just granularity: a line whose DOCUMENT
+# FREQUENCY is >= 2 is removed EVERYWHERE (no surviving first occurrence —
+# boilerplate is noise, not content), while a line repeated only WITHIN
+# one document survives untouched (df counts distinct documents, and
+# within-doc repetition is q206's repetition-signal concern, not
+# boilerplate). Token-adapted like q207: the corpus has no newline or
+# sentence markers, so a "line" is a disjoint 5-token window.
+#
+# Determinism: integer/string outputs only — no float drift class can
+# exist. The df >= 2 rule is a pure property of the line_text group;
+# no argmin, no ties, no ordering sensitivity anywhere.
+#
+# 100 TB shape: the df table is groupBy(line_text) over (line_text,
+# doc_id)-DEDUPLICATED rows — Spark plans the distinct aggregate as two
+# partial-aggregatable stages, so a hot boilerplate line ships one row
+# per (map task, doc) to the first shuffle and one row per task to the
+# second, never O(occurrences). The scrub itself is a LEFT ANTI join of
+# spans against only the df >= 2 lines: that set is the filter's OUTPUT
+# (thousands of distinct boilerplate lines, not the corpus), so AQE turns
+# the anti join into a broadcast at runtime when it fits
+# (spark.sql.autoBroadcastJoinThreshold) — leaving the spans side's
+# doc_id partitioning intact for an exchange-free reassembly — and falls
+# back to a shuffled join when a pathological corpus makes the
+# boilerplate set itself huge. We deliberately do NOT force the
+# broadcast: at 100 TB the df>=2 set's size is data-dependent, and the
+# runtime decision is exactly what AQE is for. Reference corpus
+# transform parity: Glue_job.py's whole-record dropDuplicates
+# (/root/reference/Glue/Glue_job.py:98); this is the cross-document
+# sub-record analog.
+
+_LINE = 5
+_BOILER_DF = 2
+
+_Q208_SQL = f"""
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id,
+    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {_LINE}.0) AS BIGINT)),
+      i -> {{'line_id': i,
+            'line_text': ARRAY_TO_STRING(toks[(i*{_LINE}+1):(i*{_LINE}+{_LINE})], ' '),
+            'line_len': LEN(toks[(i*{_LINE}+1):(i*{_LINE}+{_LINE})])}})) AS s
+  FROM base
+),
+df AS (
+  SELECT s.line_text AS line_text, COUNT(DISTINCT doc_id) AS df
+  FROM lines GROUP BY s.line_text
+)
+SELECT l.doc_id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(l.s.line_len) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN d.df < {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+  CAST(COALESCE(SUM(CASE WHEN d.df < {_BOILER_DF} THEN l.s.line_len END), 0) AS BIGINT)
+    AS kept_tokens,
+  COALESCE(STRING_AGG(CASE WHEN d.df < {_BOILER_DF} THEN l.s.line_text END, ' '
+                      ORDER BY l.s.line_id), '') AS clean_text
+FROM lines l JOIN df d ON l.s.line_text = d.line_text
+GROUP BY l.doc_id
+"""
+
+
+@query("q208_line_boilerplate_scrub", _Q208_SQL)
+def q208_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate scrub + reassembly (CCNet §3 / RefinedWeb
+    §3.3, token-adapted): split each document into disjoint 5-token
+    lines, remove EVERY occurrence of any line appearing in >= 2 distinct
+    documents, and rebuild each document from its surviving lines in
+    position order. One row per document: line/token totals, kept counts,
+    and the scrubbed text. See the block comment above for the
+    distinct-agg df plan and the AQE-decided broadcast anti join."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Same fan-out discipline as q207: one explicit doc_id exchange both
+    # parallelizes the sequence/slice generate and pre-positions the rows
+    # for the totals projection and the final join.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = d.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id", tokens_expr("text").alias("toks")
+    )
+    n_lines = F.ceil(F.size("toks") / float(_LINE)).cast("bigint")
+    sl = F.slice("toks", F.col("line_id") * _LINE + 1, _LINE)
+    lines = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_lines - 1)).alias("line_id"),
+    ).select(
+        "doc_id",
+        "line_id",
+        F.array_join(sl, " ").alias("line_text"),
+        F.size(sl).cast("bigint").alias("line_len"),
+    )
+    totals = base.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    )
+    # Boilerplate set: lines in >= _BOILER_DF distinct docs. countDistinct
+    # plans as two partial-agg stages (dedup (line_text, doc_id), then
+    # count) — skew-safe on hot lines, unlike a window over line_text.
+    boiler = (
+        lines.groupBy("line_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("line_text")
+    )
+    kept = (
+        lines.join(boiler, "line_text", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_lines"),
+            F.sum("line_len").alias("kept_tokens"),
+            # line_id is unique per doc: the struct sort never compares
+            # line_text, and the lambda runs post-aggregation per doc.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_id", "line_text"))),
+                    lambda s: s.line_text,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("kept_lines", F.lit(0)).cast("bigint").alias("kept_lines"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

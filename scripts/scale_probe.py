@@ -89,6 +89,13 @@ DEFAULT_PROBES = {
     # kept rows; a window-based keeper would instead degrade with the
     # hottest span's global multiplicity).
     "q207_span_dedup_reassemble": (1, 2, 4, 8),
+    # r7: line fan-out + two-stage distinct-agg df table + AQE broadcast
+    # LEFT ANTI scrub + per-doc reassembly. Within-copy line duplication
+    # is preserved bijectively and cross-copy lines diverge, so each
+    # copy's boilerplate mass is constant (expect ~linear clock, linear
+    # rows — one per doc; the df table grows linearly but its df>=2
+    # slice stays a constant fraction).
+    "q208_line_boilerplate_scrub": (1, 2, 4, 8),
 }
 
 

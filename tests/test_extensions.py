@@ -1112,3 +1112,126 @@ def test_q207_span_dedup_invariants(spark):
         .count()
     )
     assert agg["kept"] == distinct_spans
+
+
+def test_q208_line_boilerplate_edge_cases(spark, tmp_path):
+    """Pin q208's filter semantics on a hand-built corpus — the three ways
+    it differs from q207's keeper: a cross-document duplicated line is
+    removed EVERYWHERE (no surviving first occurrence), a line repeated
+    only WITHIN one document survives BOTH times (df counts distinct
+    docs), and partial trailing lines participate like full ones — plus
+    NULL text and the empty/whitespace twins; then check the Spark path
+    and the DuckDB oracle agree row-for-row on exactly these edges."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q208_SQL,
+        q208_line_boilerplate_scrub,
+    )
+
+    docs = [
+        (1, "a b c d e f g h i j m n o"),  # L1 'a b c d e' (df2 w/ doc2),
+        #                                    L2 'f g h i j' (df2 w/ doc8),
+        #                                    L3 'm n o' partial, unique
+        (2, "a b c d e"),                  # one line, boilerplate -> ''
+        (3, "p q r s t p q r s t"),        # in-doc repeat, df=1 -> BOTH kept
+        (4, "x y"),                        # partial line, unique -> kept
+        (5, None),                         # excluded both sides
+        (6, ""),                           # '' line (split('') == [''])
+        (7, "   "),                        # TRIMs to the same '' line: df=2
+        (8, "f g h i j"),                  # makes doc1's L2 boilerplate
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in q208_line_boilerplate_scrub(spark, d).collect()}
+    assert set(rows) == {1, 2, 3, 4, 6, 7, 8}
+
+    def tup(r):
+        return (r["n_lines"], r["n_tokens"], r["kept_lines"], r["kept_tokens"],
+                r["clean_text"])
+
+    assert tup(rows[1]) == (3, 13, 1, 3, "m n o")
+    assert tup(rows[2]) == (1, 5, 0, 0, "")
+    # the q207 contrast: BOTH within-doc copies survive (df=1)
+    assert tup(rows[3]) == (2, 10, 2, 10, "p q r s t p q r s t")
+    assert tup(rows[4]) == (1, 2, 1, 2, "x y")
+    # docs 6 and 7 share the '' line (df=2): removed from BOTH — no
+    # keep-first survivor, unlike q207's doc-7-keeps/doc-8-loses split
+    assert tup(rows[6]) == (1, 1, 0, 0, "")
+    assert tup(rows[7]) == (1, 1, 0, 0, "")
+    assert tup(rows[8]) == (1, 5, 0, 0, "")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(_Q208_SQL).fetchall()}
+    assert set(drows) == {1, 2, 3, 4, 6, 7, 8}
+    for k, sr in rows.items():
+        assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
+
+
+def test_q208_line_boilerplate_invariants(spark):
+    """q208 on the sf corpus: the scrub actually fires, each scrubbed text
+    re-tokenizes to exactly kept_tokens tokens, and the global kept-line
+    count equals an independently computed count of line occurrences
+    whose text sits in a df < threshold group."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _BOILER_DF,
+        _LINE,
+        q208_line_boilerplate_scrub,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        tokens_expr,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    out = q208_line_boilerplate_scrub(spark, SF)
+    agg = out.agg(
+        F.sum("n_lines").alias("total"),
+        F.sum("kept_lines").alias("kept"),
+        # guard on kept_lines, not clean_text != '': an all-kept empty-text
+        # doc's clean_text '' re-tokenizes to 1 token (split contract)
+        F.sum(
+            F.when(
+                F.col("kept_lines") > 0,
+                F.size(F.split(F.col("clean_text"), " ")),
+            ).otherwise(F.lit(0))
+        ).alias("retok"),
+        F.sum("kept_tokens").alias("kept_tok"),
+    ).collect()[0]
+    assert 0 < agg["kept"] < agg["total"], "boilerplate scrub never fired"
+    assert agg["retok"] == agg["kept_tok"]
+
+    # independent recount: occurrences of lines whose df < threshold
+    d = load_table(spark, SF, "documents").filter(F.col("text").isNotNull())
+    toks = tokens_expr("text")
+    n_lines = F.ceil(F.size("toks") / float(_LINE)).cast("bigint")
+    sl = F.slice("toks", F.col("line_id") * _LINE + 1, _LINE)
+    lines = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_lines - 1)
+            ).alias("line_id"),
+            "toks",
+        )
+        .select("doc_id", F.array_join(sl, " ").alias("line_text"))
+    )
+    surviving = (
+        lines.groupBy("line_text")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count("*").alias("occ"))
+        .filter(F.col("df") < _BOILER_DF)
+        .agg(F.sum("occ"))
+        .collect()[0][0]
+    )
+    assert agg["kept"] == surviving
