@@ -33,7 +33,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 ROOT = "/root/testdata"
 
 
-def sniff(sf: str) -> list[str]:
+def sniff(sf: str, ts_units: set[str]) -> list[str]:
     issues: list[str] = []
     d = os.path.join(ROOT, sf)
     con = duckdb.connect()
@@ -48,8 +48,14 @@ def sniff(sf: str) -> list[str]:
         ts_cols = []
         sch = f.schema_arrow
         for field in sch:
-            if str(field.type).startswith("timestamp"):
-                ts_cols.append(f"{field.name}:{field.type}")
+            ft = str(field.type)
+            if ft.startswith("timestamp"):
+                ts_cols.append(f"{field.name}:{ft}")
+                # 'timestamp[us]' -> 'us'; feeds the OK line so the
+                # start-of-round artifact records which footer encodings
+                # this round's testdata shipped with (they have drifted
+                # between ns and us across driver rounds)
+                ts_units.add(ft.split("[", 1)[-1].rstrip("]").split(",")[0])
         print(f"  {t:<10} rows={n:<8} {' '.join(ts_cols)}")
         if n == 0:
             issues.append(f"{sf}/{t}: EMPTY")
@@ -109,18 +115,20 @@ def sniff(sf: str) -> list[str]:
 def main() -> int:
     sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
     all_issues: list[str] = []
+    ts_units: set[str] = set()
     for sf in sfs:
         # one bad scale factor must not hide the others' reports
         try:
-            all_issues += sniff(sf)
+            all_issues += sniff(sf, ts_units)
         except Exception as exc:
             all_issues.append(f"{sf}: sniff aborted — {exc}")
+    units = ",".join(sorted(ts_units)) or "none-seen"
     if all_issues:
-        print("ISSUES:")
+        print(f"ISSUES: (ts footers: {units})")
         for i in all_issues:
             print(" -", i)
         return 1
-    print("OK: no anomalies")
+    print(f"OK: no anomalies (ts footers: {units})")
     return 0
 
 
