@@ -1303,27 +1303,120 @@ def q194_dedup_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Glue_job.py keeps dropDuplicates at whole-record granularity
 # (/root/reference/Glue/Glue_job.py:98); this is its sub-record analog.
 
-_SPAN = 3
+def _doc_unit_fanout(
+    spark: SparkSession, sf_dir: str, width: int, prefix: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared disjoint token-window fan-out for the sub-document dedup
+    family (q207 3-token spans, q208 5-token lines): returns
+    ``(units, totals)`` where units is one row per disjoint ``width``-token
+    window — (doc_id, {prefix}_id, {prefix}_text, {prefix}_len) — and
+    totals is one row per document (doc_id, n_units, n_tokens).
 
-_Q207_SQL = f"""
-WITH base AS (
+    Plan notes shared by every consumer: ONE explicit doc_id exchange
+    both parallelizes the sequence/slice generate on a few-split scan
+    (the q206 lesson: explicit count, because AQE sizes the PRE-fan-out
+    input) and pre-positions rows for the per-doc aggregations and final
+    join. Window construction is sequence+slice inside whole-stage
+    codegen — no higher-order lambdas on the fan-out path. Disjoint
+    windows cover the token array exactly, so ``totals`` is a pure
+    projection of the tokenized base: no second fan-out, no aggregation,
+    already hash-partitioned by doc_id. (The oracles derive the same
+    totals from the exploded units, which doubles as a disjoint-cover
+    check.)"""
+    uid, utext, ulen = f"{prefix}_id", f"{prefix}_text", f"{prefix}_len"
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = d.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id", tokens_expr("text").alias("toks")
+    )
+    n_units = F.ceil(F.size("toks") / float(width)).cast("bigint")
+    sl = F.slice("toks", F.col(uid) * width + 1, width)
+    units = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_units - 1)).alias(uid),
+    ).select(
+        "doc_id",
+        uid,
+        F.array_join(sl, " ").alias(utext),
+        F.size(sl).cast("bigint").alias(ulen),
+    )
+    totals = base.select(
+        "doc_id",
+        n_units.alias("n_units"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    )
+    return units, totals
+
+
+def _reassemble_kept(kept_units: DataFrame, prefix: str, text_alias: str) -> DataFrame:
+    """Per-document reassembly of surviving units in position order:
+    (doc_id, kept_units, kept_tokens, <text_alias>). The unit id is
+    unique per doc, so the struct sort never compares unit text, and the
+    transform lambda runs once per document over an already-aggregated
+    (small) array — never on the fan-out path."""
+    uid, utext, ulen = f"{prefix}_id", f"{prefix}_text", f"{prefix}_len"
+    return kept_units.groupBy("doc_id").agg(
+        F.count("*").alias("kept_units"),
+        F.sum(ulen).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(uid, utext))),
+                lambda s: s[utext],
+            ),
+            " ",
+        ).alias(text_alias),
+    )
+
+
+def _finish_units(
+    totals: DataFrame,
+    kept: DataFrame,
+    n_units_alias: str,
+    kept_units_alias: str,
+    text_alias: str,
+) -> DataFrame:
+    """Final totals-vs-kept left join + zero/empty coalesce (a document
+    that keeps no units reassembles to ''). Both sides arrive
+    hash-partitioned by doc_id from their own aggregations/projections."""
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_units").cast("bigint").alias(n_units_alias),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("kept_units", F.lit(0)).cast("bigint").alias(kept_units_alias),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce(text_alias, F.lit("")).alias(text_alias),
+    )
+
+
+def _unit_cte_sql(width: int, prefix: str) -> str:
+    """Oracle twin of :func:`_doc_unit_fanout`: the shared base+units
+    DuckDB CTE prefix (consumers append their keeper/filter logic over
+    ``units``, whose struct column ``s`` carries {prefix}_id/{prefix}_text/
+    {prefix}_len)."""
+    return f"""WITH base AS (
   SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
   FROM documents WHERE text IS NOT NULL
 ),
-spans AS (
+units AS (
   SELECT doc_id,
-    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {_SPAN}.0) AS BIGINT)),
-      i -> {{'span_id': i,
-            'span_text': ARRAY_TO_STRING(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})], ' '),
-            'span_len': LEN(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})])}})) AS s
+    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {width}.0) AS BIGINT)),
+      i -> {{'{prefix}_id': i,
+            '{prefix}_text': ARRAY_TO_STRING(toks[(i*{width}+1):(i*{width}+{width})], ' '),
+            '{prefix}_len': LEN(toks[(i*{width}+1):(i*{width}+{width})])}})) AS s
   FROM base
-),
+)"""
+
+
+_SPAN = 3
+
+_Q207_SQL = _unit_cte_sql(_SPAN, "span") + """,
 ranked AS (
   SELECT doc_id, s.span_id AS span_id, s.span_text AS span_text,
          s.span_len AS span_len,
          ROW_NUMBER() OVER (PARTITION BY s.span_text
                             ORDER BY doc_id, s.span_id) AS rn
-  FROM spans
+  FROM units
 )
 SELECT doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_spans,
@@ -1345,75 +1438,27 @@ def q207_span_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     document from its surviving spans in position order. One row per
     document: span/token totals, kept counts, and the deduplicated text.
     See the block comment above for the skew-safe keeper plan (partial-agg
-    MIN(STRUCT) instead of a window over span_text) and determinism notes."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # Fan-out parallelism + reuse: this exchange both parallelizes the
-    # sequence/slice generate on a few-split scan (q206 lesson) and IS the
-    # doc_id partitioning the totals aggregation needs — one shuffle, two
-    # jobs. Explicit count because AQE sizes the pre-fan-out input.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = d.repartition(n_shuffle, F.col("doc_id")).select(
-        "doc_id", tokens_expr("text").alias("toks")
-    )
-    n_spans = F.ceil(F.size("toks") / float(_SPAN)).cast("bigint")
-    sl = F.slice("toks", F.col("span_id") * _SPAN + 1, _SPAN)
-    spans = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0).cast("bigint"), n_spans - 1)).alias("span_id"),
-    ).select(
-        "doc_id",
-        "span_id",
-        F.array_join(sl, " ").alias("span_text"),
-        F.size(sl).cast("bigint").alias("span_len"),
-    )
-    # Disjoint spans cover the token array exactly, so the per-document
-    # totals are a pure projection of `base` — no second fan-out, no
-    # aggregation, and the rows are already hash-partitioned by doc_id for
-    # the final join. (The oracle derives the same totals from the exploded
-    # spans, which doubles as a disjoint-cover check.)
-    totals = base.select(
-        "doc_id",
-        n_spans.alias("n_spans"),
-        F.size("toks").cast("bigint").alias("n_tokens"),
-    )
+    MIN(STRUCT) instead of a window over span_text) and determinism notes;
+    fan-out/reassembly plan notes live on the shared helpers
+    (:func:`_doc_unit_fanout`, :func:`_reassemble_kept`)."""
+    spans, totals = _doc_unit_fanout(spark, sf_dir, _SPAN, "span")
     # span_len is constant across a span_text group (same tokens); MAX is
     # the deterministic way to carry it through without joining back.
     firsts = spans.groupBy("span_text").agg(
         F.min(F.struct("doc_id", "span_id")).alias("fo"),
         F.max("span_len").alias("span_len"),
     )
-    kept = (
+    kept = _reassemble_kept(
         firsts.select(
             F.col("fo.doc_id").alias("doc_id"),
             F.col("fo.span_id").alias("span_id"),
             "span_text",
             "span_len",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("kept_spans"),
-            F.sum("span_len").alias("kept_tokens"),
-            # span_id is unique per doc, so the struct sort never compares
-            # span_text; the lambda runs once per document over an already
-            # aggregated (small) array, not on the fan-out path.
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("span_id", "span_text"))),
-                    lambda s: s.span_text,
-                ),
-                " ",
-            ).alias("dedup_text"),
-        )
+        ),
+        "span",
+        "dedup_text",
     )
-    return totals.join(kept, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_spans").cast("bigint").alias("n_spans"),
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.coalesce("kept_spans", F.lit(0)).cast("bigint").alias("kept_spans"),
-        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
-        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
-    )
+    return _finish_units(totals, kept, "n_spans", "kept_spans", "dedup_text")
 
 
 # ---------------------------------------------------------------------------
@@ -1458,22 +1503,10 @@ def q207_span_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE = 5
 _BOILER_DF = 2
 
-_Q208_SQL = f"""
-WITH base AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
-  FROM documents WHERE text IS NOT NULL
-),
-lines AS (
-  SELECT doc_id,
-    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {_LINE}.0) AS BIGINT)),
-      i -> {{'line_id': i,
-            'line_text': ARRAY_TO_STRING(toks[(i*{_LINE}+1):(i*{_LINE}+{_LINE})], ' '),
-            'line_len': LEN(toks[(i*{_LINE}+1):(i*{_LINE}+{_LINE})])}})) AS s
-  FROM base
-),
+_Q208_SQL = _unit_cte_sql(_LINE, "line") + f""",
 df AS (
   SELECT s.line_text AS line_text, COUNT(DISTINCT doc_id) AS df
-  FROM lines GROUP BY s.line_text
+  FROM units GROUP BY s.line_text
 )
 SELECT l.doc_id AS doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -1483,7 +1516,7 @@ SELECT l.doc_id AS doc_id,
     AS kept_tokens,
   COALESCE(STRING_AGG(CASE WHEN d.df < {_BOILER_DF} THEN l.s.line_text END, ' '
                       ORDER BY l.s.line_id), '') AS clean_text
-FROM lines l JOIN df d ON l.s.line_text = d.line_text
+FROM units l JOIN df d ON l.s.line_text = d.line_text
 GROUP BY l.doc_id
 """
 
@@ -1496,32 +1529,10 @@ def q208_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents, and rebuild each document from its surviving lines in
     position order. One row per document: line/token totals, kept counts,
     and the scrubbed text. See the block comment above for the
-    distinct-agg df plan and the AQE-decided broadcast anti join."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # Same fan-out discipline as q207: one explicit doc_id exchange both
-    # parallelizes the sequence/slice generate and pre-positions the rows
-    # for the totals projection and the final join.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = d.repartition(n_shuffle, F.col("doc_id")).select(
-        "doc_id", tokens_expr("text").alias("toks")
-    )
-    n_lines = F.ceil(F.size("toks") / float(_LINE)).cast("bigint")
-    sl = F.slice("toks", F.col("line_id") * _LINE + 1, _LINE)
-    lines = base.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0).cast("bigint"), n_lines - 1)).alias("line_id"),
-    ).select(
-        "doc_id",
-        "line_id",
-        F.array_join(sl, " ").alias("line_text"),
-        F.size(sl).cast("bigint").alias("line_len"),
-    )
-    totals = base.select(
-        "doc_id",
-        n_lines.alias("n_lines"),
-        F.size("toks").cast("bigint").alias("n_tokens"),
-    )
+    distinct-agg df plan and the AQE-decided broadcast anti join;
+    fan-out/reassembly plan notes live on the shared helpers
+    (:func:`_doc_unit_fanout`, :func:`_reassemble_kept`)."""
+    lines, totals = _doc_unit_fanout(spark, sf_dir, _LINE, "line")
     # Boilerplate set: lines in >= _BOILER_DF distinct docs. countDistinct
     # plans as two partial-agg stages (dedup (line_text, doc_id), then
     # count) — skew-safe on hot lines, unlike a window over line_text.
@@ -1531,28 +1542,7 @@ def q208_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= _BOILER_DF)
         .select("line_text")
     )
-    kept = (
-        lines.join(boiler, "line_text", "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("kept_lines"),
-            F.sum("line_len").alias("kept_tokens"),
-            # line_id is unique per doc: the struct sort never compares
-            # line_text, and the lambda runs post-aggregation per doc.
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_id", "line_text"))),
-                    lambda s: s.line_text,
-                ),
-                " ",
-            ).alias("clean_text"),
-        )
+    kept = _reassemble_kept(
+        lines.join(boiler, "line_text", "left_anti"), "line", "clean_text"
     )
-    return totals.join(kept, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_lines").cast("bigint").alias("n_lines"),
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.coalesce("kept_lines", F.lit(0)).cast("bigint").alias("kept_lines"),
-        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-    )
+    return _finish_units(totals, kept, "n_lines", "kept_lines", "clean_text")

@@ -59,7 +59,11 @@ def strip_initial_plan_sections(plan: str) -> str:
         if "== Final Plan ==" in line:
             while skips and skips[-1] >= ind:
                 skips.pop()
-            out.append(line)
+            # a DEEPER Final marker inside a still-active Initial skip is
+            # part of the skipped block (a cached plan nested in Initial
+            # content) — drop it with its block (review-caught leak)
+            if not skips:
+                out.append(line)
             continue
         if "== Initial Plan ==" in line:
             skips.append(ind)

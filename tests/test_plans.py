@@ -675,6 +675,42 @@ def test_strip_initial_plan_sections_survives_marker_reorder():
     assert kept.count("Exchange hashpartitioning") == 1
 
 
+def test_strip_initial_plan_sections_drops_nested_final_marker_in_skip():
+    """Review-caught leak: a cached relation nested INSIDE a skipped
+    Initial block prints its own deeper '== Final Plan ==' marker; that
+    marker line belongs to the skipped block and must not be appended to
+    the stripped output (the Final branch must only keep markers that
+    actually terminate a skip at their own level or shallower)."""
+    from project_1_greentech_logistics_data_pipeline_spark.plans.inspect import (
+        strip_initial_plan_sections,
+    )
+
+    plan = "\n".join(
+        [
+            "== Physical Plan ==",
+            "AdaptiveSparkPlan isFinalPlan=true",
+            "+- == Final Plan ==",
+            "   *(1) Project [k]  [outer-final]",
+            "+- == Initial Plan ==",
+            "   InMemoryTableScan [k]  [initial-content]",
+            "      +- InMemoryRelation [k]",
+            "            +- AdaptiveSparkPlan isFinalPlan=true",
+            "               +- == Final Plan ==",
+            "                  Exchange hashpartitioning(k, 8)  [nested-in-initial]",
+            "               +- == Initial Plan ==",
+            "                  Exchange hashpartitioning(k, 8)  [nested-initial]",
+        ]
+    )
+    kept = strip_initial_plan_sections(plan)
+    assert "outer-final" in kept
+    assert "initial-content" not in kept
+    assert "nested-in-initial" not in kept and "nested-initial" not in kept
+    # exactly ONE Final marker survives — the outer one; the nested one
+    # inside the skipped Initial block is dropped with its block
+    assert kept.count("== Final Plan ==") == 1
+    assert kept.count("Exchange hashpartitioning") == 0
+
+
 def test_live_explain_prints_final_before_initial(spark):
     """Pin the layout assumption the census stripper's primary path rests
     on: on THIS Spark, an executed adaptive plan's simple-mode
