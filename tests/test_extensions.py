@@ -1235,3 +1235,52 @@ def test_q208_line_boilerplate_invariants(spark):
         .collect()[0][0]
     )
     assert agg["kept"] == surviving
+
+
+@pytest.mark.parametrize("width", [1, 3, 5, 7])
+def test_doc_unit_fanout_roundtrip_identity(spark, width):
+    """The shared fan-out/reassembly machinery under q207/q208 is a
+    PARTITION of each document: reassembling ALL units (no keeper filter)
+    must reproduce the whitespace-normalized original text exactly, the
+    unit-length sum must equal the token count, and the unit count must
+    equal ceil(tokens/width) — for every width, including width=1 and a
+    width that does not divide typical doc lengths."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _doc_unit_fanout,
+        _reassemble_kept,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        tokens_expr,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    units, totals = _doc_unit_fanout(spark, SF, width, "u")
+    rebuilt = _reassemble_kept(units, "u", "rebuilt_text")
+    joined = totals.join(rebuilt, "doc_id", "inner")
+    orig = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.array_join(tokens_expr("text"), " ").alias("norm_text"))
+    )
+    chk = (
+        joined.join(orig, "doc_id")
+        .select(
+            F.sum(
+                F.when(F.col("rebuilt_text") != F.col("norm_text"), 1).otherwise(0)
+            ).alias("text_mismatch"),
+            F.sum(
+                F.when(F.col("kept_tokens") != F.col("n_tokens"), 1).otherwise(0)
+            ).alias("len_mismatch"),
+            F.sum(
+                F.when(F.col("kept_units") != F.col("n_units"), 1).otherwise(0)
+            ).alias("count_mismatch"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert chk["n"] > 0
+    assert chk["text_mismatch"] == 0
+    assert chk["len_mismatch"] == 0
+    assert chk["count_mismatch"] == 0
