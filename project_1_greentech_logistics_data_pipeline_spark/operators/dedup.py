@@ -1299,9 +1299,9 @@ def q194_dedup_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-partitioned by doc_id by their own aggregations). Span construction
 # is sequence+slice inside whole-stage codegen (the q206 lesson: no
 # higher-order lambdas on the fan-out path; the only lambda runs over the
-# per-document POST-aggregation array). Reference corpus transform parity:
-# Glue_job.py keeps dropDuplicates at whole-record granularity
-# (/root/reference/Glue/Glue_job.py:98); this is its sub-record analog.
+# per-document POST-aggregation array). No reference equivalent: the
+# reference pipeline has no dedup operator at any granularity — this is a
+# north-star extension (SURVEY.md §2.10, C4 §2.2 span-level dedup).
 
 def _doc_unit_fanout(
     spark: SparkSession, sf_dir: str, width: int, prefix: str
@@ -1495,10 +1495,10 @@ def q207_span_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 # back to a shuffled join when a pathological corpus makes the
 # boilerplate set itself huge. We deliberately do NOT force the
 # broadcast: at 100 TB the df>=2 set's size is data-dependent, and the
-# runtime decision is exactly what AQE is for. Reference corpus
-# transform parity: Glue_job.py's whole-record dropDuplicates
-# (/root/reference/Glue/Glue_job.py:98); this is the cross-document
-# sub-record analog.
+# runtime decision is exactly what AQE is for. No reference equivalent:
+# the reference pipeline has no dedup operator at any granularity — this
+# is a north-star extension (SURVEY.md §2.10, CCNet §3 / RefinedWeb §3.3
+# line-level boilerplate scrub).
 
 _LINE = 5
 _BOILER_DF = 2
