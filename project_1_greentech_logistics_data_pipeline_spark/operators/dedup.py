@@ -1546,3 +1546,104 @@ def q208_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.join(boiler, "line_text", "left_anti"), "line", "clean_text"
     )
     return _finish_units(totals, kept, "n_lines", "kept_lines", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# q209: NORMALIZED-line boilerplate scrub (CCNet §3's actual hash key)
+# ---------------------------------------------------------------------------
+# q208 groups lines by RAW text; CCNet (Wenzek et al. 2020, §3) hashes a
+# NORMALIZED form — lowercased, digits collapsed, punctuation stripped — so
+# "Copyright 2023." and "copyright 2024" land in the same df group and a
+# cosmetic edit can't save a boilerplate line from the scrub. q209 is q208
+# with that key: the df table and the anti join run on norm_key while the
+# OUTPUT text stays the original line (normalization is a grouping key, not
+# a rewrite). Normalization here = lower -> strip [^a-z0-9 ] -> digit runs
+# to '0' -> collapse/trim spaces, expressed as the same three
+# regexp_replace steps in both engines (CCNet also strips accents via
+# unidecode; neither engine has a portable twin, so that step is
+# deliberately out of scope and documented). Semantics guarantee: every
+# norm group is a UNION of raw-text groups, so q209's boilerplate set is a
+# superset of q208's occurrence-for-occurrence — kept_lines(q209) <=
+# kept_lines(q208) per document, pinned by test. On the all-lowercase
+# digit-free sf corpus the key is an identity and q209 == q208 (also
+# pinned); the hand-built edge corpus exercises the widening.
+#
+# Determinism: integer/string outputs only, df >= 2 is a pure group
+# property — same no-drift-class construction as q208. 100 TB shape:
+# identical plan family to q208 (two-stage distinct agg over the SMALLER
+# projected (norm_key, doc_id) pairs; AQE-decided broadcast LEFT ANTI —
+# deliberately not forced, same rationale as q208's block comment);
+# normalization itself is three regexp_replace calls inside whole-stage
+# codegen on the already-fanned-out lines, adding no shuffle and no
+# Python. No reference equivalent (SURVEY.md §2.10 north-star extension).
+
+
+def _norm_line_expr(c: Column) -> Column:
+    """CCNet §3-style line normalization key (JVM codegen, no UDF):
+    lowercase, strip non-[a-z0-9 space], collapse digit runs to '0',
+    collapse runs of spaces, trim."""
+    x = F.lower(c)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", "")
+    x = F.regexp_replace(x, "[0-9]+", "0")
+    return F.trim(F.regexp_replace(x, " +", " "))
+
+
+def _norm_line_sql(col: str) -> str:
+    """DuckDB twin of :func:`_norm_line_expr` (RE2 'g' flag = Java
+    replace-all; identical ASCII character classes on both engines)."""
+    return (
+        "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE("
+        f"LOWER({col}), '[^a-z0-9 ]', '', 'g'), '[0-9]+', '0', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+
+
+_Q209_SQL = _unit_cte_sql(_LINE, "line") + f""",
+normed AS (
+  SELECT doc_id, s.line_id AS line_id, s.line_text AS line_text,
+         s.line_len AS line_len,
+         {_norm_line_sql('s.line_text')} AS norm_key
+  FROM units
+),
+df AS (
+  SELECT norm_key, COUNT(DISTINCT doc_id) AS df
+  FROM normed GROUP BY norm_key
+)
+SELECT n.doc_id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(n.line_len) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN d.df < {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+  CAST(COALESCE(SUM(CASE WHEN d.df < {_BOILER_DF} THEN n.line_len END), 0) AS BIGINT)
+    AS kept_tokens,
+  COALESCE(STRING_AGG(CASE WHEN d.df < {_BOILER_DF} THEN n.line_text END, ' '
+                      ORDER BY n.line_id), '') AS clean_text
+FROM normed n JOIN df d ON n.norm_key = d.norm_key
+GROUP BY n.doc_id
+"""
+
+
+@query("q209_normalized_line_scrub", _Q209_SQL)
+def q209_normalized_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-line boilerplate scrub + reassembly (CCNet §3's actual
+    hash key): like q208, but the df >= 2 rule groups lines by a
+    normalized key (lowercase, punctuation stripped, digit runs -> '0',
+    spaces collapsed), so cosmetically-varying boilerplate is caught; the
+    reassembled output keeps each surviving line's ORIGINAL text. One row
+    per document: line/token totals, kept counts, scrubbed text. See the
+    block comment above for the key definition, the superset-of-q208
+    guarantee, and the (unchanged-from-q208) distinct-agg + AQE-anti-join
+    plan shape."""
+    lines, totals = _doc_unit_fanout(spark, sf_dir, _LINE, "line")
+    lines = lines.withColumn("norm_key", _norm_line_expr(F.col("line_text")))
+    boiler = (
+        lines.groupBy("norm_key")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("norm_key")
+    )
+    kept = _reassemble_kept(
+        lines.join(boiler, "norm_key", "left_anti").drop("norm_key"),
+        "line",
+        "clean_text",
+    )
+    return _finish_units(totals, kept, "n_lines", "kept_lines", "clean_text")

@@ -410,6 +410,105 @@ def q194_mode_probe(spark, scales=(1, 2, 4), vocab_docs=()) -> list[dict]:
     return out
 
 
+def build_cosmetic_boiler_corpus(spark, n_docs: int = 10000) -> str:
+    """Corpus for the q209 normalization-widening probe: every document
+    carries ONE boilerplate line whose raw text is cosmetically unique per
+    document (case variant + per-doc digits + punctuation variant) but
+    whose NORMALIZED key is identical corpus-wide, followed by 55 tokens
+    of V=10000 content (5-token lines are collision-free at that
+    vocabulary). Raw line df is therefore 1 everywhere (q208 scrubs
+    nothing) while the norm key's df is n_docs — simultaneously the
+    widening case and the worst hot-key shape for the normalized df agg
+    (ALL boilerplate occurrences land in ONE norm group)."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(WORK, f"cosboiler_n{n_docs}")
+    marker = os.path.join(out_dir, "_BUILT")
+    want = f"n={n_docs}|v3"
+    if os.path.exists(marker) and open(marker).read() == want:
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # content tokens must be DIGIT-FREE ('t'+letters, not 't'+number):
+    # q209 collapses digit runs, so a numeric vocab would normalize every
+    # content token to 't0' and the whole corpus to one df group (measured
+    # — the first probe build did exactly that, removing all 120k lines)
+    tok = (
+        "concat('t', translate(CAST(pmod(xxhash64(CAST(id AS STRING), "
+        "CAST(j AS STRING)), 10000) AS STRING), '0123456789', 'abcdefghij'))"
+    )
+    boiler = (
+        "concat(CASE WHEN id % 2 = 0 THEN 'CALL' ELSE 'call' END, ' now', id, "
+        "' ', CAST(100 + pmod(id, 900) AS STRING), "
+        "CASE WHEN id % 3 = 0 THEN ' sub.' ELSE ' sub' END, ' scribe')"
+    )
+    docs = (
+        spark.range(n_docs)
+        .withColumn(
+            "text",
+            F.expr(
+                f"concat({boiler}, ' ', "
+                f"array_join(transform(sequence(1, 55), j -> {tok}), ' '))"
+            ),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("cosboiler_probe").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return out_dir
+
+
+def q209_norm_probe(spark, n_docs: int = 10000) -> list[dict]:
+    """The q209 order-sheet probe: on the cosmetic-boilerplate corpus,
+    (a) q208 removes ~nothing (raw df=1 per variant) while q209 removes
+    exactly one line-occurrence per document (norm df=n_docs) — the
+    normalization WIDENS df groups from n_docs raw singletons to one
+    corpus-wide group; (b) both run at the same flat clock (same plan
+    shape; the 3x regexp_replace key is codegen on the fanned-out lines
+    and the distinct agg collapses the single hot norm group map-side).
+    Warm 2nd-run timings per the measurement-hygiene contract."""
+    import __spark_entry__ as em
+
+    d = build_cosmetic_boiler_corpus(spark, n_docs)
+    out = []
+    for name in ("q208_line_boilerplate_scrub", "q209_normalized_line_scrub"):
+        fn = em.queries()[name]
+        secs = []
+        for _ in range(2):  # run 1 warms; run 2 is the recorded clock
+            release(spark)
+            t0 = time.perf_counter()
+            agg = (
+                fn(spark, d)
+                .groupBy()
+                .sum("n_lines", "kept_lines")
+                .collect()[0]
+            )
+            secs.append(round(time.perf_counter() - t0, 2))
+        rec = {
+            "probe": "q209_norm_widening",
+            "query": name,
+            "n_docs": n_docs,
+            "total_lines": int(agg[0]),
+            "kept_lines": int(agg[1]),
+            "removed_lines": int(agg[0] - agg[1]),
+            "cold_sec": secs[0],
+            "warm_sec": secs[1],
+        }
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def release(spark) -> None:
     # the shared cleanup contract — NOT a private copy (the r3 .toArray()
     # bug showed what a silently-divergent duplicate of this loop costs)
@@ -442,7 +541,25 @@ def main() -> None:
         help="vocab-axis corpora for the q194 mode probe (comma list of "
         "document counts at V=1000, e.g. 5000,10000,20000)",
     )
+    ap.add_argument(
+        "--q209-norm",
+        default=None,
+        help="run the q209 normalization-widening probe (document count, "
+        "e.g. 10000)",
+    )
     args = ap.parse_args()
+
+    if args.q209_norm is not None:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-probe-q209")
+        results = q209_norm_probe(spark, int(args.q209_norm))
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, "q209_norm_probe_results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+        spark.stop()
+        return
 
     if args.q194_modes is not None or args.q194_vocab_docs is not None:
         scales = tuple(
