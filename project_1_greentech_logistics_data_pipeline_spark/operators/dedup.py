@@ -1323,15 +1323,36 @@ def _doc_unit_fanout(
     already hash-partitioned by doc_id. (The oracles derive the same
     totals from the exploded units, which doubles as a disjoint-cover
     check.)"""
-    uid, utext, ulen = f"{prefix}_id", f"{prefix}_text", f"{prefix}_len"
+    uid = f"{prefix}_id"
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = d.repartition(n_shuffle, F.col("doc_id")).select(
         "doc_id", tokens_expr("text").alias("toks")
     )
     n_units = F.ceil(F.size("toks") / float(width)).cast("bigint")
+    units = _unit_fanout_from(base, width, prefix)
+    totals = base.select(
+        "doc_id",
+        n_units.alias("n_units"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    )
+    return units, totals
+
+
+def _unit_fanout_from(base: DataFrame, width: int, prefix: str) -> DataFrame:
+    """The fan-out itself, over an arbitrary ``(doc_id, toks)`` relation:
+    one row per disjoint ``width``-token window. Factored out of
+    :func:`_doc_unit_fanout` (same expression tree — q207/q208 plans
+    unchanged) so pipeline stages can re-window ALREADY-TRANSFORMED token
+    arrays (q210's span stage runs on post-scrub tokens). Deliberately no
+    repartition here: every caller's base is already hash-partitioned by
+    doc_id (the table path repartitions explicitly before calling; the
+    q210 path arrives from a doc_id groupBy), so an exchange would be
+    pure waste."""
+    uid, utext, ulen = f"{prefix}_id", f"{prefix}_text", f"{prefix}_len"
+    n_units = F.ceil(F.size("toks") / float(width)).cast("bigint")
     sl = F.slice("toks", F.col(uid) * width + 1, width)
-    units = base.select(
+    return base.select(
         "doc_id",
         "toks",
         F.explode(F.sequence(F.lit(0).cast("bigint"), n_units - 1)).alias(uid),
@@ -1341,12 +1362,6 @@ def _doc_unit_fanout(
         F.array_join(sl, " ").alias(utext),
         F.size(sl).cast("bigint").alias(ulen),
     )
-    totals = base.select(
-        "doc_id",
-        n_units.alias("n_units"),
-        F.size("toks").cast("bigint").alias("n_tokens"),
-    )
-    return units, totals
 
 
 def _reassemble_kept(kept_units: DataFrame, prefix: str, text_alias: str) -> DataFrame:
@@ -1647,3 +1662,204 @@ def q209_normalized_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_text",
     )
     return _finish_units(totals, kept, "n_lines", "kept_lines", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# q210: end-to-end curation pipeline (doc dedup -> scrub -> span dedup)
+# ---------------------------------------------------------------------------
+# The composition real curation stacks run (RefinedWeb Fig. 2, CCNet §3,
+# C4 §2.2 chained), as one query: stage 1 drops exact-duplicate DOCUMENTS
+# (q43's fingerprint argmin — keep the lowest doc_id per normalized-text
+# fingerprint), stage 2 removes cross-document boilerplate lines among
+# the SURVIVORS (q208 semantics — df is counted over the post-dedup
+# corpus, as a staged pipeline would), stage 3 runs keep-first span dedup
+# over each survivor's post-scrub token sequence (q207 semantics —
+# windows recomputed over the scrubbed sequence, crossing old line
+# boundaries). Output is the integer YIELD LEDGER — per document:
+# original tokens, a 0/1 kept_exact flag, tokens surviving the scrub,
+# tokens surviving span dedup — the artifact a pipeline operator actually
+# monitors (how much mass each stage removes). Integer outputs only: no
+# drift class by construction.
+#
+# STAGE-ORDER RATIONALE (provable, not stylistic): exact doc-dedup must
+# run FIRST. Run after global keep-first span dedup it is vacuous — the
+# keeper keeps exactly one occurrence of each distinct span, so no two
+# documents can share any span afterward, and two nonempty final texts
+# can never be equal (a first q210 draft had dedup last; the proof made
+# its stage 3 dead code). Exact-first is also the 100 TB-efficient
+# order: whole-document duplicate mass is dropped by a fingerprint agg
+# that ships 32-byte (fp, doc_id) pairs — BEFORE the 1:many line/span
+# fan-outs multiply it.
+#
+# Cross-engine equivalence notes: (a) Spark rebuilds each survivor's
+# post-scrub token sequence by flattening the kept lines' token arrays
+# (one post-agg transform, never on the fan-out path); the oracle
+# re-splits the space-joined clean text — these agree because tokens
+# contain no whitespace, and the '' token (empty doc) can never coexist
+# with other lines (split(trim(text)) yields [''] only for a fully-empty
+# document). (b) The fingerprint md5 is a GROUPING key only — never
+# output — so engine hash parity is irrelevant beyond both sides using
+# the same normalization (lower + whitespace collapse, q43's rule).
+#
+# 100 TB shape: three chained shuffle groups, each its standalone
+# query's adjudicated plan — fingerprint argmin (map-side combine, one
+# (fp, doc_id) row per task per fingerprint; survivors selected by a
+# doc_id SEMI join so document text never rides the fp shuffle), scrub's
+# two-stage distinct-agg df table + AQE-decided broadcast anti join
+# (q208's rationale), span keeper's partial-agg MIN(STRUCT) (q207's skew
+# argument). The stage-3 fan-out reuses stage 2's doc_id partitioning
+# (no exchange before the explode); the ledger joins run on doc_id. No
+# reference equivalent (SURVEY.md §2.10 north-star extension).
+
+_DOC_FP_SQL = "MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')))"
+
+_Q210_SQL = f"""WITH docs AS (
+  SELECT doc_id, text, {_DOC_FP_SQL} AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+keep_ids AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY fp
+),
+base AS (
+  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '\\s+') AS toks
+  FROM docs d JOIN keep_ids k ON d.doc_id = k.doc_id
+),
+units AS (
+  SELECT doc_id,
+    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {_LINE}.0) AS BIGINT)),
+      i -> {{'line_id': i,
+            'line_text': ARRAY_TO_STRING(toks[(i*{_LINE}+1):(i*{_LINE}+{_LINE})], ' '),
+            'line_len': LEN(toks[(i*{_LINE}+1):(i*{_LINE}+{_LINE})])}})) AS s
+  FROM base
+),
+df AS (
+  SELECT s.line_text AS line_text, COUNT(DISTINCT doc_id) AS df
+  FROM units GROUP BY s.line_text
+),
+kept_lines AS (
+  SELECT l.doc_id AS doc_id, l.s.line_id AS line_id,
+         l.s.line_text AS line_text, l.s.line_len AS line_len
+  FROM units l JOIN df d ON l.s.line_text = d.line_text
+  WHERE d.df < {_BOILER_DF}
+),
+scrubbed AS (
+  SELECT doc_id, SUM(line_len) AS scrub_kept_tokens,
+         STRING_AGG(line_text, ' ' ORDER BY line_id) AS clean_text
+  FROM kept_lines GROUP BY doc_id
+),
+base2 AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(clean_text), '\\s+') AS toks
+  FROM scrubbed
+),
+spans AS (
+  SELECT doc_id,
+    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {_SPAN}.0) AS BIGINT)),
+      i -> {{'span_id': i,
+            'span_text': ARRAY_TO_STRING(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})], ' '),
+            'span_len': LEN(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})])}})) AS s
+  FROM base2
+),
+ranked AS (
+  SELECT doc_id, s.span_text AS span_text, s.span_len AS span_len,
+         ROW_NUMBER() OVER (PARTITION BY s.span_text
+                            ORDER BY doc_id, s.span_id) AS rn
+  FROM spans
+),
+sp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN rn = 1 THEN span_len ELSE 0 END) AS span_kept_tokens
+  FROM ranked GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+  FROM docs
+)
+SELECT t.doc_id AS doc_id,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_exact,
+  CAST(COALESCE(b.scrub_kept_tokens, 0) AS BIGINT) AS scrub_kept_tokens,
+  CAST(COALESCE(v.span_kept_tokens, 0) AS BIGINT) AS span_kept_tokens
+FROM totals t
+LEFT JOIN keep_ids k ON t.doc_id = k.doc_id
+LEFT JOIN scrubbed b ON t.doc_id = b.doc_id
+LEFT JOIN sp v ON t.doc_id = v.doc_id
+"""
+
+
+@query("q210_curation_pipeline", _Q210_SQL)
+def q210_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: q43-style exact document dedup ->
+    q208 line-level boilerplate scrub over the survivors -> q207 span
+    keep-first dedup over each survivor's post-scrub token sequence;
+    returns the per-document integer yield ledger (doc_id, n_tokens,
+    kept_exact, scrub_kept_tokens, span_kept_tokens). See the block
+    comment above for the provable stage-order rationale (dedup-last is
+    vacuous after a global span keeper), the Spark-vs-oracle token-
+    rebuild equivalence, and the 100 TB plan shape."""
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base0 = d0.repartition(n_shuffle, F.col("doc_id")).select("doc_id", "text")
+    # stage 1 — exact doc dedup: argmin doc_id per normalized fingerprint
+    # (q43's rule); survivors picked by doc_id SEMI join so text never
+    # crosses the fp shuffle — only (fp, doc_id) pairs do
+    fp = base0.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fp"),
+    )
+    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = base0.join(keep_ids, "doc_id", "semi").select(
+        "doc_id", tokens_expr("text").alias("toks")
+    )
+    # stage 2 — line-level boilerplate scrub among survivors (q208)
+    lines = _unit_fanout_from(survivors, _LINE, "line")
+    boiler = (
+        lines.groupBy("line_text")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("line_text")
+    )
+    kept_lines = lines.join(boiler, "line_text", "left_anti")
+    scrubbed = kept_lines.groupBy("doc_id").agg(
+        F.sum("line_len").alias("scrub_kept_tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "line_text"))),
+                lambda s: F.split(s["line_text"], " "),
+            )
+        ).alias("toks"),
+    )
+    # stage 3 — span keep-first dedup (q207) on post-scrub tokens; only
+    # kept-token counts are needed, so no reassembly text is built
+    spans = _unit_fanout_from(scrubbed.select("doc_id", "toks"), _SPAN, "span")
+    span_kept = (
+        spans.groupBy("span_text")
+        .agg(
+            F.min(F.struct("doc_id", "span_id")).alias("fo"),
+            F.max("span_len").alias("span_len"),
+        )
+        .select(F.col("fo.doc_id").alias("doc_id"), "span_len")
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("span_kept_tokens"))
+    )
+    # ledger — all joins on doc_id
+    totals = base0.select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        totals.join(
+            keep_ids.select("doc_id", F.lit(1).alias("kept_exact")), "doc_id", "left"
+        )
+        .join(scrubbed.select("doc_id", "scrub_kept_tokens"), "doc_id", "left")
+        .join(span_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_exact", F.lit(0)).cast("bigint").alias("kept_exact"),
+            F.coalesce("scrub_kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("scrub_kept_tokens"),
+            F.coalesce("span_kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("span_kept_tokens"),
+        )
+    )

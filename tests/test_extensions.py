@@ -1348,6 +1348,101 @@ def test_q209_superset_invariant_sf(spark):
         assert r209 == r208
 
 
+def test_q210_curation_pipeline_edge_cases(spark, tmp_path):
+    """Pin q210's three-stage semantics on a hand-built corpus where every
+    stage fires: an exact-duplicate document and a whitespace-variant
+    (same normalized fingerprint) are dropped at stage 1 and contribute
+    NOTHING downstream (the boilerplate df counts survivors only); a
+    df=2 line among survivors is scrubbed from both; stage-3 spans are
+    windowed over the POST-scrub sequence (one test span crosses an old
+    line boundary) and keep-first runs globally across survivors. Then
+    check the Spark path and the DuckDB oracle agree row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q210_SQL,
+        q210_curation_pipeline,
+    )
+
+    docs = [
+        (1, "w1 w2 w3 w4 w5 u1 u2 u3"),    # L1 boiler (df2 w/ doc3),
+        #                                    L2 'u1 u2 u3' kept; span
+        #                                    'u1 u2 u3' is the global first
+        (2, "w1 w2 w3 w4 w5 u1 u2 u3"),    # exact dup of doc1 -> stage-1 drop
+        (3, "w1 w2 w3 w4 w5 z1 z2 z3"),    # L1 boiler, L2 unique
+        (4, "u1 u2 u3 q1 q2 r1 r2 r3"),    # no boiler lines; span 1
+        #                                    'u1 u2 u3' lost to doc1,
+        #                                    'q1 q2 r1' crosses the old
+        #                                    L1/L2 boundary, kept
+        (5, " w1  w2 w3 w4 w5 u1 u2 u3 "), # whitespace variant: same
+        #                                    FINGERPRINT as doc1 -> dropped
+        (6, None),                          # excluded everywhere
+        (7, ""),                            # '' doc: 1 token, unique fp
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r["doc_id"]: r for r in q210_curation_pipeline(spark, d).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 7}
+
+    def tup(r):
+        return (r["n_tokens"], r["kept_exact"], r["scrub_kept_tokens"],
+                r["span_kept_tokens"])
+
+    assert tup(rows[1]) == (8, 1, 3, 3)
+    assert tup(rows[2]) == (8, 0, 0, 0)
+    assert tup(rows[3]) == (8, 1, 3, 3)
+    assert tup(rows[4]) == (8, 1, 8, 5)
+    assert tup(rows[5]) == (8, 0, 0, 0)
+    assert tup(rows[7]) == (1, 1, 1, 1)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(_Q210_SQL).fetchall()}
+    assert set(drows) == {1, 2, 3, 4, 5, 7}
+    for k, sr in rows.items():
+        assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
+
+
+def test_q210_stage_consistency_sf(spark):
+    """q210 on the sf corpus: per-document monotonicity (span <= scrub <=
+    n_tokens, zeros after a stage-1 drop), and WHEN the corpus has no
+    exact-duplicate documents (true at sf0.001/sf0.01; asserted
+    conditionally so richer regenerated testdata degrades the check) the
+    scrub stage must match standalone q208's kept_tokens exactly — the
+    pipeline's stage 2 over an undiminished survivor set IS q208."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q208_line_boilerplate_scrub,
+        q210_curation_pipeline,
+    )
+
+    led = {r["doc_id"]: tuple(r)[1:]
+           for r in q210_curation_pipeline(spark, SF).collect()}
+    # (n_tokens, kept_exact, scrub_kept_tokens, span_kept_tokens)
+    for k, v in led.items():
+        if v[1] == 0:
+            assert v[2] == 0 and v[3] == 0, (k, v)
+        else:
+            assert v[3] <= v[2] <= v[0], (k, v)
+    assert any(v[3] < v[2] for v in led.values()), "span stage never fired"
+    assert any(v[2] < v[0] for v in led.values() if v[1] == 1), (
+        "scrub stage never fired"
+    )
+
+    if all(v[1] == 1 for v in led.values()):
+        kept208 = {r["doc_id"]: r["kept_tokens"]
+                   for r in q208_line_boilerplate_scrub(spark, SF).collect()}
+        for k, v in led.items():
+            assert v[2] == kept208[k], (k, v[2], kept208[k])
+
+
 @pytest.mark.parametrize("width", [1, 3, 5, 7])
 def test_doc_unit_fanout_roundtrip_identity(spark, width):
     """The shared fan-out/reassembly machinery under q207/q208 is a
