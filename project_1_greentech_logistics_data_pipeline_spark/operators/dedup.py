@@ -1323,7 +1323,6 @@ def _doc_unit_fanout(
     already hash-partitioned by doc_id. (The oracles derive the same
     totals from the exploded units, which doubles as a disjoint-cover
     check.)"""
-    uid = f"{prefix}_id"
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = d.repartition(n_shuffle, F.col("doc_id")).select(
@@ -1361,6 +1360,22 @@ def _unit_fanout_from(base: DataFrame, width: int, prefix: str) -> DataFrame:
         uid,
         F.array_join(sl, " ").alias(utext),
         F.size(sl).cast("bigint").alias(ulen),
+    )
+
+
+def _boiler_set(units: DataFrame, key: str) -> DataFrame:
+    """The boilerplate set shared by the scrub family (q208 raw key,
+    q209 normalized key, q210's stage 2): distinct values of ``key``
+    appearing in >= _BOILER_DF distinct documents. countDistinct plans
+    as two partial-agg stages (dedup (key, doc_id), then count) —
+    skew-safe on hot lines, unlike a window over the key. Consumers
+    LEFT ANTI join against this set; the join strategy is deliberately
+    left to AQE (see the q208 block comment for the 100 TB rationale)."""
+    return (
+        units.groupBy(key)
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select(key)
     )
 
 
@@ -1548,17 +1563,10 @@ def q208_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out/reassembly plan notes live on the shared helpers
     (:func:`_doc_unit_fanout`, :func:`_reassemble_kept`)."""
     lines, totals = _doc_unit_fanout(spark, sf_dir, _LINE, "line")
-    # Boilerplate set: lines in >= _BOILER_DF distinct docs. countDistinct
-    # plans as two partial-agg stages (dedup (line_text, doc_id), then
-    # count) — skew-safe on hot lines, unlike a window over line_text.
-    boiler = (
-        lines.groupBy("line_text")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _BOILER_DF)
-        .select("line_text")
-    )
     kept = _reassemble_kept(
-        lines.join(boiler, "line_text", "left_anti"), "line", "clean_text"
+        lines.join(_boiler_set(lines, "line_text"), "line_text", "left_anti"),
+        "line",
+        "clean_text",
     )
     return _finish_units(totals, kept, "n_lines", "kept_lines", "clean_text")
 
@@ -1650,14 +1658,9 @@ def q209_normalized_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape."""
     lines, totals = _doc_unit_fanout(spark, sf_dir, _LINE, "line")
     lines = lines.withColumn("norm_key", _norm_line_expr(F.col("line_text")))
-    boiler = (
-        lines.groupBy("norm_key")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _BOILER_DF)
-        .select("norm_key")
-    )
     kept = _reassemble_kept(
-        lines.join(boiler, "norm_key", "left_anti").drop("norm_key"),
+        lines.join(_boiler_set(lines, "norm_key"), "norm_key", "left_anti")
+        .drop("norm_key"),
         "line",
         "clean_text",
     )
@@ -1694,10 +1697,17 @@ def q209_normalized_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-engine equivalence notes: (a) Spark rebuilds each survivor's
 # post-scrub token sequence by flattening the kept lines' token arrays
 # (one post-agg transform, never on the fan-out path); the oracle
-# re-splits the space-joined clean text — these agree because tokens
-# contain no whitespace, and the '' token (empty doc) can never coexist
-# with other lines (split(trim(text)) yields [''] only for a fully-empty
-# document). (b) The fingerprint md5 is a GROUPING key only — never
+# re-splits the space-joined clean text WITHOUT trimming — these agree
+# because '' tokens can only sit at the EDGES of a document's token
+# sequence (trim strips spaces but not tabs/newlines, so split(trim)
+# yields a leading/trailing '' exactly when the text is edged by such
+# whitespace — \s+ collapsing makes a mid-sequence '' impossible), and
+# both engines' regex split keeps edge empties (verified: ' a b ' ->
+# ['','a','b',''] on Spark split(-1) and DuckDB STRING_SPLIT_REGEX
+# alike). A TRIM in the oracle's re-split WOULD drop a leading ''
+# token the Spark flatten keeps — a first draft had exactly that bug
+# on tab-led documents (caught by review + repro, pinned by test).
+# (b) The fingerprint md5 is a GROUPING key only — never
 # output — so engine hash parity is irrelevant beyond both sides using
 # the same normalization (lower + whitespace collapse, q43's rule).
 #
@@ -1748,7 +1758,7 @@ scrubbed AS (
   FROM kept_lines GROUP BY doc_id
 ),
 base2 AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(clean_text), '\\s+') AS toks
+  SELECT doc_id, STRING_SPLIT_REGEX(clean_text, '\\s+') AS toks
   FROM scrubbed
 ),
 spans AS (
@@ -1812,13 +1822,7 @@ def q210_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage 2 — line-level boilerplate scrub among survivors (q208)
     lines = _unit_fanout_from(survivors, _LINE, "line")
-    boiler = (
-        lines.groupBy("line_text")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _BOILER_DF)
-        .select("line_text")
-    )
-    kept_lines = lines.join(boiler, "line_text", "left_anti")
+    kept_lines = lines.join(_boiler_set(lines, "line_text"), "line_text", "left_anti")
     scrubbed = kept_lines.groupBy("doc_id").agg(
         F.sum("line_len").alias("scrub_kept_tokens"),
         F.flatten(

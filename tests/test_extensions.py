@@ -1380,6 +1380,12 @@ def test_q210_curation_pipeline_edge_cases(spark, tmp_path):
         #                                    FINGERPRINT as doc1 -> dropped
         (6, None),                          # excluded everywhere
         (7, ""),                            # '' doc: 1 token, unique fp
+        (8, "\tu1 u2 u3 q1 q2 r1 r2 r3"),  # tab-led: trim keeps the tab,
+        #                                    so token 0 is '' (9 tokens) —
+        #                                    pins the review-caught oracle
+        #                                    bug where a TRIM in the
+        #                                    re-split CTE dropped it
+        (9, "zz yy\t"),                     # tab-trailed: trailing '' token
     ]
     d = str(tmp_path)
     spark.createDataFrame(docs, "doc_id long, text string").write.mode(
@@ -1387,7 +1393,7 @@ def test_q210_curation_pipeline_edge_cases(spark, tmp_path):
     ).parquet(os.path.join(d, "documents.parquet"))
 
     rows = {r["doc_id"]: r for r in q210_curation_pipeline(spark, d).collect()}
-    assert set(rows) == {1, 2, 3, 4, 5, 7}
+    assert set(rows) == {1, 2, 3, 4, 5, 7, 8, 9}
 
     def tup(r):
         return (r["n_tokens"], r["kept_exact"], r["scrub_kept_tokens"],
@@ -1399,6 +1405,11 @@ def test_q210_curation_pipeline_edge_cases(spark, tmp_path):
     assert tup(rows[4]) == (8, 1, 8, 5)
     assert tup(rows[5]) == (8, 0, 0, 0)
     assert tup(rows[7]) == (1, 1, 1, 1)
+    # the '' token rides through every stage: doc8's spans (' u1 u2',
+    # 'u3 q1 q2', 'r1 r2 r3') collide with nothing (doc4's windows are
+    # offset by the leading ''), doc9's single span is 'zz yy '
+    assert tup(rows[8]) == (9, 1, 9, 9)
+    assert tup(rows[9]) == (3, 1, 3, 3)
 
     con = duckdb.connect()
     con.execute(
@@ -1406,7 +1417,7 @@ def test_q210_curation_pipeline_edge_cases(spark, tmp_path):
         f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
     )
     drows = {r[0]: r for r in con.execute(_Q210_SQL).fetchall()}
-    assert set(drows) == {1, 2, 3, 4, 5, 7}
+    assert set(drows) == {1, 2, 3, 4, 5, 7, 8, 9}
     for k, sr in rows.items():
         assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
 
