@@ -139,7 +139,7 @@ def q61_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q27_SQL = """
 SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
 FROM (
-  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS tok
   FROM documents
 )
 GROUP BY tok

@@ -578,8 +578,8 @@ _Q90_SQL = """
 SELECT tok, COUNT(*) AS n_docs
 FROM (
   SELECT
-    UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok,
-    GENERATE_SUBSCRIPTS(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), 1) AS pos
+    UNNEST(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS tok,
+    GENERATE_SUBSCRIPTS(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+'), 1) AS pos
   FROM documents
 )
 WHERE pos <= 2
@@ -594,8 +594,10 @@ def q90_udtf_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (user-defined *table* function, Spark 3.5+/4.x): a lateral
     function emitting (pos, tok) rows per document, consumed via
     `table, LATERAL udtf(...)` — the declared UDTF surface of SURVEY §2.9.
-    Tokenization mirrors q27's `split(trim(text), '\\s+')` exactly so the
-    DuckDB UNNEST + GENERATE_SUBSCRIPTS oracle is exact.
+    Tokenization mirrors q27's `split(trim(text), r'\\s+')` exactly so the
+    DuckDB UNNEST + GENERATE_SUBSCRIPTS oracle is exact (the oracle spells
+    the same class as `[\\s\\x0b]+` because RE2's `\\s`, unlike Java's and
+    POSIX [:space:], omits vertical tab).
 
     UDTFs are the Python slow path (row-at-a-time yields); this one bounds
     its output to the first 2 tokens per document, so the Python-side work is

@@ -49,13 +49,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# q43's canonical document fingerprint — lowercase + whitespace collapse +
+# md5 — shared by every consumer (q43, q78, q109, q210) so the rule cannot
+# drift between them. The two spellings are the SAME regex semantics: Spark
+# compiles Java regex, whose \s includes vertical tab (\x0B), while DuckDB
+# compiles RE2, whose \s does NOT — so the oracle spells the class out as
+# [\s\x0b] (this module's oracles do the same for every whitespace split).
+_DOC_FP_SQL = "MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g')))"
+
+
+def _doc_fp_expr(col: str = "text") -> Column:
+    return F.md5(F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " ")))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-_Q43_SQL = """
+_Q43_SQL = f"""
 SELECT
-  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint,
+  {_DOC_FP_SQL} AS fingerprint,
   MIN(doc_id) AS keeper_doc_id,
   COUNT(*) AS n_copies
 FROM documents
@@ -68,9 +81,8 @@ def q43_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by canonical fingerprint with a deterministic keeper
     (min doc_id) — the distributed form of dropDuplicates, made stable."""
     d = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
     return (
-        d.select(fp.alias("fingerprint"), "doc_id")
+        d.select(_doc_fp_expr().alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
     )
@@ -99,7 +111,7 @@ JACCARD_THRESHOLD = 0.95
 
 _Q44_SQL = f"""
 WITH d AS (
-  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS toks
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -759,7 +771,7 @@ def connected_components_star(
 
 _Q73_SQL = f"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS toks
   FROM documents
 ),
 pairs AS (
@@ -822,7 +834,7 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q78_SQL = f"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS toks
   FROM documents
 ),
 pairs AS (
@@ -846,13 +858,13 @@ clusters AS (
 fp AS (
   SELECT doc_id,
     MIN(doc_id) OVER (
-      PARTITION BY MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')))
+      PARTITION BY {_DOC_FP_SQL}
     ) AS keeper
   FROM documents
 ),
 stats AS (
   SELECT doc_id, lang, n_chars,
-    LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+    LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n_tokens
   FROM documents
 )
 SELECT s.doc_id, s.lang, CAST(s.n_tokens AS BIGINT) AS n_tokens
@@ -885,8 +897,7 @@ def q78_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
-    keeper = F.min("doc_id").over(Window.partitionBy(fp))
+    keeper = F.min("doc_id").over(Window.partitionBy(_doc_fp_expr()))
     stats = d.select(
         "doc_id",
         "lang",
@@ -916,10 +927,10 @@ def q78_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in a contamination (eval-set) list
 # ---------------------------------------------------------------------------
 
-_Q109_SQL = """
+_Q109_SQL = f"""
 WITH fp AS (
   SELECT doc_id, lang,
-    MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+    {_DOC_FP_SQL} AS fingerprint
   FROM documents
 ), benchmark AS (
   SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 50 = 0
@@ -946,13 +957,7 @@ def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fingerprint prefix (the q41 shard_key)."""
     tune(spark)
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id",
-        "lang",
-        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
-            "fingerprint"
-        ),
-    )
+    fp = d.select("doc_id", "lang", _doc_fp_expr().alias("fingerprint"))
     benchmark = (
         fp.filter(F.col("doc_id") % 50 == 0).select("fingerprint").distinct()
     )
@@ -967,7 +972,7 @@ def q109_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q187_SQL = f"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS toks
   FROM documents
 ),
 pairs AS (
@@ -1030,7 +1035,7 @@ def q187_dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q192_SQL = f"""
 WITH d AS (
-  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS toks
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1181,7 +1186,7 @@ def _ngram_jaccard_scored(
 
 _Q194_SQL = f"""
 WITH d AS (
-  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS toks
+  SELECT doc_id, lang, LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS toks
   FROM documents
 ),
 scored AS (
@@ -1328,14 +1333,22 @@ def _doc_unit_fanout(
     base = d.repartition(n_shuffle, F.col("doc_id")).select(
         "doc_id", tokens_expr("text").alias("toks")
     )
-    n_units = F.ceil(F.size("toks") / float(width)).cast("bigint")
     units = _unit_fanout_from(base, width, prefix)
     totals = base.select(
         "doc_id",
-        n_units.alias("n_units"),
+        _n_units_expr(width).alias("n_units"),
         F.size("toks").cast("bigint").alias("n_tokens"),
     )
     return units, totals
+
+
+def _n_units_expr(width: int) -> Column:
+    """Disjoint-window count over a ``toks`` array — ceil(len/width). ONE
+    definition shared by the fan-out (:func:`_unit_fanout_from`) and the
+    totals projection (:func:`_doc_unit_fanout`): the disjoint-cover
+    invariant (totals.n_units == exploded units per doc, which the oracles
+    re-derive as a check) depends on these two staying identical."""
+    return F.ceil(F.size("toks") / float(width)).cast("bigint")
 
 
 def _unit_fanout_from(base: DataFrame, width: int, prefix: str) -> DataFrame:
@@ -1349,12 +1362,11 @@ def _unit_fanout_from(base: DataFrame, width: int, prefix: str) -> DataFrame:
     q210 path arrives from a doc_id groupBy), so an exchange would be
     pure waste."""
     uid, utext, ulen = f"{prefix}_id", f"{prefix}_text", f"{prefix}_len"
-    n_units = F.ceil(F.size("toks") / float(width)).cast("bigint")
     sl = F.slice("toks", F.col(uid) * width + 1, width)
     return base.select(
         "doc_id",
         "toks",
-        F.explode(F.sequence(F.lit(0).cast("bigint"), n_units - 1)).alias(uid),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), _n_units_expr(width) - 1)).alias(uid),
     ).select(
         "doc_id",
         uid,
@@ -1419,22 +1431,32 @@ def _finish_units(
     )
 
 
+def _unit_body_sql(width: int, prefix: str, src: str) -> str:
+    """Oracle twin of :func:`_unit_fanout_from`: the disjoint-window
+    RANGE/LIST_TRANSFORM/slice fan-out body over an arbitrary
+    ``(doc_id, toks)`` CTE named ``src``. ONE definition — q207/q208/q209
+    consume it via :func:`_unit_cte_sql`, q210 re-windows its own sources
+    (post-dedup ``base``, post-scrub ``base2``) — so the cross-engine
+    disjoint-cover guarantee cannot drift between the oracles."""
+    return f"""  SELECT doc_id,
+    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {width}.0) AS BIGINT)),
+      i -> {{'{prefix}_id': i,
+            '{prefix}_text': ARRAY_TO_STRING(toks[(i*{width}+1):(i*{width}+{width})], ' '),
+            '{prefix}_len': LEN(toks[(i*{width}+1):(i*{width}+{width})])}})) AS s
+  FROM {src}"""
+
+
 def _unit_cte_sql(width: int, prefix: str) -> str:
     """Oracle twin of :func:`_doc_unit_fanout`: the shared base+units
     DuckDB CTE prefix (consumers append their keeper/filter logic over
     ``units``, whose struct column ``s`` carries {prefix}_id/{prefix}_text/
     {prefix}_len)."""
     return f"""WITH base AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 units AS (
-  SELECT doc_id,
-    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {width}.0) AS BIGINT)),
-      i -> {{'{prefix}_id': i,
-            '{prefix}_text': ARRAY_TO_STRING(toks[(i*{width}+1):(i*{width}+{width})], ' '),
-            '{prefix}_len': LEN(toks[(i*{width}+1):(i*{width}+{width})])}})) AS s
-  FROM base
+{_unit_body_sql(width, prefix, "base")}
 )"""
 
 
@@ -1721,8 +1743,6 @@ def q209_normalized_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (no exchange before the explode); the ledger joins run on doc_id. No
 # reference equivalent (SURVEY.md §2.10 north-star extension).
 
-_DOC_FP_SQL = "MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')))"
-
 _Q210_SQL = f"""WITH docs AS (
   SELECT doc_id, text, {_DOC_FP_SQL} AS fp
   FROM documents WHERE text IS NOT NULL
@@ -1731,16 +1751,11 @@ keep_ids AS (
   SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY fp
 ),
 base AS (
-  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '\\s+') AS toks
+  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '[\\s\\x0b]+') AS toks
   FROM docs d JOIN keep_ids k ON d.doc_id = k.doc_id
 ),
 units AS (
-  SELECT doc_id,
-    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {_LINE}.0) AS BIGINT)),
-      i -> {{'line_id': i,
-            'line_text': ARRAY_TO_STRING(toks[(i*{_LINE}+1):(i*{_LINE}+{_LINE})], ' '),
-            'line_len': LEN(toks[(i*{_LINE}+1):(i*{_LINE}+{_LINE})])}})) AS s
-  FROM base
+{_unit_body_sql(_LINE, "line", "base")}
 ),
 df AS (
   SELECT s.line_text AS line_text, COUNT(DISTINCT doc_id) AS df
@@ -1758,16 +1773,11 @@ scrubbed AS (
   FROM kept_lines GROUP BY doc_id
 ),
 base2 AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(clean_text, '\\s+') AS toks
+  SELECT doc_id, STRING_SPLIT_REGEX(clean_text, '[\\s\\x0b]+') AS toks
   FROM scrubbed
 ),
 spans AS (
-  SELECT doc_id,
-    UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {_SPAN}.0) AS BIGINT)),
-      i -> {{'span_id': i,
-            'span_text': ARRAY_TO_STRING(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})], ' '),
-            'span_len': LEN(toks[(i*{_SPAN}+1):(i*{_SPAN}+{_SPAN})])}})) AS s
-  FROM base2
+{_unit_body_sql(_SPAN, "span", "base2")}
 ),
 ranked AS (
   SELECT doc_id, s.span_text AS span_text, s.span_len AS span_len,
@@ -1781,7 +1791,7 @@ sp AS (
   FROM ranked GROUP BY doc_id
 ),
 totals AS (
-  SELECT doc_id, LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+  SELECT doc_id, LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n_tokens
   FROM docs
 )
 SELECT t.doc_id AS doc_id,
@@ -1812,10 +1822,7 @@ def q210_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1 — exact doc dedup: argmin doc_id per normalized fingerprint
     # (q43's rule); survivors picked by doc_id SEMI join so text never
     # crosses the fp shuffle — only (fp, doc_id) pairs do
-    fp = base0.select(
-        "doc_id",
-        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fp"),
-    )
+    fp = base0.select("doc_id", _doc_fp_expr().alias("fp"))
     keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     survivors = base0.join(keep_ids, "doc_id", "semi").select(
         "doc_id", tokens_expr("text").alias("toks")

@@ -24,7 +24,7 @@ text stats (operators/text.py) and near-dup removal (operators/dedup.py):
   precision vs the exact all-pairs baseline).
 
 Tokenization is the engine-wide whitespace form (text.tokens_expr ⟷
-STRING_SPLIT_REGEX(TRIM(text), '\\s+')) so results compose with q27/q40.
+STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) so results compose with q27/q40.
 """
 
 from __future__ import annotations
@@ -58,7 +58,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _Q130_SQL = """
 WITH toks AS (
-  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS tok
   FROM documents
 ),
 tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
@@ -78,7 +78,7 @@ bi AS (
   SELECT doc_id,
          UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
                                i -> l[i] || ' ' || l[i + 1])) AS bigram
-  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS l
         FROM documents)
 ),
 bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
@@ -206,7 +206,7 @@ WITH g AS (
          UNNEST(LIST_TRANSFORM(
            RANGE(1, LEN(l) - {_NGRAM - 2}),
            i -> ARRAY_TO_STRING(l[i:i+{_NGRAM - 1}], ' '))) AS ng
-  FROM (SELECT doc_id, source, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l
+  FROM (SELECT doc_id, source, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS l
         FROM documents)
 ),
 eval_g AS (SELECT DISTINCT ng FROM g WHERE source = '{_EVAL_SOURCE}'),
@@ -557,12 +557,12 @@ def q143_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q146_SQL = """
 WITH toks AS (
   SELECT doc_id, source,
-         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n_tokens
   FROM documents
 ),
 fp AS (
   SELECT doc_id, source,
-         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))) AS fingerprint
   FROM documents
 ),
 dup AS (
@@ -674,7 +674,7 @@ _REP_GATE = 0.15  # top-token fraction above this = boilerplate (p95 here)
 
 _Q157_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS tok
   FROM documents
 ),
 tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
@@ -881,8 +881,8 @@ def q175_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q200_SQL = """
 WITH fp AS (
   SELECT doc_id,
-         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint,
-         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens,
+         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))) AS fingerprint,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n_tokens,
          lang, source
   FROM documents
 )

@@ -83,7 +83,7 @@ def lang_id_expr(text: Column | str) -> Column:
 _Q40_SQL = """
 WITH t AS (
   SELECT doc_id, lang, n_chars,
-    STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+    STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks
   FROM documents
 )
 SELECT
@@ -127,9 +127,9 @@ def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q41_SQL = """
 SELECT
   doc_id,
-  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint,
-  SUBSTRING(MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))), 1, 4) AS shard_key,
-  CAST(LENGTH(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS BIGINT) AS norm_len
+  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))) AS fingerprint,
+  SUBSTRING(MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))), 1, 4) AS shard_key,
+  CAST(LENGTH(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g')) AS BIGINT) AS norm_len
 FROM documents
 """
 
@@ -165,7 +165,7 @@ def _lang_case_sql() -> str:
     scores_sel = ",\n    ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
     return f"""
 WITH t AS (
-  SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks FROM documents
 ),
 scored AS (
   SELECT doc_id, lang,
@@ -356,8 +356,8 @@ _BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
 _Q91_SQL = """
 WITH t AS (
   SELECT doc_id,
-    REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS bpe_toks,
-    STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS ws_toks
+    REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s\\x0b]+') AS bpe_toks,
+    STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS ws_toks
   FROM documents
 )
 SELECT
@@ -403,7 +403,7 @@ _BASE = 31
 _Q92_SQL = """
 WITH t AS (
   SELECT doc_id,
-    LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS norm
+    LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g')) AS norm
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -488,7 +488,7 @@ _Q93_SQL = f"""
 WITH lex(word, score) AS (
   VALUES ('fast', 2), ('big', 1), ('small', -1), ('slow', -2)
 ), toks AS (
-  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS tok
   FROM documents
 )
 SELECT
@@ -545,7 +545,7 @@ _STRIDE = 40  # 10-token overlap
 
 _Q102_SQL = f"""
 WITH t AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks FROM documents
 ), c AS (
   SELECT doc_id, toks,
     UNNEST(RANGE(0, GREATEST(CAST(CEIL((LEN(toks) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1, 1))) AS chunk_id
@@ -602,7 +602,7 @@ _BUDGET = 2048
 _Q103_SQL = f"""
 WITH t AS (
   SELECT doc_id, lang,
-    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+    CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS BIGINT) AS n_tokens
   FROM documents
 ), packed AS (
   SELECT lang, doc_id, n_tokens,
@@ -738,8 +738,8 @@ def q110_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q206_SQL = """
 WITH base AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks,
-         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n
   FROM documents WHERE text IS NOT NULL
 ),
 g2 AS (

@@ -5,7 +5,7 @@ Extends operators/text.py's per-document signals with corpus-relative ones
 — the scores an LLM-data curation pipeline derives from global token
 statistics (rarity-weighted keywords, n-gram distributions, OOV rates).
 Tokenization is the engine-wide whitespace form (text.tokens_expr ⟷
-STRING_SPLIT_REGEX(TRIM(text), '\\s+')) so results compose with
+STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) so results compose with
 q27/q40/q91.
 
 Determinism note: idf is the RATIONAL form (n_docs+1)/(df+1), not
@@ -41,7 +41,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _TOKS_SQL = """
-  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS tok
   FROM documents
 """
 
@@ -111,7 +111,7 @@ WITH bi AS (
   SELECT doc_id,
          UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)),
                                i -> l[i] || ' ' || l[i + 1])) AS bigram
-  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS l
         FROM documents)
 )
 SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
@@ -225,7 +225,7 @@ _LM_K = 0.5  # add-k smoothing
 
 _Q161_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l FROM documents
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS l FROM documents
 ),
 bi AS (
   SELECT doc_id,
@@ -311,8 +311,8 @@ def q161_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q165_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok,
-         GENERATE_SUBSCRIPTS(STRING_SPLIT_REGEX(TRIM(text), '\\s+'), 1) AS pos
+         UNNEST(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS tok,
+         GENERATE_SUBSCRIPTS(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+'), 1) AS pos
   FROM documents
 ),
 freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
@@ -379,7 +379,7 @@ _PMI_MIN_PAIRS = 25
 _Q177_SQL = f"""
 WITH dt AS (
   SELECT DISTINCT doc_id,
-         UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))) AS tok
+         UNNEST(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+'))) AS tok
   FROM documents
 ),
 n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
@@ -449,7 +449,7 @@ def q177_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q193_SQL = """
 WITH freq AS (
   SELECT tok, CAST(COUNT(*) AS DOUBLE) AS f
-  FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS tok
+  FROM (SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS tok
         FROM documents)
   GROUP BY tok
 ),

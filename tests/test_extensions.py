@@ -1422,6 +1422,60 @@ def test_q210_curation_pipeline_edge_cases(spark, tmp_path):
         assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
 
 
+def test_whitespace_class_cross_engine_vertical_tab(spark, tmp_path):
+    """Vertical tab (\\x0B) is the ONE ASCII character Java's regex \\s
+    (Spark) matches but RE2's \\s (DuckDB) does not — every oracle
+    therefore spells whitespace out as [\\s\\x0b]. Review-caught repro,
+    pinned on both engines: before the class swap, docs 'a b' and
+    'a\\x0bb' shared a fingerprint on Spark (collapse folds the \\x0B) but
+    not on DuckDB, so q210 made DIFFERENT dedup decisions per engine.
+    q210 crosses the class in every stage (tokenize, fingerprint, scrub,
+    span); q43 additionally OUTPUTS the fingerprint md5, so a
+    normalization split surfaces as a value mismatch, not a count skew."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q43_SQL,
+        _Q210_SQL,
+        q43_dedup_exact_docs,
+        q210_curation_pipeline,
+    )
+
+    docs = [
+        (1, "a b"),
+        (2, "a\x0bb"),        # \x0B-separated: 2 tokens, SAME fp as doc1
+        (3, "\x0ba b"),       # \x0B-led: trim strips spaces only, so the
+        #                       collapsed form keeps a leading ' ' — a
+        #                       distinct fp and a leading '' token
+        (4, "a \x0b b x y z"),  # mixed-run whitespace mid-text
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r["doc_id"]: tuple(r) for r in q210_curation_pipeline(spark, d).collect()}
+    assert rows[1][1:] == (2, 1, 2, 2)
+    assert rows[2][1:] == (2, 0, 0, 0)  # the repro: dup of doc1, dropped
+    assert rows[4][1] == 5  # ' \x0b ' is ONE whitespace run on both engines
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(_Q210_SQL).fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+    sfp = sorted(tuple(r) for r in q43_dedup_exact_docs(spark, d).collect())
+    dfp = sorted(tuple(r) for r in con.execute(_Q43_SQL).fetchall())
+    assert sfp == dfp  # fingerprint hex itself agrees, not just row counts
+
+
 def test_q210_stage_consistency_sf(spark):
     """q210 on the sf corpus: per-document monotonicity (span <= scrub <=
     n_tokens, zeros after a stage-1 drop), and WHEN the corpus has no
