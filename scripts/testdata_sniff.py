@@ -79,13 +79,15 @@ def sniff(sf: str, ts_units: set[str]) -> list[str]:
         "SELECT COUNT(*), COUNT(DISTINCT doc_id), "
         "SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), "
         "SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), "
-        "SUM(CASE WHEN TRIM(COALESCE(text,'x')) = '' THEN 1 ELSE 0 END) "
+        "SUM(CASE WHEN TRIM(COALESCE(text,'x')) = '' THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN STRLEN(text) <> LENGTH(text) THEN 1 ELSE 0 END) "
         "FROM {src}",
     )
     if docs:
         print(
             f"  documents: n={docs[0]} distinct_doc_id={docs[1]} "
-            f"null_text={docs[2]} null_source={docs[3]} blank_text={docs[4]}"
+            f"null_text={docs[2]} null_source={docs[3]} blank_text={docs[4]} "
+            f"non_ascii_text={docs[5]}"
         )
         if docs[0] != docs[1]:
             issues.append(
@@ -98,6 +100,26 @@ def sniff(sf: str, ts_units: set[str]) -> list[str]:
                 "    note: NULL text/source present — twin-filter and '||' "
                 "NULL-propagation contracts are exercised this round"
             )
+        if docs[5]:
+            issues.append(
+                f"{sf}: {docs[5]} documents.text rows contain non-ASCII — "
+                "Java (Spark) uses full/context-sensitive Unicode case "
+                "mapping, DuckDB simple per-codepoint (ß→SS vs ẞ, final "
+                "sigma, İ); every LOWER()-keyed oracle (fingerprints, q209 "
+                "normalization, tokenize-lowercase) may diverge — see "
+                "test_case_mapping_engines_diverge_on_non_ascii"
+            )
+    part = q(
+        "part",
+        "SELECT SUM(CASE WHEN STRLEN(p_name) <> LENGTH(p_name) "
+        "THEN 1 ELSE 0 END) + SUM(CASE WHEN STRLEN(p_type) <> "
+        "LENGTH(p_type) THEN 1 ELSE 0 END) FROM {src}",
+    )
+    if part and part[0]:
+        issues.append(
+            f"{sf}: non-ASCII in part.p_name/p_type — q20's UPPER/LOWER "
+            "outputs may diverge between engines (same class as above)"
+        )
     emb = q("embeddings", "SELECT COUNT(*), COUNT(DISTINCT vec_id) FROM {src}")
     if emb and emb[0] != emb[1]:
         issues.append(f"{sf}: embeddings.vec_id NOT unique")

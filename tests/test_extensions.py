@@ -193,6 +193,52 @@ def test_q51_oracle_preconditions_hold_in_testdata():
     assert con.execute("SELECT 'image/fake-' || NULL").fetchone()[0] is None
 
 
+def test_case_mapping_engines_diverge_on_non_ascii(spark):
+    """Java (Spark) implements FULL, context-sensitive Unicode case
+    mapping; DuckDB implements SIMPLE per-codepoint mapping. Measured
+    divergences: UPPER('ß') = 'SS' vs 'ẞ', LOWER('ΒΑΣ') = 'βας' (final
+    sigma) vs 'βασ', LOWER('İ') = 'i'+combining-dot vs 'i'. Every
+    LOWER()-keyed oracle (document fingerprints, q209 normalization,
+    tokenize-lowercase, q20's UPPER/LOWER outputs) therefore carries an
+    ASCII-text precondition, checked here on driver-scale testdata and
+    flagged at session start by scripts/testdata_sniff.py. This test
+    pins BOTH halves: if either engine changes its mapping (making the
+    precondition moot or moving the boundary), or regenerated testdata
+    starts shipping non-ASCII cased columns, it fails loudly instead of
+    surfacing as an opaque driver red."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    rows = spark.createDataFrame(
+        [("ß",), ("ΒΑΣ",), ("İ",)], "s string"
+    ).select("s", F.lower("s").alias("lo"), F.upper("s").alias("up")).collect()
+    sk = {r["s"]: (r["lo"], r["up"]) for r in rows}
+    assert sk["ß"][1] == "SS" and sk["ΒΑΣ"][0] == "βας"
+    for s, (lo, up) in sk.items():
+        dlo, dup = con.execute("SELECT LOWER(?), UPPER(?)", [s, s]).fetchone()
+        assert (lo, up) != (dlo, dup), (
+            f"engines now AGREE on {s!r} — the ASCII precondition may be "
+            "retirable; re-probe the full divergence surface"
+        )
+    # the precondition itself, on the same sfs the oracles run at
+    for sf in ("sf0.001", "sf0.01"):
+        bad = con.execute(
+            "SELECT SUM(CASE WHEN STRLEN(text) <> LENGTH(text) THEN 1 "
+            "ELSE 0 END) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert not bad, f"{sf}: non-ASCII documents.text — case-mapping risk"
+        bad = con.execute(
+            "SELECT SUM(CASE WHEN STRLEN(p_name) <> LENGTH(p_name) "
+            "THEN 1 ELSE 0 END + CASE WHEN STRLEN(p_type) <> "
+            "LENGTH(p_type) THEN 1 ELSE 0 END) FROM "
+            f"read_parquet('/root/testdata/{sf}/part.parquet')"
+        ).fetchone()[0]
+        assert not bad, f"{sf}: non-ASCII part.p_name/p_type — q20 risk"
+
+
 def test_media_resize_plumbing(spark):
     """q52's oracle checks the scalar outputs; this pins the BYTES the
     oracle cannot see: payload length == the declared out_bytes, cycle
