@@ -612,7 +612,12 @@ def q90_udtf_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str, limit: int):
             if text is None:
                 return
-            toks = [t for t in __import__("re").split(r"\s+", text.strip())]
+            # Mirror the JVM contract exactly: Spark trim strips ASCII
+            # spaces ONLY (Python str.strip() would also eat tabs/newlines
+            # and Unicode whitespace, dropping the edge-empty token the
+            # q27/oracle split keeps), and Java \s is the ASCII class
+            # including \x0B (Python re's \s is Unicode-aware).
+            toks = __import__("re").split("[ \t\n\x0b\f\r]+", text.strip(" "))
             for i, tok in enumerate(toks[:limit], start=1):
                 yield i, tok
 

@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_similarity_expr
 from ..session import tune
 from ..sources.readers import load_table
+
+# The canonical document fingerprint has ONE definition, next to
+# tokens_expr in operators/text.py, shared by every consumer on both
+# engines (q41/q43/q78/q92/q109/q146/q200/q210 and the streaming
+# incremental dedup) so the rule cannot drift; aliased to this module's
+# historical names.
+from .text import DOC_FP_SQL as _DOC_FP_SQL
+from .text import doc_fp_expr as _doc_fp_expr
 from .text import tokens_expr
 
 QUERIES: dict = {}
@@ -49,17 +57,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# q43's canonical document fingerprint — lowercase + whitespace collapse +
-# md5 — shared by every consumer (q43, q78, q109, q210) so the rule cannot
-# drift between them. The two spellings are the SAME regex semantics: Spark
-# compiles Java regex, whose \s includes vertical tab (\x0B), while DuckDB
-# compiles RE2, whose \s does NOT — so the oracle spells the class out as
-# [\s\x0b] (this module's oracles do the same for every whitespace split).
-_DOC_FP_SQL = "MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g')))"
-
-
-def _doc_fp_expr(col: str = "text") -> Column:
-    return F.md5(F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " ")))
 
 
 # ---------------------------------------------------------------------------

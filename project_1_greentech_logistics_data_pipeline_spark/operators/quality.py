@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..session import tune
 from ..sources.readers import load_table
-from .text import tokens_expr
+from .text import DOC_FP_SQL, doc_fp_expr, tokens_expr
 
 QUERIES: dict = {}
 
@@ -554,7 +554,7 @@ def q143_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q146: per-source corpus health report (composition of quality signals).
 # ---------------------------------------------------------------------------
 
-_Q146_SQL = """
+_Q146_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source,
          LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n_tokens
@@ -562,7 +562,7 @@ WITH toks AS (
 ),
 fp AS (
   SELECT doc_id, source,
-         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))) AS fingerprint
+         {DOC_FP_SQL} AS fingerprint
   FROM documents
 ),
 dup AS (
@@ -603,12 +603,11 @@ def q146_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, never materialized per-doc downstream. The mean is
     int-sum / count in one double op — oracle-exact."""
     d = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
     base = d.select(
         "source",
         "lang",
         F.size(tokens_expr("text")).alias("n_tokens"),
-        fp.alias("fingerprint"),
+        doc_fp_expr().alias("fingerprint"),
     )
     return (
         base.groupBy("source")
@@ -878,10 +877,10 @@ def q175_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q200: corpus scorecard — one-row executive summary of corpus health.
 # ---------------------------------------------------------------------------
 
-_Q200_SQL = """
+_Q200_SQL = f"""
 WITH fp AS (
   SELECT doc_id,
-         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))) AS fingerprint,
+         {DOC_FP_SQL} AS fingerprint,
          LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n_tokens,
          lang, source
   FROM documents
@@ -907,10 +906,9 @@ def q200_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints live only inside the aggregate. Declared as q200, the
     round-number capstone of the declared surface."""
     d = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
     n_tok = F.size(tokens_expr("text"))
     return d.select(
-        fp.alias("fingerprint"), n_tok.alias("n_tokens"), "lang", "source"
+        doc_fp_expr().alias("fingerprint"), n_tok.alias("n_tokens"), "lang", "source"
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

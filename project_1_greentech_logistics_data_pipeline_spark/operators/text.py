@@ -50,6 +50,25 @@ def tokens_expr(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+# The canonical document normalization and fingerprint — THE single
+# definition, shared by every consumer on both engines (q41/q43/q78/q92/
+# q109/q146/q200/q210 and the streaming incremental dedup): lowercase +
+# whitespace collapse (+ md5 for the fingerprint). The two spellings are
+# the SAME regex semantics: Spark compiles Java regex, whose \s includes
+# vertical tab (\x0B); DuckDB compiles RE2, whose \s does not — so the
+# oracle spells the class out as [\s\x0b].
+DOC_NORM_SQL = "LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))"
+DOC_FP_SQL = f"MD5({DOC_NORM_SQL})"
+
+
+def doc_norm_expr(col: str = "text") -> Column:
+    return F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+
+
+def doc_fp_expr(col: str = "text") -> Column:
+    return F.md5(doc_norm_expr(col))
+
+
 def _in_set(markers: list[str]):
     """Single-arg lambda factory (PySpark higher-order lambdas must not carry
     default/bound extra parameters — arity is introspected)."""
@@ -124,12 +143,12 @@ def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q41_SQL = """
+_Q41_SQL = f"""
 SELECT
   doc_id,
-  MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))) AS fingerprint,
-  SUBSTRING(MD5(LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g'))), 1, 4) AS shard_key,
-  CAST(LENGTH(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g')) AS BIGINT) AS norm_len
+  {DOC_FP_SQL} AS fingerprint,
+  SUBSTRING({DOC_FP_SQL}, 1, 4) AS shard_key,
+  CAST(LENGTH({DOC_NORM_SQL}) AS BIGINT) AS norm_len
 FROM documents
 """
 
@@ -140,8 +159,8 @@ def q41_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     + md5). The fingerprint doubles as an exact-dedup key and its prefix as
     a shard/bucket key at scale."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    fp = F.md5(norm)
+    norm = doc_norm_expr()
+    fp = doc_fp_expr()
     return d.select(
         "doc_id",
         fp.alias("fingerprint"),
@@ -400,10 +419,10 @@ _BASE = 31
 # Polynomial k-gram hash, written as an explicit positional sum so Spark and
 # DuckDB compute bit-identical BIGINTs: H(g) = sum_j ascii(g[j]) * 31^(k-1-j).
 # Max value ~ 127 * 31^7 * 8 < 2^45 — no modulus needed, no overflow.
-_Q92_SQL = """
+_Q92_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-    LOWER(REGEXP_REPLACE(TRIM(text), '[\\s\\x0b]+', ' ', 'g')) AS norm
+    {DOC_NORM_SQL} AS norm
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -439,8 +458,7 @@ def q92_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, no shuffle: the scale path at 100 TB. Docs shorter than k get
     NULL/0 — same 3VL on both engines."""
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("norm"),
+        "doc_id", doc_norm_expr().alias("norm")
     )
 
     def hash_batches(batches):

@@ -317,8 +317,9 @@ def run_incremental_dedup_stream(
         if not batch_df.take(1):
             return
         sess = batch_df.sparkSession
-        fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
-        b = batch_df.withColumn("fingerprint", fp)
+        from ..operators.text import doc_fp_expr
+
+        b = batch_df.withColumn("fingerprint", doc_fp_expr())
         if "doc_id" not in b.columns:
             raise ValueError(
                 "incremental dedup schema must include doc_id "

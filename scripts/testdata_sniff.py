@@ -76,11 +76,14 @@ def sniff(sf: str, ts_units: set[str]) -> list[str]:
 
     docs = q(
         "documents",
+        # COALESCE each SUM: on a 0-row table SUM is NULL and the profile
+        # line would print 'non_ascii_text=None' instead of zeros (the
+        # EMPTY issue fires separately)
         "SELECT COUNT(*), COUNT(DISTINCT doc_id), "
-        "SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), "
-        "SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), "
-        "SUM(CASE WHEN TRIM(COALESCE(text,'x')) = '' THEN 1 ELSE 0 END), "
-        "SUM(CASE WHEN STRLEN(text) <> LENGTH(text) THEN 1 ELSE 0 END) "
+        "COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0), "
+        "COALESCE(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), 0), "
+        "COALESCE(SUM(CASE WHEN TRIM(COALESCE(text,'x')) = '' THEN 1 ELSE 0 END), 0), "
+        "COALESCE(SUM(CASE WHEN STRLEN(text) <> LENGTH(text) THEN 1 ELSE 0 END), 0) "
         "FROM {src}",
     )
     if docs:
@@ -111,9 +114,9 @@ def sniff(sf: str, ts_units: set[str]) -> list[str]:
             )
     part = q(
         "part",
-        "SELECT SUM(CASE WHEN STRLEN(p_name) <> LENGTH(p_name) "
+        "SELECT COALESCE(SUM(CASE WHEN STRLEN(p_name) <> LENGTH(p_name) "
         "THEN 1 ELSE 0 END) + SUM(CASE WHEN STRLEN(p_type) <> "
-        "LENGTH(p_type) THEN 1 ELSE 0 END) FROM {src}",
+        "LENGTH(p_type) THEN 1 ELSE 0 END), 0) FROM {src}",
     )
     if part and part[0]:
         issues.append(

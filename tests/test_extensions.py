@@ -222,8 +222,10 @@ def test_case_mapping_engines_diverge_on_non_ascii(spark):
             f"engines now AGREE on {s!r} — the ASCII precondition may be "
             "retirable; re-probe the full divergence surface"
         )
-    # the precondition itself, on the same sfs the oracles run at
-    for sf in ("sf0.001", "sf0.01"):
+    # the precondition itself, on EVERY sf the oracles run at — including
+    # sf0.1, which only the manual sweep exercises (a regen that ships
+    # non-ASCII solely in the largest corpus must still fail in-suite)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         bad = con.execute(
             "SELECT SUM(CASE WHEN STRLEN(text) <> LENGTH(text) THEN 1 "
             "ELSE 0 END) FROM "
@@ -1520,6 +1522,51 @@ def test_whitespace_class_cross_engine_vertical_tab(spark, tmp_path):
     sfp = sorted(tuple(r) for r in q43_dedup_exact_docs(spark, d).collect())
     dfp = sorted(tuple(r) for r in con.execute(_Q43_SQL).fetchall())
     assert sfp == dfp  # fingerprint hex itself agrees, not just row counts
+
+
+def test_q90_udtf_tokenization_mirrors_oracle_on_edged_docs(spark, tmp_path):
+    """q90's Python UDTF declares it mirrors q27's split(trim(text), \\s+)
+    exactly. Review-caught divergence, pinned here: Python str.strip()
+    eats tabs/newlines/Unicode whitespace where Spark trim strips ASCII
+    spaces ONLY (so the UDTF dropped the edge-empty token the oracle
+    keeps on tab-led docs), and Python re's \\s is Unicode-aware where
+    Java's is ASCII (so NBSP-joined tokens split UDTF-side only). The
+    UDTF now strips spaces only and splits on the explicit Java-\\s ASCII
+    class; this corpus exercises every divergent shape."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.classics2 import (
+        _Q90_SQL,
+        q90_udtf_leading_tokens,
+    )
+
+    docs = [
+        (1, "\ta b", "en", "s", 0),       # tab-led: token 1 is ''
+        (2, "\x0bx y", "en", "s", 0),     # vertical-tab-led: same
+        (3, " z q", "en", "s", 0),        # space-led: trim eats it, no ''
+        (4, "a\u00a0b c", "en", "s", 0),  # NBSP is NOT whitespace to Java
+        #                                   or RE2: the NBSP pair is ONE token
+        (5, "", "en", "s", 0),            # '' doc: one '' token
+        (6, None, "en", "s", 0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    srows = sorted(tuple(r) for r in q90_udtf_leading_tokens(spark, d).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    drows = sorted(tuple(r) for r in con.execute(_Q90_SQL).fetchall())
+    assert srows == drows, (srows, drows)
+    counts = dict(srows)
+    assert counts[""] == 3  # docs 1, 2, 5 — the edge-empty leading token
+    assert counts["a\u00a0b"] == 1  # NBSP survives as part of one token
 
 
 def test_q210_stage_consistency_sf(spark):
