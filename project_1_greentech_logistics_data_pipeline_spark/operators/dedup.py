@@ -1552,22 +1552,34 @@ def q207_span_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE = 5
 _BOILER_DF = 2
 
-_Q208_SQL = _unit_cte_sql(_LINE, "line") + f""",
+
+def _scrub_sql(width: int, prefix: str, n_alias: str, kept_alias: str) -> str:
+    """Oracle body shared by the raw-key scrub granularities (q208 5-token
+    lines, q211 20-token paragraphs): the df table + per-document keep/
+    reassemble over :func:`_unit_cte_sql`'s fan-out. ONE definition so the
+    two granularities cannot drift; generating q208's SQL through it is
+    byte-identical to the r7 literal (pinned by
+    test_scrub_sql_generator_matches_q208_literal), so q208's oracle hash
+    is unchanged by construction."""
+    return _unit_cte_sql(width, prefix) + f""",
 df AS (
-  SELECT s.line_text AS line_text, COUNT(DISTINCT doc_id) AS df
-  FROM units GROUP BY s.line_text
+  SELECT s.{prefix}_text AS {prefix}_text, COUNT(DISTINCT doc_id) AS df
+  FROM units GROUP BY s.{prefix}_text
 )
 SELECT l.doc_id AS doc_id,
-  CAST(COUNT(*) AS BIGINT) AS n_lines,
-  CAST(SUM(l.s.line_len) AS BIGINT) AS n_tokens,
-  CAST(SUM(CASE WHEN d.df < {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
-  CAST(COALESCE(SUM(CASE WHEN d.df < {_BOILER_DF} THEN l.s.line_len END), 0) AS BIGINT)
+  CAST(COUNT(*) AS BIGINT) AS {n_alias},
+  CAST(SUM(l.s.{prefix}_len) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN d.df < {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS {kept_alias},
+  CAST(COALESCE(SUM(CASE WHEN d.df < {_BOILER_DF} THEN l.s.{prefix}_len END), 0) AS BIGINT)
     AS kept_tokens,
-  COALESCE(STRING_AGG(CASE WHEN d.df < {_BOILER_DF} THEN l.s.line_text END, ' '
-                      ORDER BY l.s.line_id), '') AS clean_text
-FROM units l JOIN df d ON l.s.line_text = d.line_text
+  COALESCE(STRING_AGG(CASE WHEN d.df < {_BOILER_DF} THEN l.s.{prefix}_text END, ' '
+                      ORDER BY l.s.{prefix}_id), '') AS clean_text
+FROM units l JOIN df d ON l.s.{prefix}_text = d.{prefix}_text
 GROUP BY l.doc_id
 """
+
+
+_Q208_SQL = _scrub_sql(_LINE, "line", "n_lines", "kept_lines")
 
 
 @query("q208_line_boilerplate_scrub", _Q208_SQL)
@@ -1581,13 +1593,28 @@ def q208_line_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-agg df plan and the AQE-decided broadcast anti join;
     fan-out/reassembly plan notes live on the shared helpers
     (:func:`_doc_unit_fanout`, :func:`_reassemble_kept`)."""
-    lines, totals = _doc_unit_fanout(spark, sf_dir, _LINE, "line")
+    return _scrub_df(spark, sf_dir, _LINE, "line", "n_lines", "kept_lines")
+
+
+def _scrub_df(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int,
+    prefix: str,
+    n_alias: str,
+    kept_alias: str,
+) -> DataFrame:
+    """Spark body shared by the raw-key scrub granularities (q208/q211):
+    fan-out -> df>= {_BOILER_DF} boiler set -> LEFT ANTI -> reassemble.
+    Same expression tree q208 always built — the factoring changes no
+    plan (prefix/alias are name-only parameters)."""
+    units, totals = _doc_unit_fanout(spark, sf_dir, width, prefix)
     kept = _reassemble_kept(
-        lines.join(_boiler_set(lines, "line_text"), "line_text", "left_anti"),
-        "line",
+        units.join(_boiler_set(units, f"{prefix}_text"), f"{prefix}_text", "left_anti"),
+        prefix,
         "clean_text",
     )
-    return _finish_units(totals, kept, "n_lines", "kept_lines", "clean_text")
+    return _finish_units(totals, kept, n_alias, kept_alias, "clean_text")
 
 
 # ---------------------------------------------------------------------------
@@ -1871,3 +1898,58 @@ def q210_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("span_kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q211: paragraph-level boilerplate scrub (RefinedWeb §3.3's coarser unit)
+# ---------------------------------------------------------------------------
+# RefinedWeb (Penedo et al. 2023, §3.3) and Dolma remove exact-duplicate
+# text at PARAGRAPH granularity as well as line granularity — the coarser
+# unit trades recall for precision: a duplicated navigation line inside an
+# otherwise-unique paragraph no longer deletes content around it. Token-
+# adapted like the rest of the family (the corpus has no newline markers):
+# a "paragraph" is a disjoint 20-token window = exactly 4 of q208's 5-token
+# lines, and the df >= _BOILER_DF remove-everywhere rule is unchanged.
+# Shares every helper with q208 — _doc_unit_fanout/_boiler_set/
+# _reassemble_kept/_finish_units on the Spark side, _scrub_sql on the
+# oracle side — only (width, prefix, aliases) differ.
+#
+# Cross-granularity invariant (pinned by test, provable): every token q211
+# removes, q208 removes too — kept_tokens(q208) <= kept_tokens(q211) per
+# document. Proof sketch: _PARA = 4 * _LINE and both window families align
+# at token 0, so each paragraph window is exactly the concatenation of 4
+# line windows at fixed offsets (the trailing short paragraph subdivides
+# the same way). space-join over \s+-split tokens is injective at fixed
+# token count (tokens carry no spaces), so two equal paragraph texts in
+# two documents imply their 4 constituent line texts are pairwise equal —
+# each of those lines therefore appears in >= the same 2 documents and
+# q208's df rule removes it. The converse fails by design (a df>=2 line
+# inside a unique paragraph), which is the precision argument.
+#
+# Determinism: integer/string outputs, pure df group property — q208's
+# no-drift-class construction verbatim. 100 TB shape: identical plan
+# family to q208 (3 exch / 2 bhj expected; two-stage distinct-agg df
+# table, AQE-decided broadcast LEFT ANTI — deliberately not forced, same
+# rationale as q208's block comment) with a 4x SMALLER fan-out: the unit
+# rows shipped to the df shuffle and the anti join number n_tokens/20 per
+# document instead of n_tokens/5, at the same total token mass. No
+# reference equivalent (SURVEY.md §2.10 north-star extension).
+
+_PARA = 4 * _LINE
+
+_Q211_SQL = _scrub_sql(_PARA, "para", "n_paras", "kept_paras")
+
+
+@query("q211_paragraph_boilerplate_scrub", _Q211_SQL)
+def q211_paragraph_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate scrub + reassembly (RefinedWeb §3.3's
+    coarser dedup unit, token-adapted): split each document into disjoint
+    20-token paragraphs, remove EVERY occurrence of any paragraph appearing
+    in >= 2 distinct documents, and rebuild each document from its
+    surviving paragraphs in position order. One row per document:
+    paragraph/token totals, kept counts, scrubbed text. See the block
+    comment above for the kept_tokens(q208) <= kept_tokens(q211)
+    cross-granularity invariant and the 4x-smaller-fan-out scale note;
+    plan notes live on the shared helpers (:func:`_doc_unit_fanout`,
+    :func:`_boiler_set`, :func:`_reassemble_kept`)."""
+    return _scrub_df(spark, sf_dir, _PARA, "para", "n_paras", "kept_paras")

@@ -754,7 +754,13 @@ def q110_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Output is one row per document; nothing is quadratic and no driver
 # state exists.
 
-_Q206_SQL = """
+# The repetition-signal CTE stack (base tokens + bigram/trigram counts) —
+# ONE definition shared by q206's oracle and q212's (the quality-filter
+# composition must measure repetition identically to the signal query);
+# rebuilding _Q206_SQL through it is byte-identical to the prior literal
+# (pinned by test_q206_sql_cte_factoring_identical), so q206's oracle hash
+# is unchanged by construction.
+_REP_CTES = """
 WITH base AS (
   SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks,
          LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n
@@ -777,7 +783,9 @@ a3 AS (
   SELECT doc_id,
          CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
   FROM c3 GROUP BY doc_id
-)
+)"""
+
+_Q206_SQL = _REP_CTES + """
 SELECT
   b.doc_id,
   CAST(b.n AS BIGINT) AS n_tokens,
@@ -892,4 +900,152 @@ def q206_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce((F.col("top2") >= 2) & (top_mass > 0.20), F.lit(False))
             | F.coalesce(dup_frac > 0.30, F.lit(False))
         ).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212: Gopher-rule quality filter (the quality-family composition)
+# ---------------------------------------------------------------------------
+# The decision stage real curation stacks run on top of the signal queries
+# (Gopher / Rae et al. 2021 Appendix A1.1, reused by RefinedWeb and Dolma):
+# compute per-document quality signals and KEEP a document only when every
+# rule passes — the quality twin of q210's dedup composition, returning the
+# per-document keep/drop ledger with per-rule attribution (the artifact an
+# operator tunes thresholds against). Rules, token-adapted to this corpus:
+#   length      — 10 <= n_tokens <= 100,000 (Gopher: 50..100k words; the
+#                 lower bound matches q40's passes_length_gate)
+#   word length — mean token length in [3, 10] chars
+#   alpha       — >= 80% of tokens contain an alphabetic character
+#   stopwords   — >= 2 stopword OCCURRENCES from the q40 list (Gopher
+#                 requires >= 2 of a fixed stopword set; occurrence
+#                 counting is the deliberate adaptation, documented here)
+#   repetition  — NOT flagged by q206's rule (top-bigram mass > 0.20 with
+#                 a repeating top bigram, or duplicate-trigram fraction
+#                 > 0.30)
+#
+# Determinism: EVERY threshold is an exact integer comparison — mean length
+# in [3,10] <=> 3n <= sum_len <= 10n; alpha >= 0.8 <=> 5*n_alpha >= 4*n;
+# mass > 0.20 <=> 10*top2 > n; dup frac > 0.30 <=> 10*dup3 > 3*(n-2),
+# guarded by n >= 3 exactly where q206's NULL ratio COALESCEd to false
+# (for n < 3 the trigram arm cannot fire; unguarded, 0 > 3*(n-2) would be
+# TRUE at n=1 — integer-rewrite trap caught at design time). No float
+# exists anywhere in the query on either engine: no drift class can occur
+# by construction (stronger than q206, whose ratio OUTPUTS are single IEEE
+# divisions). All arithmetic runs in BIGINT on both engines (DuckDB
+# LIST_SUM yields HUGEINT — cast in the stats CTE).
+#
+# 100 TB shape: the repetition branch is exactly q206's adjudicated plan
+# (gram build via posexplode + lead inside codegen, two partial-agg
+# shuffles); the token-stats branch is q40's adjudicated shape (per-doc
+# array expressions on the scan — one lambda eval per token, amortized,
+# never on a fan-out). The two branches join 1:1 on doc_id — per-document
+# rows on both sides, a linear AQE-decided join (broadcast at test scale,
+# shuffle at corpus scale; either is correct). Repetition counts are
+# consumed as INTEGERS (top_bigram_count, dup_trigram_tokens) straight
+# from q206's output — single definition of the signal on both engines
+# (_REP_CTES oracle-side, q206_repetition_signals Spark-side). No
+# reference equivalent (SURVEY.md §2.10 north-star extension).
+
+_STOPWORD_LIST_SQL = "[" + ", ".join("'" + w + "'" for w in STOPWORDS) + "]"
+
+_Q212_SQL = _REP_CTES + f""",
+stats AS (
+  SELECT doc_id,
+    CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS BIGINT) AS sum_len,
+    CAST(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-zA-Z]'))) AS BIGINT)
+      AS n_alpha,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_STOPWORD_LIST_SQL}, x)))
+      AS BIGINT) AS n_stop
+  FROM base
+),
+flags AS (
+  SELECT b.doc_id AS doc_id,
+    CAST(b.n AS BIGINT) AS n_tokens,
+    s.sum_len AS sum_token_chars,
+    s.n_alpha AS alpha_tokens,
+    s.n_stop AS stopword_tokens,
+    CAST(COALESCE(a2.top2, 0) AS BIGINT) AS top_bigram_count,
+    CAST(COALESCE(a3.dup3, 0) AS BIGINT) AS dup_trigram_tokens,
+    (b.n >= 10 AND b.n <= 100000) AS pass_length,
+    (3 * b.n <= s.sum_len AND s.sum_len <= 10 * b.n) AS pass_word_len,
+    (5 * s.n_alpha >= 4 * b.n) AS pass_alpha,
+    (s.n_stop >= 2) AS pass_stopwords,
+    NOT ((COALESCE(a2.top2, 0) >= 2 AND 10 * COALESCE(a2.top2, 0) > b.n)
+         OR (b.n >= 3 AND 10 * COALESCE(a3.dup3, 0) > 3 * (b.n - 2)))
+      AS pass_repetition
+  FROM base b
+  JOIN stats s ON s.doc_id = b.doc_id
+  LEFT JOIN a2 ON a2.doc_id = b.doc_id
+  LEFT JOIN a3 ON a3.doc_id = b.doc_id
+)
+SELECT *,
+  (pass_length AND pass_word_len AND pass_alpha AND pass_stopwords
+   AND pass_repetition) AS kept
+FROM flags
+"""
+
+
+@query("q212_gopher_quality_filter", _Q212_SQL)
+def q212_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 A1.1, token-adapted):
+    per-document keep/drop ledger with per-rule attribution — length,
+    mean word length, alphabetic-token fraction, stopword presence, and
+    q206's repetition rule — every threshold an exact integer comparison
+    (no float anywhere on either engine). One row per non-null document.
+    See the block comment above for the rule adaptations, the n >= 3
+    guard on the integer-rewritten trigram arm, and the two-branch
+    (q206 repetition + q40-style token stats) plan shape."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = tokens_expr("text")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stats = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        sum_len.cast("bigint").alias("sum_token_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+        .cast("bigint")
+        .alias("alpha_tokens"),
+        F.size(F.filter(toks, _in_set(STOPWORDS)))
+        .cast("bigint")
+        .alias("stopword_tokens"),
+    )
+    rep = q206_repetition_signals(spark, sf_dir).select(
+        "doc_id", "top_bigram_count", "dup_trigram_tokens"
+    )
+    j = stats.join(rep, "doc_id")
+    n = F.col("n_tokens")
+    top2 = F.col("top_bigram_count")
+    dup3 = F.col("dup_trigram_tokens")
+    pass_length = (n >= 10) & (n <= 100000)
+    pass_word_len = (F.lit(3) * n <= F.col("sum_token_chars")) & (
+        F.col("sum_token_chars") <= F.lit(10) * n
+    )
+    pass_alpha = F.lit(5) * F.col("alpha_tokens") >= F.lit(4) * n
+    pass_stopwords = F.col("stopword_tokens") >= 2
+    pass_repetition = ~(
+        ((top2 >= 2) & (F.lit(10) * top2 > n))
+        | ((n >= 3) & (F.lit(10) * dup3 > F.lit(3) * (n - 2)))
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "sum_token_chars",
+        "alpha_tokens",
+        "stopword_tokens",
+        "top_bigram_count",
+        "dup_trigram_tokens",
+        pass_length.alias("pass_length"),
+        pass_word_len.alias("pass_word_len"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stopwords.alias("pass_stopwords"),
+        pass_repetition.alias("pass_repetition"),
+        (
+            pass_length
+            & pass_word_len
+            & pass_alpha
+            & pass_stopwords
+            & pass_repetition
+        ).alias("kept"),
     )

@@ -1648,3 +1648,226 @@ def test_doc_unit_fanout_roundtrip_identity(spark, width):
     assert chk["text_mismatch"] == 0
     assert chk["len_mismatch"] == 0
     assert chk["count_mismatch"] == 0
+
+
+def test_scrub_and_rep_sql_generators_pin():
+    """The r9 oracle-SQL factorings must not move the pre-existing oracle
+    strings by a single byte (driver hashes would silently re-baseline):
+    _Q208_SQL is now generated by _scrub_sql(...) and _Q206_SQL by
+    _REP_CTES concatenation — pin both to the sha256 of the r8 literals."""
+    import hashlib
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _LINE,
+        _Q208_SQL,
+        _scrub_sql,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        _Q206_SQL,
+    )
+
+    assert _Q208_SQL == _scrub_sql(_LINE, "line", "n_lines", "kept_lines")
+    assert (
+        hashlib.sha256(_Q208_SQL.encode()).hexdigest()
+        == "732a58dd6c01edfa72f294aea77d6880f9c27f8ddad674053d924d42064e4099"
+    )
+    assert (
+        hashlib.sha256(_Q206_SQL.encode()).hexdigest()
+        == "1eadb81746bddf980925595aae83ec414ceed3d315a455b1949372dfe727f557"
+    )
+
+
+def test_q211_paragraph_scrub_edge_cases(spark, tmp_path):
+    """Pin q211's paragraph semantics on a hand-built corpus — the ways it
+    differs from q208's line granularity: a 20-token paragraph duplicated
+    across two documents is scrubbed from both (and its four aligned
+    5-token lines are ALSO q208-scrubbed — the containment direction), a
+    duplicated 5-token line inside otherwise-unique paragraphs is removed
+    by q208 but SURVIVES q211 (the precision direction), and a short
+    trailing paragraph duplicated across docs is caught. Checks the Spark
+    path and the DuckDB oracle agree row-for-row and the per-doc
+    kept_tokens(q208) <= kept_tokens(q211) invariant."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q211_SQL,
+        q208_line_boilerplate_scrub,
+        q211_paragraph_boilerplate_scrub,
+    )
+
+    para = " ".join(f"p{i}" for i in range(20))  # the shared 20-token paragraph
+    boiler_line = "menu home about contact login"  # 5 tokens, df2
+    tail7 = "t0 t1 t2 t3 t4 t5 t6"  # short trailing paragraph, df2
+    docs = [
+        # docs 1/2 share the full paragraph (at different paragraph
+        # indexes: doc2 prepends 20 unique tokens, keeping alignment)
+        (1, para + " u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 ua ub uc ud ue uf ug uh ui uj"),
+        (2, " ".join(f"v{i}" for i in range(20)) + " " + para),
+        # docs 3/4 share only a LINE (tokens 0-4), their paragraphs differ
+        (3, boiler_line + " w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we"),
+        (4, boiler_line + " x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 xa xb xc xd xe"),
+        # docs 5/6 share a short (7-token) trailing paragraph
+        (5, " ".join(f"y{i}" for i in range(20)) + " " + tail7),
+        (6, " ".join(f"z{i}" for i in range(20)) + " " + tail7),
+        (7, "solo a b c"),  # nothing shared, nothing scrubbed
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    r211 = {r["doc_id"]: r for r in q211_paragraph_boilerplate_scrub(spark, d).collect()}
+    r208 = {r["doc_id"]: r for r in q208_line_boilerplate_scrub(spark, d).collect()}
+    assert set(r211) == set(range(1, 8))
+
+    def tup(r, n_alias, k_alias):
+        return (r[n_alias], r["n_tokens"], r[k_alias], r["kept_tokens"], r["clean_text"])
+
+    # shared paragraph: both docs lose it under q211 AND its aligned lines
+    # under q208 (containment: every q211-removed token is q208-removed)
+    assert tup(r211[1], "n_paras", "kept_paras")[:4] == (2, 40, 1, 20)
+    assert r211[1]["clean_text"].startswith("u0 ")
+    assert tup(r211[2], "n_paras", "kept_paras")[:4] == (2, 40, 1, 20)
+    assert r208[1]["kept_tokens"] == 20 and r208[2]["kept_tokens"] == 20
+    # shared line inside unique paragraphs: q208 scrubs it, q211 keeps all
+    assert tup(r211[3], "n_paras", "kept_paras") == (1, 20, 1, 20, docs[2][1])
+    assert r208[3]["kept_tokens"] == 15  # the 5-token boiler line removed
+    # short trailing duplicated paragraph: caught at paragraph granularity
+    assert tup(r211[5], "n_paras", "kept_paras")[:4] == (2, 27, 1, 20)
+    assert r211[5]["clean_text"] == " ".join(f"y{i}" for i in range(20))
+    assert tup(r211[7], "n_paras", "kept_paras") == (1, 4, 1, 4, "solo a b c")
+    # per-doc containment invariant
+    for k in r211:
+        assert r208[k]["kept_tokens"] <= r211[k]["kept_tokens"], k
+        assert r208[k]["n_tokens"] == r211[k]["n_tokens"], k
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(_Q211_SQL).fetchall()}
+    assert set(drows) == set(range(1, 8))
+    for k, sr in r211.items():
+        assert tuple(sr) == drows[k], (k, tuple(sr), drows[k])
+
+
+def test_q211_containment_invariant_sf(spark):
+    """q211 on the sf corpus: per-document kept_tokens(q208) <=
+    kept_tokens(q211) always (every scrubbed paragraph's aligned lines are
+    q208-scrubbed because _PARA = 4 * _LINE and both window families align
+    at token 0 — see the q211 block comment's proof sketch), totals agree,
+    and the paragraph scrub actually FIRES on real data (the corpus has
+    exact-duplicate documents, which share every paragraph)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _LINE,
+        _PARA,
+        q208_line_boilerplate_scrub,
+        q211_paragraph_boilerplate_scrub,
+    )
+
+    assert _PARA % _LINE == 0  # the invariant's alignment precondition
+    r211 = {r["doc_id"]: r for r in q211_paragraph_boilerplate_scrub(spark, SF).collect()}
+    r208 = {r["doc_id"]: r for r in q208_line_boilerplate_scrub(spark, SF).collect()}
+    assert set(r211) == set(r208) and len(r211) > 0
+    for k in r211:
+        assert r208[k]["kept_tokens"] <= r211[k]["kept_tokens"], k
+        assert r208[k]["n_tokens"] == r211[k]["n_tokens"], k
+    assert any(r["kept_paras"] < r["n_paras"] for r in r211.values())
+
+
+def test_q212_gopher_filter_edge_cases(spark, tmp_path):
+    """Pin q212's five Gopher rules on a hand-built corpus where EVERY
+    rule fails at least once (the sf corpus only exercises stopwords and
+    repetition): too-short doc, mean-word-length out of range both ways,
+    digit-heavy doc failing the alpha fraction, stopword-free doc, and a
+    repetitive doc tripping each repetition arm — including the n >= 3
+    guard case the integer rewrite must get right (a 1-token doc must NOT
+    fail the trigram arm via 0 > 3*(n-2)). Checks Spark and the DuckDB
+    oracle agree row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        _Q212_SQL,
+        q212_gopher_quality_filter,
+    )
+
+    stop_pad = "the a of and is the a of and is"  # 10 stopword tokens
+    docs = [
+        # all rules pass: 12 tokens, mean len 4.25, all-alpha, 2 stopword
+        # occurrences, every bigram/trigram distinct (stop_pad would trip
+        # the repetition rule — its 5-gram repeats)
+        (1, "the quick brown fox jumps over a lazy dog tonight with friends"),
+        (2, "too short"),                                   # fails length (n=2)
+        (3, stop_pad + " xx yy zz qq ww"),                  # mean len 2.4 < 3 -> fails word_len
+        # mean len (2*2 + 21*10)/12 = 17.8 > 10 -> fails word_len
+        (4, "the a " + " ".join(["incomprehensibilities"] * 10)),
+        (5, stop_pad + " 11 22 33 44 55 66 77 88 99 00"),   # alpha 10/20 -> fails alpha
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # no stopwords
+        (7, stop_pad + " " + " ".join(["dup word"] * 10)),  # top bigram 'word dup'/'dup word' mass > 0.2
+        (8, stop_pad + " " + " ".join(["x y z"] * 8)),      # dup trigrams > 0.3
+        (9, "one"),                                         # n=1: trigram arm must not fire
+        (10, None),                                         # NULL text: excluded
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    rows = {r["doc_id"]: r.asDict() for r in q212_gopher_quality_filter(spark, d).collect()}
+    assert set(rows) == set(range(1, 10))  # NULL doc excluded
+
+    assert rows[1]["kept"] is True and all(
+        rows[1][c] for c in ("pass_length", "pass_word_len", "pass_alpha",
+                             "pass_stopwords", "pass_repetition")
+    )
+    assert rows[2]["pass_length"] is False and rows[2]["kept"] is False
+    assert rows[3]["pass_word_len"] is False and rows[3]["pass_length"] is True
+    assert rows[4]["pass_word_len"] is False
+    # doc5: 10 alpha of 20 tokens -> 5*10 < 4*20
+    assert rows[5]["pass_alpha"] is False and rows[5]["alpha_tokens"] == 10
+    assert rows[6]["pass_stopwords"] is False and rows[6]["stopword_tokens"] == 0
+    assert rows[7]["pass_repetition"] is False  # bigram arm
+    assert rows[8]["pass_repetition"] is False  # trigram arm
+    assert rows[8]["dup_trigram_tokens"] > 0
+    # the n >= 3 guard: 1-token doc passes repetition (both arms silent)
+    assert rows[9]["pass_repetition"] is True and rows[9]["pass_length"] is False
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q212_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+
+def test_q212_consistency_with_q206_sf(spark):
+    """q212 on the sf corpus must agree with q206 wherever they measure the
+    same thing: pass_repetition == NOT q206.flagged per document (the
+    integer rewrite of the float thresholds is exact, not approximate),
+    and the integer signal columns match q206's."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q206_repetition_signals,
+        q212_gopher_quality_filter,
+    )
+
+    r212 = {r["doc_id"]: r for r in q212_gopher_quality_filter(spark, SF).collect()}
+    r206 = {r["doc_id"]: r for r in q206_repetition_signals(spark, SF).collect()}
+    assert set(r212) == set(r206) and len(r212) > 0
+    for k in r212:
+        assert r212[k]["pass_repetition"] == (not r206[k]["flagged"]), k
+        assert r212[k]["top_bigram_count"] == r206[k]["top_bigram_count"], k
+        assert r212[k]["dup_trigram_tokens"] == r206[k]["dup_trigram_tokens"], k
+        assert r212[k]["n_tokens"] == r206[k]["n_tokens"], k
+    # the filter fires on real data (some docs dropped, some kept)
+    kepts = {r["kept"] for r in r212.values()}
+    assert kepts == {True, False}
