@@ -509,6 +509,212 @@ def q209_norm_probe(spark, n_docs: int = 10000) -> list[dict]:
     return out
 
 
+def build_granularity_corpus(spark, n_docs: int = 20000) -> str:
+    """Corpus for the q211 granularity probe: n_docs 40-token documents in
+    pairs (= 2 paragraphs / 8 lines each). Even pairs (type A) share their
+    FIRST 20-token paragraph within the pair; odd pairs (type B) share only
+    their first 5-token LINE, embedded in otherwise-unique paragraphs.
+    Expected: q208 scrubs the shared content of both types (A: 4 aligned
+    lines = 20 tokens/doc, B: 1 line = 5 tokens/doc); q211 scrubs type A's
+    paragraph (20 tokens/doc) and NOTHING of type B — the precision
+    direction line granularity cannot express. Content tokens are
+    letter-only hash tokens at V=10000 (5-token lines collision-free at
+    this corpus size, the r7 vocab-probe measurement)."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(WORK, f"granularity_n{n_docs}")
+    marker = os.path.join(out_dir, "_BUILT")
+    want = f"n={n_docs}|v1"
+    if os.path.exists(marker) and open(marker).read() == want:
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tok(salt: str, key: str) -> str:
+        # letter-only (digit tokens would alias under q209-style probes;
+        # here they just keep the vocabulary convention uniform)
+        return (
+            f"concat('{salt}', translate(CAST(pmod(xxhash64('{salt}', "
+            f"CAST({key} AS STRING), CAST(j AS STRING)), 10000) AS STRING), "
+            "'0123456789', 'abcdefghij'))"
+        )
+
+    pair = "CAST(id / 2 AS BIGINT)"
+    # type A (pair % 2 = 0): tokens 1-20 keyed by the PAIR (shared
+    # paragraph), 21-40 by the doc. type B: tokens 1-5 keyed by the pair
+    # (shared line; different salt so A/B shares cannot collide), 6-40 by
+    # the doc.
+    text = f"""CASE WHEN pmod({pair}, 2) = 0 THEN
+      concat(array_join(transform(sequence(1, 20), j -> {tok('a', pair)}), ' '),
+             ' ',
+             array_join(transform(sequence(21, 40), j -> {tok('u', 'id')}), ' '))
+    ELSE
+      concat(array_join(transform(sequence(1, 5), j -> {tok('b', pair)}), ' '),
+             ' ',
+             array_join(transform(sequence(6, 40), j -> {tok('u', 'id')}), ' '))
+    END"""
+    docs = (
+        spark.range(n_docs)
+        .withColumn("text", F.expr(text))
+        .select(
+            F.col("id").alias("doc_id"),
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("granularity_probe").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    docs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write(want)
+    return out_dir
+
+
+def q211_granularity_probe(spark, n_docs: int = 20000) -> list[dict]:
+    """The q211 order-sheet probe: on the paired-share corpus, (a) q208
+    removes BOTH populations' shared content (type A's 4 aligned lines AND
+    type B's lone duplicated line) while q211 removes ONLY type A's shared
+    paragraph — the recall/precision trade the coarser unit exists for;
+    (b) q211's fan-out ships 1/4 the unit rows of q208's at the same token
+    mass (n_paras vs n_lines totals, printed); (c) both run at the same
+    flat clock. Warm 2nd-run timings per the measurement-hygiene
+    contract."""
+    import __spark_entry__ as em
+
+    d = build_granularity_corpus(spark, n_docs)
+    out = []
+    for name, n_col, k_col in (
+        ("q208_line_boilerplate_scrub", "n_lines", "kept_lines"),
+        ("q211_paragraph_boilerplate_scrub", "n_paras", "kept_paras"),
+    ):
+        fn = em.queries()[name]
+        secs = []
+        for _ in range(2):  # run 1 warms; run 2 is the recorded clock
+            release(spark)
+            t0 = time.perf_counter()
+            agg = (
+                fn(spark, d)
+                .groupBy()
+                .sum(n_col, k_col, "n_tokens", "kept_tokens")
+                .collect()[0]
+            )
+            secs.append(round(time.perf_counter() - t0, 2))
+        rec = {
+            "probe": "q211_granularity",
+            "query": name,
+            "n_docs": n_docs,
+            "total_units": int(agg[0]),
+            "kept_units": int(agg[1]),
+            "total_tokens": int(agg[2]),
+            "kept_tokens": int(agg[3]),
+            "removed_tokens": int(agg[2] - agg[3]),
+            "cold_sec": secs[0],
+            "warm_sec": secs[1],
+        }
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
+def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
+    """The q212 order-sheet probe: (a) m-axis clock for the filter
+    composition next to its q206 repetition branch (the token-stats branch
+    and 1:1 join must add ~nothing and stay linear); (b) on the largest
+    corpus, re-run q212 with a 256KB broadcast budget (the stand-in for
+    the 100 TB regime where the per-doc stats side dwarfs any broadcast
+    budget) and check the keep/drop ledger is BYTE-IDENTICAL while the
+    join strategy flips — the same AQE-decided-join claim the r8 q208
+    probe measured, now for the quality family. Warm 2nd-run timings."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    out = []
+    fns = {n: em.queries()[n] for n in
+           ("q206_repetition_signals", "q212_gopher_quality_filter")}
+    for m in scales:
+        d = build_corpus(spark, m, with_embeddings=False)
+        for name, fn in fns.items():
+            secs = []
+            kept = None
+            for _ in range(2):
+                release(spark)
+                t0 = time.perf_counter()
+                row = fn(spark, d).groupBy().count().collect()[0]
+                secs.append(round(time.perf_counter() - t0, 2))
+            rec = {
+                "probe": "q212_filter",
+                "query": name,
+                "m": m,
+                "rows": int(row[0]),
+                "cold_sec": secs[0],
+                "warm_sec": secs[1],
+            }
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    # (b) AQE join-strategy flip at the largest corpus: tiny broadcast
+    # budgets force the stats<->repetition join to SMJ; the ledger must
+    # not move a byte. md5 over a canonical per-row string, order-free.
+    d = build_corpus(spark, scales[-1], with_embeddings=False)
+    fn = fns["q212_gopher_quality_filter"]
+
+    def fingerprint():
+        df = fn(spark, d)
+        line = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+        return (
+            df.select(F.md5(line).alias("h"))
+            .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")))
+            .collect()[0][0],
+            df.count(),
+        )
+
+    budgets = {"default": None, "256kb": "262144"}
+    flip = {"probe": "q212_aqe_flip", "m": scales[-1]}
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for label, budget in budgets.items():
+            if budget is not None:
+                for k in saved:
+                    spark.conf.set(k, budget)
+            release(spark)
+            h, n = fingerprint()
+            plan = fn(spark, d)
+            plan.collect()
+            from project_1_greentech_logistics_data_pipeline_spark.plans.inspect import (
+                explain_str,
+                strip_initial_plan_sections,
+            )
+
+            p = strip_initial_plan_sections(explain_str(plan, mode="simple"))
+            flip[label] = {
+                "ledger_hash": int(h),
+                "rows": int(n),
+                "bhj": p.count("BroadcastHashJoin"),
+                "smj": p.count("SortMergeJoin"),
+            }
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    flip["byte_identical"] = (
+        flip["default"]["ledger_hash"] == flip["256kb"]["ledger_hash"]
+        and flip["default"]["rows"] == flip["256kb"]["rows"]
+    )
+    out.append(flip)
+    print(json.dumps(flip), flush=True)
+    return out
+
+
 def release(spark) -> None:
     # the shared cleanup contract — NOT a private copy (the r3 .toArray()
     # bug showed what a silently-divergent duplicate of this loop costs)
@@ -547,7 +753,45 @@ def main() -> None:
         help="run the q209 normalization-widening probe (document count, "
         "e.g. 10000)",
     )
+    ap.add_argument(
+        "--q211-granularity",
+        default=None,
+        help="run the q211 paragraph-vs-line granularity probe (document "
+        "count, e.g. 20000)",
+    )
+    ap.add_argument(
+        "--q212-scales",
+        default=None,
+        help="run the q212 quality-filter m-axis + AQE-flip probe (comma "
+        "list of corpus multiples, e.g. 1,2,4,8)",
+    )
     args = ap.parse_args()
+
+    if args.q211_granularity is not None:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-probe-q211")
+        results = q211_granularity_probe(spark, int(args.q211_granularity))
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, "q211_granularity_probe_results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+        spark.stop()
+        return
+
+    if args.q212_scales is not None:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-probe-q212")
+        results = q212_filter_probe(
+            spark, tuple(int(m) for m in args.q212_scales.split(","))
+        )
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, "q212_filter_probe_results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+        spark.stop()
+        return
 
     if args.q209_norm is not None:
         os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
