@@ -1558,9 +1558,9 @@ def _scrub_sql(width: int, prefix: str, n_alias: str, kept_alias: str) -> str:
     lines, q211 20-token paragraphs): the df table + per-document keep/
     reassemble over :func:`_unit_cte_sql`'s fan-out. ONE definition so the
     two granularities cannot drift; generating q208's SQL through it is
-    byte-identical to the r7 literal (pinned by
-    test_scrub_sql_generator_matches_q208_literal), so q208's oracle hash
-    is unchanged by construction."""
+    byte-identical to the r8 literal (pinned by
+    tests/test_extensions.py::test_scrub_and_rep_sql_generators_pin), so
+    q208's oracle hash is unchanged by construction."""
     return _unit_cte_sql(width, prefix) + f""",
 df AS (
   SELECT s.{prefix}_text AS {prefix}_text, COUNT(DISTINCT doc_id) AS df
@@ -1605,9 +1605,9 @@ def _scrub_df(
     kept_alias: str,
 ) -> DataFrame:
     """Spark body shared by the raw-key scrub granularities (q208/q211):
-    fan-out -> df>= {_BOILER_DF} boiler set -> LEFT ANTI -> reassemble.
-    Same expression tree q208 always built — the factoring changes no
-    plan (prefix/alias are name-only parameters)."""
+    fan-out -> df >= 2 boiler set -> LEFT ANTI -> reassemble. Same
+    expression tree q208 always built — the factoring changes no plan
+    (prefix/alias are name-only parameters)."""
     units, totals = _doc_unit_fanout(spark, sf_dir, width, prefix)
     kept = _reassemble_kept(
         units.join(_boiler_set(units, f"{prefix}_text"), f"{prefix}_text", "left_anti"),

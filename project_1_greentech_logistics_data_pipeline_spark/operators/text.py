@@ -758,8 +758,8 @@ def q110_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE definition shared by q206's oracle and q212's (the quality-filter
 # composition must measure repetition identically to the signal query);
 # rebuilding _Q206_SQL through it is byte-identical to the prior literal
-# (pinned by test_q206_sql_cte_factoring_identical), so q206's oracle hash
-# is unchanged by construction.
+# (pinned by tests/test_extensions.py::test_scrub_and_rep_sql_generators_pin),
+# so q206's oracle hash is unchanged by construction.
 _REP_CTES = """
 WITH base AS (
   SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks,
@@ -997,8 +997,14 @@ def q212_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q206 repetition + q40-style token stats) plan shape."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = tokens_expr("text")
+    # accumulator zero is LONG: an int zero would make F.aggregate sum in
+    # 32-bit (the post-hoc bigint cast can't undo a wrapped sum), breaking
+    # the block comment's all-BIGINT contract vs the oracle's HUGEINT
+    # LIST_SUM on pathological multi-GB documents (review-caught)
     sum_len = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
     stats = d.select(
         "doc_id",

@@ -582,6 +582,7 @@ def q211_granularity_probe(spark, n_docs: int = 20000) -> list[dict]:
     flat clock. Warm 2nd-run timings per the measurement-hygiene
     contract."""
     import __spark_entry__ as em
+    from pyspark.sql import functions as F
 
     d = build_granularity_corpus(spark, n_docs)
     out = []
@@ -594,10 +595,20 @@ def q211_granularity_probe(spark, n_docs: int = 20000) -> list[dict]:
         for _ in range(2):  # run 1 warms; run 2 is the recorded clock
             release(spark)
             t0 = time.perf_counter()
+            # the summary MUST reference clean_text: a sum over the count
+            # columns alone lets ColumnPruning delete the reassembly
+            # aggregate (collect_list/array_sort/array_join) from BOTH
+            # queries' plans, and the recorded clock measures a narrower
+            # plan than the query the family ships (review-caught)
             agg = (
                 fn(spark, d)
-                .groupBy()
-                .sum(n_col, k_col, "n_tokens", "kept_tokens")
+                .agg(
+                    F.sum(n_col),
+                    F.sum(k_col),
+                    F.sum("n_tokens"),
+                    F.sum("kept_tokens"),
+                    F.sum(F.length("clean_text")),
+                )
                 .collect()[0]
             )
             secs.append(round(time.perf_counter() - t0, 2))
@@ -609,6 +620,7 @@ def q211_granularity_probe(spark, n_docs: int = 20000) -> list[dict]:
             "kept_units": int(agg[1]),
             "total_tokens": int(agg[2]),
             "kept_tokens": int(agg[3]),
+            "clean_text_chars": int(agg[4]),
             "removed_tokens": int(agg[2] - agg[3]),
             "cold_sec": secs[0],
             "warm_sec": secs[1],
@@ -633,21 +645,45 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     out = []
     fns = {n: em.queries()[n] for n in
            ("q206_repetition_signals", "q212_gopher_quality_filter")}
+    # per-query summary aggregates that reference every branch's outputs:
+    # a bare count(1) lets ColumnPruning delete q212's entire token-stats
+    # branch (tokens_expr / sum_len / alpha / stopword filters) and every
+    # pass_* expression — the probe would then "measure" that the
+    # composition adds ~nothing because it never ran it (review-caught;
+    # q206's grams survive a count because g is a grouping key, so the
+    # asymmetry silently favored q212)
+    summaries = {
+        "q206_repetition_signals": lambda df: df.agg(
+            F.count("*"),
+            F.sum(F.col("flagged").cast("long")),
+            F.sum("top_bigram_count"),
+            F.sum("dup_trigram_tokens"),
+        ),
+        "q212_gopher_quality_filter": lambda df: df.agg(
+            F.count("*"),
+            F.sum(F.col("kept").cast("long")),
+            F.sum("sum_token_chars"),
+            F.sum("alpha_tokens"),
+            F.sum("stopword_tokens"),
+            F.sum("top_bigram_count"),
+            F.sum("dup_trigram_tokens"),
+        ),
+    }
     for m in scales:
         d = build_corpus(spark, m, with_embeddings=False)
         for name, fn in fns.items():
             secs = []
-            kept = None
             for _ in range(2):
                 release(spark)
                 t0 = time.perf_counter()
-                row = fn(spark, d).groupBy().count().collect()[0]
+                row = summaries[name](fn(spark, d)).collect()[0]
                 secs.append(round(time.perf_counter() - t0, 2))
             rec = {
                 "probe": "q212_filter",
                 "query": name,
                 "m": m,
                 "rows": int(row[0]),
+                "flagged_or_kept": int(row[1]),
                 "cold_sec": secs[0],
                 "warm_sec": secs[1],
             }
