@@ -38,6 +38,7 @@ from ..sources.readers import load_table
 # incremental dedup) so the rule cannot drift; aliased to this module's
 # historical names.
 from .text import DOC_FP_SQL as _DOC_FP_SQL
+from .text import _Q212_CTES as _Q212_CTES_SQL
 from .text import doc_fp_expr as _doc_fp_expr
 from .text import tokens_expr
 
@@ -1953,3 +1954,210 @@ def q211_paragraph_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFr
     plan notes live on the shared helpers (:func:`_doc_unit_fanout`,
     :func:`_boiler_set`, :func:`_reassemble_kept`)."""
     return _scrub_df(spark, sf_dir, _PARA, "para", "n_paras", "kept_paras")
+
+
+# ---------------------------------------------------------------------------
+# q213: FILTERED curation pipeline (quality gate -> dedup -> scrub -> spans)
+# ---------------------------------------------------------------------------
+# q210 is the dedup-family composition; real curation stacks run a QUALITY
+# FILTER in front of it (RefinedWeb Fig. 2 filters before dedup; Gopher
+# A1.1 and Dolma likewise) — junk documents should neither win a dedup
+# argmin nor contribute lines to the boilerplate df table. q213 is that
+# full chain: stage 0 drops documents failing q212's Gopher rules, stages
+# 1-3 are q210's (exact fingerprint dedup -> line scrub -> span
+# keep-first) run over the quality-passing corpus only. Output is the
+# per-document integer yield ledger with the filter stage attributed:
+# (doc_id, n_tokens, kept_quality, kept_exact, scrub_kept_tokens,
+# span_kept_tokens).
+#
+# STAGE-ORDER RATIONALE: filter-first is not merely stylistic. (a)
+# Decision-wise it CHANGES later stages, observably: exact dedup's argmin
+# keeper is chosen AMONG quality survivors, so a duplicate pair whose
+# lowest-doc_id copy fails quality still keeps its passing copy (pinned
+# by test; dedup-first would drop the passing copy as a duplicate of a
+# document that filtering then kills — losing content the filter never
+# objected to). (b) The scrub's df table counts the post-filter corpus:
+# boilerplate frequency measured over junk is noise. (c) It is also the
+# 100 TB-efficient order — the gate is the cheapest stage per byte
+# (per-document signals, no cross-document state beyond q206's
+# partial-agg gram counts) and drops mass before the fingerprint shuffle
+# and the 1:many fan-outs.
+#
+# Determinism: all-integer ledger, q212's all-integer thresholds, q210's
+# integer stage accounting — no drift class by construction anywhere in
+# the chain. Single definition of the quality decision on both engines:
+# Spark consumes q212_gopher_quality_filter's `kept` verbatim; the
+# oracle builds on the SAME _Q212_CTES flag stack (text.py) with the
+# five-flag conjunction spelled once in its qkeep CTE. Equivalence pin:
+# on a corpus where every document passes the gate, q213's stage columns
+# equal q210's ledger exactly (tested); on the sf corpus the gate fires
+# and the downstream stages see a genuinely smaller corpus.
+#
+# 100 TB shape: q212's adjudicated two-branch plan feeds a doc_id SEMI
+# gate (survivor doc_ids only — the filter verdict, not the signals,
+# rides the join), then q210's adjudicated stage chain: fingerprint
+# argmin shipping 32-byte pairs, AQE-decided anti-join scrub, partial-agg
+# MIN(STRUCT) span keeper, doc_id-aligned ledger joins. No reference
+# equivalent (SURVEY.md §2.10 north-star extension).
+
+_Q213_SQL = _Q212_CTES_SQL + f""",
+qkeep AS (
+  SELECT doc_id FROM flags
+  WHERE pass_length AND pass_word_len AND pass_alpha AND pass_stopwords
+    AND pass_repetition
+),
+docs AS (
+  SELECT d.doc_id AS doc_id, d.text AS text, {_DOC_FP_SQL} AS fp
+  FROM documents d JOIN qkeep q ON d.doc_id = q.doc_id
+  WHERE d.text IS NOT NULL
+),
+keep_ids AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY fp
+),
+base1 AS (
+  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '[\\s\\x0b]+') AS toks
+  FROM docs d JOIN keep_ids k ON d.doc_id = k.doc_id
+),
+units1 AS (
+{_unit_body_sql(_LINE, "line", "base1")}
+),
+df1 AS (
+  SELECT s.line_text AS line_text, COUNT(DISTINCT doc_id) AS df
+  FROM units1 GROUP BY s.line_text
+),
+kept_lines AS (
+  SELECT l.doc_id AS doc_id, l.s.line_id AS line_id,
+         l.s.line_text AS line_text, l.s.line_len AS line_len
+  FROM units1 l JOIN df1 d ON l.s.line_text = d.line_text
+  WHERE d.df < {_BOILER_DF}
+),
+scrubbed AS (
+  SELECT doc_id, SUM(line_len) AS scrub_kept_tokens,
+         STRING_AGG(line_text, ' ' ORDER BY line_id) AS clean_text
+  FROM kept_lines GROUP BY doc_id
+),
+base2 AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(clean_text, '[\\s\\x0b]+') AS toks
+  FROM scrubbed
+),
+spans AS (
+{_unit_body_sql(_SPAN, "span", "base2")}
+),
+ranked AS (
+  SELECT doc_id, s.span_text AS span_text, s.span_len AS span_len,
+         ROW_NUMBER() OVER (PARTITION BY s.span_text
+                            ORDER BY doc_id, s.span_id) AS rn
+  FROM spans
+),
+sp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN rn = 1 THEN span_len ELSE 0 END) AS span_kept_tokens
+  FROM ranked GROUP BY doc_id
+)
+SELECT f.doc_id AS doc_id,
+  CAST(f.n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_quality,
+  CAST(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_exact,
+  CAST(COALESCE(b.scrub_kept_tokens, 0) AS BIGINT) AS scrub_kept_tokens,
+  CAST(COALESCE(v.span_kept_tokens, 0) AS BIGINT) AS span_kept_tokens
+FROM flags f
+LEFT JOIN qkeep q ON f.doc_id = q.doc_id
+LEFT JOIN keep_ids k ON f.doc_id = k.doc_id
+LEFT JOIN scrubbed b ON f.doc_id = b.doc_id
+LEFT JOIN sp v ON f.doc_id = v.doc_id
+"""
+
+
+@query("q213_filtered_curation_pipeline", _Q213_SQL)
+def q213_filtered_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gated curation composition (RefinedWeb Fig. 2's actual
+    order): q212's Gopher-rule filter -> q43-style exact document dedup
+    among the survivors -> q208 line scrub (df counted over the filtered,
+    deduplicated corpus) -> q207 span keep-first over each survivor's
+    post-scrub tokens; returns the per-document integer yield ledger
+    (doc_id, n_tokens, kept_quality, kept_exact, scrub_kept_tokens,
+    span_kept_tokens). See the block comment above for why filter-first
+    is load-bearing (the dedup keeper is chosen among quality survivors —
+    pinned by test) and the 100 TB plan shape."""
+    from .text import q212_gopher_quality_filter
+
+    # The gate verdict is materialized ONCE as a cached doc_id set: it has
+    # two consumers (the stage-0 semi gate and the ledger's kept_quality
+    # column), and without the cache each consumer re-executes q212's
+    # whole signal pipeline — a first cut carried q212 as the ledger
+    # spine too and re-derived it under every downstream stage (measured
+    # 5.6-6.2 s solo at sf0.1, ~2x the sum of the parts; restructured +
+    # cached it is the sum of the parts). Cache state is bounded (one
+    # bigint per quality-passing document — the verdict, never the
+    # signals) and is released by session.release_session_state, the
+    # library's documented cleanup contract (the q44-family precedent).
+    qkeep = (
+        q212_gopher_quality_filter(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .cache()
+    )
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base0 = d0.repartition(n_shuffle, F.col("doc_id")).select("doc_id", "text")
+    # stage 0 — quality gate: only survivor doc_ids ride the join
+    filtered = base0.join(qkeep, "doc_id", "semi")
+    # stage 1 — exact doc dedup among quality survivors (q210's stage 1)
+    fp = filtered.select("doc_id", _doc_fp_expr().alias("fp"))
+    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = filtered.join(keep_ids, "doc_id", "semi").select(
+        "doc_id", tokens_expr("text").alias("toks")
+    )
+    # stage 2 — line scrub, df over the filtered+deduplicated corpus
+    lines = _unit_fanout_from(survivors, _LINE, "line")
+    kept_lines = lines.join(_boiler_set(lines, "line_text"), "line_text", "left_anti")
+    scrubbed = kept_lines.groupBy("doc_id").agg(
+        F.sum("line_len").alias("scrub_kept_tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "line_text"))),
+                lambda s: F.split(s["line_text"], " "),
+            )
+        ).alias("toks"),
+    )
+    # stage 3 — span keep-first on post-scrub tokens (q210's stage 3)
+    spans = _unit_fanout_from(scrubbed.select("doc_id", "toks"), _SPAN, "span")
+    span_kept = (
+        spans.groupBy("span_text")
+        .agg(
+            F.min(F.struct("doc_id", "span_id")).alias("fo"),
+            F.max("span_len").alias("span_len"),
+        )
+        .select(F.col("fo.doc_id").alias("doc_id"), "span_len")
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("span_kept_tokens"))
+    )
+    # ledger — the spine is a cheap base-scan projection (doc_id,
+    # n_tokens), NOT q212's output (see the cache note above);
+    # kept_quality is qkeep membership, exactly the oracle's LEFT JOIN
+    # qkeep shape. All joins on doc_id.
+    totals = base0.select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        totals.join(
+            qkeep.select("doc_id", F.lit(1).alias("kept_quality")), "doc_id", "left"
+        )
+        .join(
+            keep_ids.select("doc_id", F.lit(1).alias("kept_exact")), "doc_id", "left"
+        )
+        .join(scrubbed.select("doc_id", "scrub_kept_tokens"), "doc_id", "left")
+        .join(span_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_quality", F.lit(0)).cast("bigint").alias("kept_quality"),
+            F.coalesce("kept_exact", F.lit(0)).cast("bigint").alias("kept_exact"),
+            F.coalesce("scrub_kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("scrub_kept_tokens"),
+            F.coalesce("span_kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("span_kept_tokens"),
+        )
+    )

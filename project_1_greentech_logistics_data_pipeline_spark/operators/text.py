@@ -948,7 +948,12 @@ def q206_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORD_LIST_SQL = "[" + ", ".join("'" + w + "'" for w in STOPWORDS) + "]"
 
-_Q212_SQL = _REP_CTES + f""",
+# The full signal+flags CTE stack (repetition CTEs + token stats + per-rule
+# flags) — shared with q213's filtered-curation oracle, which gates its
+# stage chain on exactly these flags (single definition of the quality
+# decision on both engines; q213's Spark path reuses
+# q212_gopher_quality_filter directly).
+_Q212_CTES = _REP_CTES + f""",
 stats AS (
   SELECT doc_id,
     CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS BIGINT) AS sum_len,
@@ -977,7 +982,9 @@ flags AS (
   JOIN stats s ON s.doc_id = b.doc_id
   LEFT JOIN a2 ON a2.doc_id = b.doc_id
   LEFT JOIN a3 ON a3.doc_id = b.doc_id
-)
+)"""
+
+_Q212_SQL = _Q212_CTES + """
 SELECT *,
   (pass_length AND pass_word_len AND pass_alpha AND pass_stopwords
    AND pass_repetition) AS kept

@@ -1871,3 +1871,126 @@ def test_q212_consistency_with_q206_sf(spark):
     # the filter fires on real data (some docs dropped, some kept)
     kepts = {r["kept"] for r in r212.values()}
     assert kepts == {True, False}
+
+
+def test_q213_filter_first_changes_dedup_keeper(spark, tmp_path):
+    """Pin q213's load-bearing stage order on a hand corpus: a duplicate
+    pair sharing one FINGERPRINT (lower+whitespace-collapse) where the
+    lower-doc_id copy FAILS the quality gate (capitalized stopwords — the
+    stopword rule is case-sensitive) and the higher-doc_id copy passes.
+    Filter-first means the passing copy survives dedup (q210, with no
+    gate, keeps the lower copy and drops the passing one). Also checks
+    Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q213_SQL,
+        q210_curation_pipeline,
+        q213_filtered_curation_pipeline,
+    )
+
+    up = "The Quick Brown Fox Jumps Over A Lazy Dog Tonight With Friends"
+    lo = up.lower()
+    docs = [
+        (1, up),   # same fingerprint as doc 2; fails pass_stopwords ('The'/'A')
+        (2, lo),   # passes every rule; must WIN dedup under q213
+        (3, "the tall green tree stands near a quiet river bank today"),
+        (4, "too short"),  # fails length -> contributes nothing downstream
+        (5, None),         # NULL text: excluded entirely
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    r213 = {r["doc_id"]: r.asDict() for r in q213_filtered_curation_pipeline(spark, d).collect()}
+    assert set(r213) == {1, 2, 3, 4}
+    assert r213[1]["kept_quality"] == 0 and r213[1]["kept_exact"] == 0
+    assert r213[1]["scrub_kept_tokens"] == 0 and r213[1]["span_kept_tokens"] == 0
+    # the passing copy wins dedup under filter-first
+    assert r213[2]["kept_quality"] == 1 and r213[2]["kept_exact"] == 1
+    assert r213[2]["scrub_kept_tokens"] == 12
+    assert r213[3]["kept_quality"] == 1 and r213[3]["kept_exact"] == 1
+    assert r213[4]["kept_quality"] == 0 and r213[4]["scrub_kept_tokens"] == 0
+
+    # contrast: q210 (no gate) gives the pair's keeper slot to doc 1
+    r210 = {r["doc_id"]: r.asDict() for r in q210_curation_pipeline(spark, d).collect()}
+    assert r210[1]["kept_exact"] == 1 and r210[2]["kept_exact"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q213_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(r213)
+    for k, sr in r213.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+
+def test_q213_equals_q210_when_gate_is_vacuous(spark, tmp_path):
+    """Equivalence pin: on a corpus where EVERY document passes the
+    quality gate, q213's stage columns must equal q210's ledger exactly
+    (the filter stage is the only difference between the two
+    compositions). The corpus exercises every downstream stage: an exact
+    duplicate pair, a df=2 boilerplate line among survivors, and a
+    repeated 3-token span."""
+    import os
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q210_curation_pipeline,
+        q213_filtered_curation_pipeline,
+    )
+
+    boiler = "the menu home about contact"  # 5-token line w/ stopword
+    docs = [
+        (1, boiler + " a quality document with plenty real content here today"),
+        (2, boiler + " a different second document body with more words here"),
+        (3, "the third document is a plain unique body of twelve words"),
+        (4, "the third document is a plain unique body of twelve words"),  # exact dup
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    r213 = {r["doc_id"]: r.asDict() for r in q213_filtered_curation_pipeline(spark, d).collect()}
+    r210 = {r["doc_id"]: r.asDict() for r in q210_curation_pipeline(spark, d).collect()}
+    assert set(r213) == set(r210) == {1, 2, 3, 4}
+    assert all(v["kept_quality"] == 1 for v in r213.values())
+    for k in r213:
+        for col in ("n_tokens", "kept_exact", "scrub_kept_tokens", "span_kept_tokens"):
+            assert r213[k][col] == r210[k][col], (k, col)
+    # sanity: the stages actually fired
+    assert r213[4]["kept_exact"] == 0          # dup dropped
+    assert r213[1]["scrub_kept_tokens"] < r213[1]["n_tokens"]  # boiler scrubbed
+
+
+def test_q213_consistency_with_q212_sf(spark):
+    """q213 on the sf corpus: kept_quality must equal q212's kept verdict
+    per document (single definition of the gate), n_tokens must match,
+    kept_exact implies kept_quality, and stage monotonicity holds
+    (span <= scrub <= n_tokens; dropped docs are all-zero)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q213_filtered_curation_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+
+    r213 = {r["doc_id"]: r.asDict() for r in q213_filtered_curation_pipeline(spark, SF).collect()}
+    r212 = {r["doc_id"]: r.asDict() for r in q212_gopher_quality_filter(spark, SF).collect()}
+    assert set(r213) == set(r212) and len(r213) > 0
+    for k, v in r213.items():
+        assert v["kept_quality"] == int(r212[k]["kept"]), k
+        assert v["n_tokens"] == r212[k]["n_tokens"], k
+        assert v["kept_exact"] <= v["kept_quality"], k
+        assert v["span_kept_tokens"] <= v["scrub_kept_tokens"] <= v["n_tokens"], k
+        if v["kept_quality"] == 0:
+            assert v["kept_exact"] == v["scrub_kept_tokens"] == v["span_kept_tokens"] == 0, k
+    # the gate fires on real data
+    assert any(v["kept_quality"] == 0 for v in r213.values())
