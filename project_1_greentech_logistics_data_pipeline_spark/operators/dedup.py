@@ -1768,28 +1768,28 @@ def q209_normalized_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (no exchange before the explode); the ledger joins run on doc_id. No
 # reference equivalent (SURVEY.md §2.10 north-star extension).
 
-_Q210_SQL = f"""WITH docs AS (
-  SELECT doc_id, text, {_DOC_FP_SQL} AS fp
-  FROM documents WHERE text IS NOT NULL
+def _curation_stage_sql(units: str, df: str, src: str) -> str:
+    """Oracle twin of the dedup->scrub->span stage chain shared by the
+    curation compositions (q210 over all non-null docs, q213 over the
+    quality-gated set): the line fan-out + df table + scrub + re-window +
+    span keep-first CTEs, emitting ``kept_lines``/``scrubbed``/``sp``.
+    ONE definition so the two compositions cannot drift (review-caught —
+    q213's first cut hand-copied the chain); generating q210's SQL
+    through it is byte-identical to the r8 literal (sha256-pinned in
+    test_scrub_and_rep_sql_generators_pin), so q210's driver-stamped
+    oracle hash is unchanged by construction. CTE names are parameters
+    only because q213's WITH already binds 'base' (from _REP_CTES)."""
+    return f"""{units} AS (
+{_unit_body_sql(_LINE, "line", src)}
 ),
-keep_ids AS (
-  SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY fp
-),
-base AS (
-  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '[\\s\\x0b]+') AS toks
-  FROM docs d JOIN keep_ids k ON d.doc_id = k.doc_id
-),
-units AS (
-{_unit_body_sql(_LINE, "line", "base")}
-),
-df AS (
+{df} AS (
   SELECT s.line_text AS line_text, COUNT(DISTINCT doc_id) AS df
-  FROM units GROUP BY s.line_text
+  FROM {units} GROUP BY s.line_text
 ),
 kept_lines AS (
   SELECT l.doc_id AS doc_id, l.s.line_id AS line_id,
          l.s.line_text AS line_text, l.s.line_len AS line_len
-  FROM units l JOIN df d ON l.s.line_text = d.line_text
+  FROM {units} l JOIN {df} d ON l.s.line_text = d.line_text
   WHERE d.df < {_BOILER_DF}
 ),
 scrubbed AS (
@@ -1814,7 +1814,21 @@ sp AS (
   SELECT doc_id,
          SUM(CASE WHEN rn = 1 THEN span_len ELSE 0 END) AS span_kept_tokens
   FROM ranked GROUP BY doc_id
+)"""
+
+
+_Q210_SQL = f"""WITH docs AS (
+  SELECT doc_id, text, {_DOC_FP_SQL} AS fp
+  FROM documents WHERE text IS NOT NULL
 ),
+keep_ids AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY fp
+),
+base AS (
+  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '[\\s\\x0b]+') AS toks
+  FROM docs d JOIN keep_ids k ON d.doc_id = k.doc_id
+),
+""" + _curation_stage_sql("units", "df", "base") + f""",
 totals AS (
   SELECT doc_id, LEN(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS n_tokens
   FROM docs
@@ -1831,6 +1845,48 @@ LEFT JOIN sp v ON t.doc_id = v.doc_id
 """
 
 
+def _curation_stages(base: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Spark twin of :func:`_curation_stage_sql`, shared by q210/q213 over
+    an arbitrary ``(doc_id, text)`` relation already hash-partitioned by
+    doc_id: stage 1 exact fingerprint dedup (argmin doc_id; survivors by
+    doc_id SEMI join so text never crosses the fp shuffle — only 32-byte
+    (fp, doc_id) pairs do), stage 2 line scrub (df over THIS relation),
+    stage 3 span keep-first on post-scrub tokens (counts only, no
+    reassembly text). Returns ``(keep_ids, scrubbed, span_kept)``. Same
+    expression tree q210 always built — the factoring changes no plan
+    (review-caught duplication: q213's first cut hand-copied the chain,
+    which is exactly how the two compositions' vacuous-gate equivalence
+    would eventually drift)."""
+    fp = base.select("doc_id", _doc_fp_expr().alias("fp"))
+    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = base.join(keep_ids, "doc_id", "semi").select(
+        "doc_id", tokens_expr("text").alias("toks")
+    )
+    lines = _unit_fanout_from(survivors, _LINE, "line")
+    kept_lines = lines.join(_boiler_set(lines, "line_text"), "line_text", "left_anti")
+    scrubbed = kept_lines.groupBy("doc_id").agg(
+        F.sum("line_len").alias("scrub_kept_tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "line_text"))),
+                lambda s: F.split(s["line_text"], " "),
+            )
+        ).alias("toks"),
+    )
+    spans = _unit_fanout_from(scrubbed.select("doc_id", "toks"), _SPAN, "span")
+    span_kept = (
+        spans.groupBy("span_text")
+        .agg(
+            F.min(F.struct("doc_id", "span_id")).alias("fo"),
+            F.max("span_len").alias("span_len"),
+        )
+        .select(F.col("fo.doc_id").alias("doc_id"), "span_len")
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("span_kept_tokens"))
+    )
+    return keep_ids, scrubbed, span_kept
+
+
 @query("q210_curation_pipeline", _Q210_SQL)
 def q210_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition: q43-style exact document dedup ->
@@ -1844,39 +1900,7 @@ def q210_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base0 = d0.repartition(n_shuffle, F.col("doc_id")).select("doc_id", "text")
-    # stage 1 — exact doc dedup: argmin doc_id per normalized fingerprint
-    # (q43's rule); survivors picked by doc_id SEMI join so text never
-    # crosses the fp shuffle — only (fp, doc_id) pairs do
-    fp = base0.select("doc_id", _doc_fp_expr().alias("fp"))
-    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    survivors = base0.join(keep_ids, "doc_id", "semi").select(
-        "doc_id", tokens_expr("text").alias("toks")
-    )
-    # stage 2 — line-level boilerplate scrub among survivors (q208)
-    lines = _unit_fanout_from(survivors, _LINE, "line")
-    kept_lines = lines.join(_boiler_set(lines, "line_text"), "line_text", "left_anti")
-    scrubbed = kept_lines.groupBy("doc_id").agg(
-        F.sum("line_len").alias("scrub_kept_tokens"),
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_id", "line_text"))),
-                lambda s: F.split(s["line_text"], " "),
-            )
-        ).alias("toks"),
-    )
-    # stage 3 — span keep-first dedup (q207) on post-scrub tokens; only
-    # kept-token counts are needed, so no reassembly text is built
-    spans = _unit_fanout_from(scrubbed.select("doc_id", "toks"), _SPAN, "span")
-    span_kept = (
-        spans.groupBy("span_text")
-        .agg(
-            F.min(F.struct("doc_id", "span_id")).alias("fo"),
-            F.max("span_len").alias("span_len"),
-        )
-        .select(F.col("fo.doc_id").alias("doc_id"), "span_len")
-        .groupBy("doc_id")
-        .agg(F.sum("span_len").alias("span_kept_tokens"))
-    )
+    keep_ids, scrubbed, span_kept = _curation_stages(base0)
     # ledger — all joins on doc_id
     totals = base0.select(
         "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
@@ -2018,42 +2042,7 @@ base1 AS (
   SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '[\\s\\x0b]+') AS toks
   FROM docs d JOIN keep_ids k ON d.doc_id = k.doc_id
 ),
-units1 AS (
-{_unit_body_sql(_LINE, "line", "base1")}
-),
-df1 AS (
-  SELECT s.line_text AS line_text, COUNT(DISTINCT doc_id) AS df
-  FROM units1 GROUP BY s.line_text
-),
-kept_lines AS (
-  SELECT l.doc_id AS doc_id, l.s.line_id AS line_id,
-         l.s.line_text AS line_text, l.s.line_len AS line_len
-  FROM units1 l JOIN df1 d ON l.s.line_text = d.line_text
-  WHERE d.df < {_BOILER_DF}
-),
-scrubbed AS (
-  SELECT doc_id, SUM(line_len) AS scrub_kept_tokens,
-         STRING_AGG(line_text, ' ' ORDER BY line_id) AS clean_text
-  FROM kept_lines GROUP BY doc_id
-),
-base2 AS (
-  SELECT doc_id, STRING_SPLIT_REGEX(clean_text, '[\\s\\x0b]+') AS toks
-  FROM scrubbed
-),
-spans AS (
-{_unit_body_sql(_SPAN, "span", "base2")}
-),
-ranked AS (
-  SELECT doc_id, s.span_text AS span_text, s.span_len AS span_len,
-         ROW_NUMBER() OVER (PARTITION BY s.span_text
-                            ORDER BY doc_id, s.span_id) AS rn
-  FROM spans
-),
-sp AS (
-  SELECT doc_id,
-         SUM(CASE WHEN rn = 1 THEN span_len ELSE 0 END) AS span_kept_tokens
-  FROM ranked GROUP BY doc_id
-)
+""" + _curation_stage_sql("units1", "df1", "base1") + f"""
 SELECT f.doc_id AS doc_id,
   CAST(f.n_tokens AS BIGINT) AS n_tokens,
   CAST(CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_quality,
@@ -2100,37 +2089,11 @@ def q213_filtered_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
     d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base0 = d0.repartition(n_shuffle, F.col("doc_id")).select("doc_id", "text")
-    # stage 0 — quality gate: only survivor doc_ids ride the join
-    filtered = base0.join(qkeep, "doc_id", "semi")
-    # stage 1 — exact doc dedup among quality survivors (q210's stage 1)
-    fp = filtered.select("doc_id", _doc_fp_expr().alias("fp"))
-    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    survivors = filtered.join(keep_ids, "doc_id", "semi").select(
-        "doc_id", tokens_expr("text").alias("toks")
-    )
-    # stage 2 — line scrub, df over the filtered+deduplicated corpus
-    lines = _unit_fanout_from(survivors, _LINE, "line")
-    kept_lines = lines.join(_boiler_set(lines, "line_text"), "line_text", "left_anti")
-    scrubbed = kept_lines.groupBy("doc_id").agg(
-        F.sum("line_len").alias("scrub_kept_tokens"),
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_id", "line_text"))),
-                lambda s: F.split(s["line_text"], " "),
-            )
-        ).alias("toks"),
-    )
-    # stage 3 — span keep-first on post-scrub tokens (q210's stage 3)
-    spans = _unit_fanout_from(scrubbed.select("doc_id", "toks"), _SPAN, "span")
-    span_kept = (
-        spans.groupBy("span_text")
-        .agg(
-            F.min(F.struct("doc_id", "span_id")).alias("fo"),
-            F.max("span_len").alias("span_len"),
-        )
-        .select(F.col("fo.doc_id").alias("doc_id"), "span_len")
-        .groupBy("doc_id")
-        .agg(F.sum("span_len").alias("span_kept_tokens"))
+    # stage 0 — quality gate: only survivor doc_ids ride the join;
+    # stages 1-3 are the shared chain over the gated relation (the df
+    # table is counted over the filtered, deduplicated corpus)
+    keep_ids, scrubbed, span_kept = _curation_stages(
+        base0.join(qkeep, "doc_id", "semi")
     )
     # ledger — the spine is a cheap base-scan projection (doc_id,
     # n_tokens), NOT q212's output (see the cache note above);

@@ -1653,17 +1653,24 @@ def test_doc_unit_fanout_roundtrip_identity(spark, width):
 def test_scrub_and_rep_sql_generators_pin():
     """The r9 oracle-SQL factorings must not move the pre-existing oracle
     strings by a single byte (driver hashes would silently re-baseline):
-    _Q208_SQL is now generated by _scrub_sql(...) and _Q206_SQL by
-    _REP_CTES concatenation — pin both to the sha256 of the r8 literals."""
+    _Q208_SQL is now generated by _scrub_sql(...), _Q206_SQL/_Q212_SQL by
+    _REP_CTES/_Q212_CTES concatenation, and _Q210_SQL embeds the shared
+    _curation_stage_sql chain — pin all four to the sha256 of the
+    pre-factoring literals (q208/q206 are the r8 strings; q210's r8
+    string is unchanged by the chain factoring; q212's is its r9
+    introduction string, now load-bearing because q213's oracle builds
+    on the same CTE stack)."""
     import hashlib
 
     from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
         _LINE,
         _Q208_SQL,
+        _Q210_SQL,
         _scrub_sql,
     )
     from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
         _Q206_SQL,
+        _Q212_SQL,
     )
 
     assert _Q208_SQL == _scrub_sql(_LINE, "line", "n_lines", "kept_lines")
@@ -1674,6 +1681,14 @@ def test_scrub_and_rep_sql_generators_pin():
     assert (
         hashlib.sha256(_Q206_SQL.encode()).hexdigest()
         == "1eadb81746bddf980925595aae83ec414ceed3d315a455b1949372dfe727f557"
+    )
+    assert (
+        hashlib.sha256(_Q210_SQL.encode()).hexdigest()
+        == "7d75fb022c0dbfebee4d124a563a9d97e49e3a21bb3368f21f6a26b9e8254243"
+    )
+    assert (
+        hashlib.sha256(_Q212_SQL.encode()).hexdigest()
+        == "77d0db5289434ed1bf335f628ad84193deb7e5d1487b1d60d662c1cda8f9d035"
     )
 
 
