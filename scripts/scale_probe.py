@@ -644,7 +644,8 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
 
     out = []
     fns = {n: em.queries()[n] for n in
-           ("q206_repetition_signals", "q212_gopher_quality_filter")}
+           ("q206_repetition_signals", "q212_gopher_quality_filter",
+            "q213_filtered_curation_pipeline")}
     # per-query summary aggregates that reference every branch's outputs:
     # a bare count(1) lets ColumnPruning delete q212's entire token-stats
     # branch (tokens_expr / sum_len / alpha / stopword filters) and every
@@ -667,6 +668,14 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
             F.sum("stopword_tokens"),
             F.sum("top_bigram_count"),
             F.sum("dup_trigram_tokens"),
+        ),
+        "q213_filtered_curation_pipeline": lambda df: df.agg(
+            F.count("*"),
+            F.sum("kept_quality"),
+            F.sum("kept_exact"),
+            F.sum("n_tokens"),
+            F.sum("scrub_kept_tokens"),
+            F.sum("span_kept_tokens"),
         ),
     }
     for m in scales:
