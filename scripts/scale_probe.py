@@ -693,6 +693,10 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
                 "m": m,
                 "rows": int(row[0]),
                 "flagged_or_kept": int(row[1]),
+                # the remaining summary sums are recorded, not just
+                # computed-to-defeat-ColumnPruning: SCALE.md's q213
+                # plateau evidence must be reproducible from this JSON
+                "ledger_sums": [int(v) for v in row[2:]],
                 "cold_sec": secs[0],
                 "warm_sec": secs[1],
             }

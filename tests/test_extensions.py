@@ -1690,6 +1690,16 @@ def test_scrub_and_rep_sql_generators_pin():
         hashlib.sha256(_Q212_SQL.encode()).hexdigest()
         == "77d0db5289434ed1bf335f628ad84193deb7e5d1487b1d60d662c1cda8f9d035"
     )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q213_SQL,
+    )
+
+    # q213's glue CTEs (qkeep/docs/keep_ids/base1 + the final SELECT) are
+    # literal text the q210/q212 pins do not transitively protect
+    assert (
+        hashlib.sha256(_Q213_SQL.encode()).hexdigest()
+        == "9929aaeed9464aba9689f477b2766f40598002e1b86b24c4bc6ace053091c17b"
+    )
 
 
 def test_q211_paragraph_scrub_edge_cases(spark, tmp_path):
