@@ -705,7 +705,11 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
 
     # (b) AQE join-strategy flip at the largest corpus: tiny broadcast
     # budgets force the stats<->repetition join to SMJ; the ledger must
-    # not move a byte. md5 over a canonical per-row string, order-free.
+    # not move a byte. md5 per row, then sort-collect the full digests
+    # and hash the concatenation — a literal order-free digest of the
+    # whole 128-bit set (r9 ADVICE: a sum of 32-bit prefixes could let
+    # offsetting row changes cancel; this construction cannot). Bounded:
+    # probe corpora are a few thousand rows, so the collect_list fits.
     d = build_corpus(spark, scales[-1], with_embeddings=False)
     fn = fns["q212_gopher_quality_filter"]
 
@@ -714,7 +718,7 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
         line = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
         return (
             df.select(F.md5(line).alias("h"))
-            .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")))
+            .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
             .collect()[0][0],
             df.count(),
         )
@@ -744,7 +748,7 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
 
             p = strip_initial_plan_sections(explain_str(plan, mode="simple"))
             flip[label] = {
-                "ledger_hash": int(h),
+                "ledger_hash": str(h),
                 "rows": int(n),
                 "bhj": p.count("BroadcastHashJoin"),
                 "smj": p.count("SortMergeJoin"),
