@@ -139,8 +139,18 @@ def _size_band(sa: Column, sb: Column, threshold: float) -> Column:
     return (sb.cast("double") >= sa * threshold) & (sa.cast("double") >= sb * threshold)
 
 
-def bitmask_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bitmask_token_sets(
+    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, lang, mask array<long>, sz): token sets as dense bitmaps.
+
+    ``keep`` (optional doc_id relation) gates the documents scan with a
+    SEMI join BEFORE the dictionary/bitmap build — the q214 composition
+    enumerates near-dup pairs over quality survivors only, and at corpus
+    scale the gate must drop mass before this build, not after the pairs
+    exist. Per-pair Jaccard is encoding-invariant (set sizes and
+    intersections don't depend on the dictionary), so gating here equals
+    filtering pair endpoints afterwards — cheaper, same edges.
 
     Dictionary-encode tokens to per-lang dense indices (a tiny broadcast
     vocab built with one distinct + row_number), then pack each doc's set
@@ -156,6 +166,8 @@ def bitmask_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     same dictionary-encode-then-bitmap idea underlies bitmap indexes and
     roaring bitmaps; this is the flat fixed-width variant."""
     d = load_table(spark, sf_dir, "documents")
+    if keep is not None:
+        d = d.join(keep.select("doc_id"), "doc_id", "semi")
     toks = d.select(
         "doc_id", "lang", F.explode(F.array_distinct(tokens_expr("text"))).alias("tok")
     )
@@ -212,12 +224,17 @@ def _jaccard_mask_expr(ma: Column, mb: Column, sza: Column, szb: Column) -> Colu
     return inter.cast("double") / (sza + szb - inter)
 
 
-def hashed_token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hashed_token_sets(
+    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, lang, hset, sz): distinct tokens hashed ONCE to sorted
     longs. Set ops on long arrays are far cheaper than on string arrays
     (no UTF8 compares, 8-byte elements through joins); a 64-bit collision
-    changing a Jaccard count is astronomically unlikely."""
+    changing a Jaccard count is astronomically unlikely. ``keep`` gates
+    the scan with a doc_id SEMI join (see bitmask_token_sets)."""
     d = load_table(spark, sf_dir, "documents")
+    if keep is not None:
+        d = d.join(keep.select("doc_id"), "doc_id", "semi")
     hset = F.array_sort(
         F.array_distinct(F.transform(tokens_expr("text"), lambda t: F.xxhash64(t)))
     )
@@ -242,9 +259,19 @@ def q44_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Salting one side on hash(doc_id) mod B and replicating the other B ways
     keeps each unordered pair matched exactly once while spreading
     enumeration across lang x B tasks."""
+    return _exact_pairs(spark, sf_dir)
+
+
+def _exact_pairs(
+    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+) -> DataFrame:
+    """q44's scored pair enumeration, parameterized by an optional doc_id
+    gate (``keep`` SEMI-joins the scan before the bitmap build) so the
+    q214 composition can enumerate pairs over quality survivors only.
+    With keep=None this IS q44's plan, expression for expression."""
     tune(spark)
     # cache: the packed-set build (2 small shuffles) feeds both join sides
-    docs = bitmask_token_sets(spark, sf_dir).cache()
+    docs = bitmask_token_sets(spark, sf_dir, keep).cache()
     a = docs.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(_PAIR_SALT))).alias("a")
     b = docs.withColumn(
         "part", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
@@ -303,21 +330,25 @@ def minhash_signature(hset: Column) -> Column:
     )
 
 
-def minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = hashed_token_sets(spark, sf_dir)
+def minhash_docs(
+    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+) -> DataFrame:
+    docs = hashed_token_sets(spark, sf_dir, keep)
     return docs.select(
         "doc_id", "lang", "hset", "sz", minhash_signature(F.col("hset")).alias("sig")
     )
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b) MinHash-LSH candidate pairs: signature scan (narrow)
     -> explode to LSH bands -> equi-join on (band_id, band_hash). This is
     q45's pre-verify stage, exposed separately so the scale probe can
     measure candidate mass (the quantity the S-curve actually governs)
     independent of verify cost."""
     tune(spark)
-    docs = minhash_docs(spark, sf_dir).cache()
+    docs = minhash_docs(spark, sf_dir, keep).cache()
     # lang rides along: the exact-verify bitmaps are dictionary-encoded PER
     # LANG, so a cross-lang candidate pair would popcount meaningless bit
     # overlap (or zip_with a NULL). Same-lang candidates only — matching
@@ -355,7 +386,8 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_verified_pairs(
-    spark: SparkSession, sf_dir: str, *, round_first: bool
+    spark: SparkSession, sf_dir: str, *, round_first: bool,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates + exact bitmap-Jaccard verify at JACCARD_THRESHOLD.
 
@@ -363,9 +395,10 @@ def _lsh_verified_pairs(
     filter runs on: False matches q44/_Q44_SQL (WHERE on the raw score),
     True matches the ROUND-then-WHERE order of q194's oracle — a pair
     whose raw score sits in [t-5e-7, t) exists under True but not False,
-    so callers must pick the order their oracle uses."""
-    cand = lsh_candidate_pairs(spark, sf_dir)
-    masks = bitmask_token_sets(spark, sf_dir).cache()
+    so callers must pick the order their oracle uses. ``keep`` gates both
+    the candidate build and the verify bitmaps (see bitmask_token_sets)."""
+    cand = lsh_candidate_pairs(spark, sf_dir, keep)
+    masks = bitmask_token_sets(spark, sf_dir, keep).cache()
     a = masks.select(
         F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a")
     )
@@ -805,9 +838,11 @@ def q73_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-pair source for clustering/curation (q73/q78), switchable
-    via SPARK_GRAFT_NEARDUP_CANDIDATES:
+def neardup_pairs(
+    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+) -> DataFrame:
+    """Candidate-pair source for clustering/curation (q73/q78/q214),
+    switchable via SPARK_GRAFT_NEARDUP_CANDIDATES:
 
       exact (default) — q44's within-lang blocked all-pairs: the oracle
         baseline, exact by construction, quadratic per lang block.
@@ -817,13 +852,22 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         1-(1-s^8)^4 ≈ 0.99 at the boundary, ~1.0 above it —
         tests/test_dedup_properties.py pins LSH-vs-exact parity on the
         testdata corpus.
-    """
+
+    ``keep`` (optional doc_id relation) restricts the pair graph to the
+    induced subgraph on those documents — enforced by gating the SCAN,
+    not by filtering endpoints afterwards, so the expensive build only
+    ever sees surviving mass (pair existence is pairwise, so the two are
+    equivalent; the induced-subgraph point matters one level up, where
+    connected components over the gated edges CAN differ from restricting
+    full-corpus components — removing a junk node may split a cluster)."""
     import os
 
     mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES", "exact")
     if mode == "lsh":
-        return q45_minhash_lsh_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    return q44_ngram_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
+        return _lsh_verified_pairs(
+            spark, sf_dir, round_first=False, keep=keep
+        ).select("doc_a", "doc_b")
+    return _exact_pairs(spark, sf_dir, keep).select("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -2115,6 +2159,196 @@ def q213_filtered_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
             "doc_id",
             "n_tokens",
             F.coalesce("kept_quality", F.lit(0)).cast("bigint").alias("kept_quality"),
+            F.coalesce("kept_exact", F.lit(0)).cast("bigint").alias("kept_exact"),
+            F.coalesce("scrub_kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("scrub_kept_tokens"),
+            F.coalesce("span_kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("span_kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214: fuzzy curation pipeline (filter -> NEAR-dup -> exact -> scrub -> span)
+# ---------------------------------------------------------------------------
+# q213 chains filter -> EXACT dedup -> scrub -> spans; published curation
+# stacks (RefinedWeb §3.3 / Fig. 2, Dolma, Gopher A2) also run a FUZZY
+# document-dedup stage — MinHash-style near-duplicate clustering with one
+# keeper per cluster — between the quality filter and the exact stages.
+# q214 is that full five-stage chain: stage 0 q212's Gopher gate, stage 1
+# near-dup pair graph at JACCARD_THRESHOLD over the SURVIVOR corpus ->
+# connected components -> keep each cluster's min doc_id (q44/q45 + q73
+# composed, the q78 machinery), stages 2-4 are q210's chain (exact
+# fingerprint dedup -> line scrub -> span keep-first) over the fuzzy
+# survivors. Ledger: (doc_id, n_tokens, kept_quality, kept_fuzzy,
+# kept_exact, scrub_kept_tokens, span_kept_tokens).
+#
+# STAGE-ORDER RATIONALE, beyond q213's: (a) the pair graph is built over
+# quality survivors only, and the CLUSTERING is decision-bearing on that
+# choice — connected components of the induced subgraph differ from
+# restricting full-corpus components (dropping a junk node can split a
+# cluster, and a junk node must never be the argmin keeper that evicts a
+# passing near-duplicate; pinned by a hand corpus where the near-dup
+# pair's low-doc_id copy fails the gate). (b) Fuzzy-before-exact is the
+# published order and keeps the exact stage load-bearing for exactly the
+# pairs fuzzy cannot see: q44/q45 block pairs within lang, so identical
+# text under two lang labels is invisible to the fuzzy stage and caught
+# by the global fingerprint argmin (pinned). (c) Same-lang exact
+# duplicates have Jaccard 1.0 and are already collapsed by the fuzzy
+# cluster keeper — for those docs the drop ATTRIBUTION moves from
+# kept_exact to kept_fuzzy vs q213, which is the semantics an operator
+# tuning the stack wants (the fuzzy stage's yield cost includes its
+# exact-duplicate subset, as published yield tables report it).
+#
+# Determinism: the ledger is all-integer; pair existence is q44's exact
+# within-lang token-set Jaccard (threshold on the RAW score — q44's
+# adjudicated order), cluster labels are min-over-component (engine-free),
+# q212/q210's integer machinery is reused verbatim — the only float is
+# the Jaccard comparison itself, computed as the SAME single IEEE
+# division on both engines (q44's driver-green construction). Candidate
+# discovery is env-switchable exact->LSH (neardup_pairs): exact is the
+# oracle-checkable default, banded MinHash-LSH is the 100 TB path
+# (precision 1.0 by construction — verified pairs only — so the ledger
+# is identical whenever LSH recall is 1, which test_dedup_properties
+# pins on this corpus; the q78 precedent).
+#
+# 100 TB shape: the gate drops mass BEFORE the pair build (keep= gates
+# the scan, not the pair endpoints), signatures/bitmaps ship instead of
+# text, banding keeps candidates an equi-join, components converge in
+# O(diameter) rounds of partial-agg min-label propagation with
+# localCheckpoint lineage cuts and 1-row convergence collects, and the
+# downstream stages are q210's adjudicated shapes. No reference
+# equivalent (SURVEY.md §2.10 north-star extension).
+
+_Q214_SQL = _Q212_CTES_SQL.replace("WITH base AS", "WITH RECURSIVE base AS", 1) + f""",
+qkeep AS (
+  SELECT doc_id FROM flags
+  WHERE pass_length AND pass_word_len AND pass_alpha AND pass_stopwords
+    AND pass_repetition
+),
+docs AS (
+  SELECT d.doc_id AS doc_id, d.text AS text, d.lang AS lang
+  FROM documents d JOIN qkeep q ON d.doc_id = q.doc_id
+  WHERE d.text IS NOT NULL
+),
+dt AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS toks
+  FROM docs
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM dt a JOIN dt b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+        / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+fkeep AS (
+  SELECT d.doc_id AS doc_id, d.text AS text
+  FROM docs d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+),
+docs2 AS (
+  SELECT doc_id, text, {_DOC_FP_SQL} AS fp FROM fkeep
+),
+keep_ids AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs2 GROUP BY fp
+),
+base1 AS (
+  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '[\\s\\x0b]+') AS toks
+  FROM docs2 d JOIN keep_ids k ON d.doc_id = k.doc_id
+),
+""" + _curation_stage_sql("units1", "df1", "base1") + """
+SELECT f.doc_id AS doc_id,
+  CAST(f.n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_quality,
+  CAST(CASE WHEN fz.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_fuzzy,
+  CAST(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_exact,
+  CAST(COALESCE(b.scrub_kept_tokens, 0) AS BIGINT) AS scrub_kept_tokens,
+  CAST(COALESCE(v.span_kept_tokens, 0) AS BIGINT) AS span_kept_tokens
+FROM flags f
+LEFT JOIN qkeep q ON f.doc_id = q.doc_id
+LEFT JOIN fkeep fz ON f.doc_id = fz.doc_id
+LEFT JOIN keep_ids k ON f.doc_id = k.doc_id
+LEFT JOIN scrubbed b ON f.doc_id = b.doc_id
+LEFT JOIN sp v ON f.doc_id = v.doc_id
+"""
+
+# the .replace() above must have actually armed the recursive keyword —
+# a silent miss would surface only as a DuckDB parse error at driver time
+assert _Q214_SQL.lstrip().startswith("WITH RECURSIVE base AS")
+
+
+@query("q214_fuzzy_curation_pipeline", _Q214_SQL)
+def q214_fuzzy_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy curation composition (RefinedWeb §3.3 / Dolma's full stack):
+    q212's Gopher-rule filter -> MinHash/Jaccard NEAR-dup clustering among
+    the survivors with one keeper per connected component (q44/q45 + q73)
+    -> q43-style exact fingerprint dedup -> q208 line scrub -> q207 span
+    keep-first; returns the per-document integer yield ledger (doc_id,
+    n_tokens, kept_quality, kept_fuzzy, kept_exact, scrub_kept_tokens,
+    span_kept_tokens). See the block comment above for the stage-order
+    rationale (the cluster keeper is chosen among quality survivors; the
+    exact stage stays load-bearing for cross-lang identical text), the
+    exact->LSH candidate switch, and the 100 TB plan shape."""
+    from .text import q212_gopher_quality_filter
+
+    # ONE cached bounded doc_id verdict set, exactly q213's adjudicated
+    # structure (three consumers here: the pair-graph gate, the stage-0
+    # semi gate, and the ledger's kept_quality column); released by
+    # session.release_session_state, the documented cleanup contract.
+    qkeep = (
+        q212_gopher_quality_filter(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .cache()
+    )
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base0 = d0.repartition(n_shuffle, F.col("doc_id")).select("doc_id", "text")
+    # stage 1 — fuzzy dedup over the GATED corpus: pair graph (keep= gates
+    # the scan), min-label connected components, drop every non-keeper
+    pairs = neardup_pairs(spark, sf_dir, keep=qkeep)
+    clusters = connected_components(pairs, "doc_a", "doc_b")
+    non_keepers = clusters.filter(F.col("comp") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    gated = base0.join(qkeep, "doc_id", "semi")
+    fkeep = gated.join(non_keepers, "doc_id", "left_anti")
+    # stages 2-4 — the shared exact-dedup/scrub/span chain over the fuzzy
+    # survivors (the df table counts the filtered, fuzzy-deduped corpus)
+    keep_ids, scrubbed, span_kept = _curation_stages(fkeep)
+    totals = base0.select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        totals.join(
+            qkeep.select("doc_id", F.lit(1).alias("kept_quality")), "doc_id", "left"
+        )
+        .join(fkeep.select("doc_id", F.lit(1).alias("kept_fuzzy")), "doc_id", "left")
+        .join(
+            keep_ids.select("doc_id", F.lit(1).alias("kept_exact")), "doc_id", "left"
+        )
+        .join(scrubbed.select("doc_id", "scrub_kept_tokens"), "doc_id", "left")
+        .join(span_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_quality", F.lit(0)).cast("bigint").alias("kept_quality"),
+            F.coalesce("kept_fuzzy", F.lit(0)).cast("bigint").alias("kept_fuzzy"),
             F.coalesce("kept_exact", F.lit(0)).cast("bigint").alias("kept_exact"),
             F.coalesce("scrub_kept_tokens", F.lit(0))
             .cast("bigint")

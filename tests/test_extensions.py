@@ -1700,6 +1700,16 @@ def test_scrub_and_rep_sql_generators_pin():
         hashlib.sha256(_Q213_SQL.encode()).hexdigest()
         == "9929aaeed9464aba9689f477b2766f40598002e1b86b24c4bc6ace053091c17b"
     )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q214_SQL,
+    )
+
+    # q214's glue (the RECURSIVE arm, the pair/closure CTEs, the final
+    # SELECT) is likewise literal text; its r10 introduction string
+    assert (
+        hashlib.sha256(_Q214_SQL.encode()).hexdigest()
+        == "11edcd8ad058dd0900956c94a3845b39f2ffbd3d1596e8854638151e0837b79d"
+    )
 
 
 def test_q211_paragraph_scrub_edge_cases(spark, tmp_path):
@@ -2019,3 +2029,184 @@ def test_q213_consistency_with_q212_sf(spark):
             assert v["kept_exact"] == v["scrub_kept_tokens"] == v["span_kept_tokens"] == 0, k
     # the gate fires on real data
     assert any(v["kept_quality"] == 0 for v in r213.values())
+
+
+def _write_docs(spark, tmp_path, docs):
+    """Hand corpus helper for the q214 pins: (doc_id, lang, text) rows —
+    lang is load-bearing here (the fuzzy pair graph blocks within lang),
+    unlike the q210/q213 corpora."""
+    import os
+
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_q214_fuzzy_stage_decision_pins(spark, tmp_path):
+    """Pin q214's load-bearing stage decisions on a hand corpus:
+
+    (a) filter-first gates the PAIR GRAPH — a near-duplicate pair whose
+        low-doc_id copy fails quality (identical token SET, so Jaccard is
+        1.0, but a repeated bigram trips the repetition rule) must leave
+        the passing copy un-clustered and kept (an unfiltered pair graph
+        would let the junk copy win the cluster argmin and evict it);
+    (b) a same-lang near-dup pair both passing quality: the higher doc_id
+        is dropped AT THE FUZZY STAGE (kept_fuzzy=0, attribution moves
+        off kept_exact);
+    (c) identical text under TWO lang labels is invisible to the
+        within-lang fuzzy stage (both kept_fuzzy=1) and caught by the
+        global exact fingerprint argmin (higher copy kept_exact=0) — the
+        reason fuzzy-before-exact keeps the exact stage load-bearing.
+
+    Then check Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q214_SQL,
+        q214_fuzzy_curation_pipeline,
+    )
+
+    base2 = "the alpha bravo charlie delta echo foxtrot golf hotel india of"
+    docs = [
+        # (a) junk near-dup: doc2's token SET reordered + 'echo golf' x6
+        # (set unchanged -> J(1,2)=1.0; top bigram 6/23 trips repetition)
+        (1, "en", "alpha bravo charlie delta echo foxtrot golf hotel india "
+                  "the of echo golf echo golf echo golf echo golf echo golf "
+                  "echo golf"),
+        (2, "en", base2),
+        # (b) same-lang passing near-dup pair: same token set, two orders
+        (3, "en", "the juliet kilo lima mike november oscar papa quebec romeo of"),
+        (4, "en", "the kilo juliet lima mike november oscar papa quebec romeo of"),
+        # (c) identical text, two langs: same fingerprint, no fuzzy pair
+        (5, "en", "the sierra tango uniform victor whiskey xray yankee zulu golfx of"),
+        (6, "fr", "the sierra tango uniform victor whiskey xray yankee zulu golfx of"),
+        # unique passing doc
+        (7, "en", "the amber boulder cedar dune ember fjord grove harbor inlet of"),
+        # fails the length rule -> contributes nothing downstream
+        (8, "en", "too short"),
+        (9, "en", None),  # NULL text: excluded entirely
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    rows = {r["doc_id"]: r.asDict() for r in q214_fuzzy_curation_pipeline(spark, d).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7, 8}
+
+    def stages(k):
+        r = rows[k]
+        return (r["kept_quality"], r["kept_fuzzy"], r["kept_exact"])
+
+    assert stages(1) == (0, 0, 0)  # junk: repetition rule
+    assert stages(2) == (1, 1, 1)  # survives — its only near-dup is junk
+    assert stages(3) == (1, 1, 1)  # cluster {3,4} keeper
+    assert stages(4) == (1, 0, 0)  # dropped AT THE FUZZY STAGE
+    assert stages(5) == (1, 1, 1)  # exact keeper of the cross-lang pair
+    assert stages(6) == (1, 1, 0)  # fuzzy-blind, caught by exact dedup
+    assert stages(7) == (1, 1, 1)
+    assert stages(8) == (0, 0, 0)  # length gate
+    for k in (1, 4, 6, 8):
+        assert rows[k]["scrub_kept_tokens"] == rows[k]["span_kept_tokens"] == 0, k
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q214_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+
+def test_q214_equals_q213_when_fuzzy_is_vacuous(spark, tmp_path):
+    """Equivalence pin: on a corpus with NO same-lang near-dup pairs at
+    the threshold, q214's fuzzy stage is the identity — its stage columns
+    must equal q213's ledger exactly, with kept_fuzzy == kept_quality.
+    The corpus still fires every OTHER stage: a cross-lang exact
+    duplicate (dropped at the exact stage by both compositions), a df=2
+    boilerplate line among survivors, and a failing-quality doc."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q213_filtered_curation_pipeline,
+        q214_fuzzy_curation_pipeline,
+    )
+
+    boiler = "the menu home about contact"
+    docs = [
+        (1, "en", boiler + " a quality document with plenty real content here today"),
+        (2, "en", boiler + " a different second document body with more words here"),
+        (3, "en", "the third document is a plain unique body of twelve words"),
+        (4, "fr", "the third document is a plain unique body of twelve words"),
+        (5, "en", "too short"),
+        (6, "en", None),
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    r214 = {r["doc_id"]: r.asDict() for r in q214_fuzzy_curation_pipeline(spark, d).collect()}
+    r213 = {r["doc_id"]: r.asDict() for r in q213_filtered_curation_pipeline(spark, d).collect()}
+    assert set(r214) == set(r213) == {1, 2, 3, 4, 5}
+    for k, v in r214.items():
+        assert v["kept_fuzzy"] == v["kept_quality"], k  # fuzzy fired nowhere
+        for col in ("n_tokens", "kept_quality", "kept_exact",
+                    "scrub_kept_tokens", "span_kept_tokens"):
+            assert v[col] == r213[k][col], (k, col)
+    # sanity: the other stages actually fired
+    assert r214[4]["kept_exact"] == 0 and r214[4]["kept_fuzzy"] == 1
+    assert r214[5]["kept_quality"] == 0
+    assert r214[1]["scrub_kept_tokens"] < r214[1]["n_tokens"]
+
+
+def test_q214_consistency_sf(spark):
+    """q214 on the sf corpus: stage monotonicity (each kept_* implies the
+    previous; span <= scrub <= n_tokens; dropped docs all-zero),
+    kept_quality equals q212's verdict per document, and every
+    fuzzy-stage drop is JUSTIFIED — the dropped doc touches at least one
+    verified near-dup edge of the quality-survivor pair graph."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        neardup_pairs,
+        q214_fuzzy_curation_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+
+    r214 = {r["doc_id"]: r.asDict() for r in q214_fuzzy_curation_pipeline(spark, SF).collect()}
+    r212 = {r["doc_id"]: r.asDict() for r in q212_gopher_quality_filter(spark, SF).collect()}
+    assert set(r214) == set(r212) and len(r214) > 0
+    for k, v in r214.items():
+        assert v["kept_quality"] == int(r212[k]["kept"]), k
+        assert v["kept_fuzzy"] <= v["kept_quality"], k
+        assert v["kept_exact"] <= v["kept_fuzzy"], k
+        assert v["span_kept_tokens"] <= v["scrub_kept_tokens"] <= v["n_tokens"], k
+        if v["kept_fuzzy"] == 0:
+            assert v["kept_exact"] == v["scrub_kept_tokens"] == v["span_kept_tokens"] == 0, k
+    # the fuzzy stage fires on real data...
+    dropped = {k for k, v in r214.items() if v["kept_quality"] == 1 and v["kept_fuzzy"] == 0}
+    assert dropped
+    # ...and every drop is edge-justified on the gated pair graph
+    qkeep = (
+        q212_gopher_quality_filter(spark, SF).filter(F.col("kept")).select("doc_id")
+    )
+    edges = neardup_pairs(spark, SF, keep=qkeep).collect()
+    touched = {r["doc_a"] for r in edges} | {r["doc_b"] for r in edges}
+    assert dropped <= touched
+
+
+def test_q214_lsh_mode_matches_exact_mode(spark, monkeypatch):
+    """q214 with SPARK_GRAFT_NEARDUP_CANDIDATES=lsh must produce the
+    identical ledger on the testdata corpus — LSH verified pairs are
+    exact (precision 1.0), so any divergence is a recall miss, and this
+    corpus's near-dup pairs sit far enough above the threshold that the
+    S-curve gives recall 1 (the q73 parity precedent)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q214_fuzzy_curation_pipeline,
+    )
+
+    exact = sorted(tuple(r) for r in q214_fuzzy_curation_pipeline(spark, SF).collect())
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_CANDIDATES", "lsh")
+    lsh = sorted(tuple(r) for r in q214_fuzzy_curation_pipeline(spark, SF).collect())
+    assert exact == lsh
