@@ -768,6 +768,92 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     return out
 
 
+def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
+    """The q214 order-sheet probe: m-axis clock for the fuzzy curation
+    composition under BOTH candidate modes — exact (q44's within-lang
+    all-pairs, the oracle default, quadratic per lang block) and lsh
+    (banded MinHash, the 100 TB path, ~linear candidate mass). The copies
+    are affine vocabulary permutations, so each m-fold corpus carries m
+    copies of the natural within-lang near-dup structure while cross-copy
+    overlap stays at background — true pairs grow ~m, but exact-mode
+    PREDICATE EVALUATIONS grow ~m^2 within each lang block. The probe
+    exists to measure that divergence, and to check the two modes'
+    ledgers stay IDENTICAL as the corpus grows (LSH precision is 1.0 by
+    construction, so any divergence is a recall miss). Ledger digest is
+    the literal order-free set hash (sort-collect full per-row md5s,
+    hash the concatenation). Warm 2nd-run timings; the summary references
+    EVERY output column (the r9 probe-validity rule)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    fn = em.queries()["q214_fuzzy_curation_pipeline"]
+    out = []
+
+    def summary(df):
+        return df.agg(
+            F.count("*"),
+            F.sum("kept_quality"),
+            F.sum("kept_fuzzy"),
+            F.sum("kept_exact"),
+            F.sum("n_tokens"),
+            F.sum("scrub_kept_tokens"),
+            F.sum("span_kept_tokens"),
+        )
+
+    def set_digest(df):
+        line = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+        return (
+            df.select(F.md5(line).alias("h"))
+            .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
+            .collect()[0][0]
+        )
+
+    saved_mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES")
+    try:
+        for m in scales:
+            d = build_corpus(spark, m, with_embeddings=False)
+            digests = {}
+            for mode in ("exact", "lsh"):
+                os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = mode
+                secs = []
+                for _ in range(2):
+                    release(spark)
+                    t0 = time.perf_counter()
+                    row = summary(fn(spark, d)).collect()[0]
+                    secs.append(round(time.perf_counter() - t0, 2))
+                release(spark)
+                digests[mode] = set_digest(fn(spark, d))
+                rec = {
+                    "probe": "q214_fuzzy",
+                    "query": "q214_fuzzy_curation_pipeline",
+                    "mode": mode,
+                    "m": m,
+                    "rows": int(row[0]),
+                    "kept_quality": int(row[1]),
+                    "kept_fuzzy": int(row[2]),
+                    "kept_exact": int(row[3]),
+                    "ledger_sums": [int(v) for v in row[4:]],
+                    "ledger_digest": digests[mode],
+                    "cold_sec": secs[0],
+                    "warm_sec": secs[1],
+                }
+                out.append(rec)
+                print(json.dumps(rec), flush=True)
+            parity = {
+                "probe": "q214_mode_parity",
+                "m": m,
+                "ledger_identical": digests["exact"] == digests["lsh"],
+            }
+            out.append(parity)
+            print(json.dumps(parity), flush=True)
+    finally:
+        if saved_mode is None:
+            os.environ.pop("SPARK_GRAFT_NEARDUP_CANDIDATES", None)
+        else:
+            os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = saved_mode
+    return out
+
+
 def release(spark) -> None:
     # the shared cleanup contract — NOT a private copy (the r3 .toArray()
     # bug showed what a silently-divergent duplicate of this loop costs)
@@ -818,7 +904,27 @@ def main() -> None:
         help="run the q212 quality-filter m-axis + AQE-flip probe (comma "
         "list of corpus multiples, e.g. 1,2,4,8)",
     )
+    ap.add_argument(
+        "--q214-scales",
+        default=None,
+        help="run the q214 fuzzy-curation m-axis probe, both candidate "
+        "modes (comma list of corpus multiples, e.g. 1,2,4)",
+    )
     args = ap.parse_args()
+
+    if args.q214_scales is not None:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-probe-q214")
+        results = q214_fuzzy_probe(
+            spark, tuple(int(m) for m in args.q214_scales.split(","))
+        )
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, "q214_fuzzy_probe_results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+        spark.stop()
+        return
 
     if args.q211_granularity is not None:
         os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
