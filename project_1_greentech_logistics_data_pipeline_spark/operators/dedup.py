@@ -1931,6 +1931,31 @@ def _curation_stages(base: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return keep_ids, scrubbed, span_kept
 
 
+def _yield_ledger(
+    totals: DataFrame, stage_cols: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """The curation compositions' shared ledger assembly: LEFT-join each
+    stage relation (already shaped ``(doc_id, <col>)``) onto the cheap
+    base-scan spine ``totals (doc_id, n_tokens)`` in stage order, then
+    COALESCE every stage column to 0 as bigint. ONE definition so the
+    three compositions' ledgers cannot drift (review-caught — q210/q213/
+    q214 each hand-copied this block, the same failure mode the
+    _curation_stages factoring closed for the stage chain). Builds the
+    exact expression tree the hand-written blocks built: same join
+    order, same coalesce/cast/alias chain — no plan moves."""
+    out = totals
+    for _, rel in stage_cols:
+        out = out.join(rel, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        *[
+            F.coalesce(name, F.lit(0)).cast("bigint").alias(name)
+            for name, _ in stage_cols
+        ],
+    )
+
+
 @query("q210_curation_pipeline", _Q210_SQL)
 def q210_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation composition: q43-style exact document dedup ->
@@ -1949,23 +1974,13 @@ def q210_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = base0.select(
         "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
     )
-    return (
-        totals.join(
-            keep_ids.select("doc_id", F.lit(1).alias("kept_exact")), "doc_id", "left"
-        )
-        .join(scrubbed.select("doc_id", "scrub_kept_tokens"), "doc_id", "left")
-        .join(span_kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("kept_exact", F.lit(0)).cast("bigint").alias("kept_exact"),
-            F.coalesce("scrub_kept_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("scrub_kept_tokens"),
-            F.coalesce("span_kept_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("span_kept_tokens"),
-        )
+    return _yield_ledger(
+        totals,
+        [
+            ("kept_exact", keep_ids.select("doc_id", F.lit(1).alias("kept_exact"))),
+            ("scrub_kept_tokens", scrubbed.select("doc_id", "scrub_kept_tokens")),
+            ("span_kept_tokens", span_kept),
+        ],
     )
 
 
@@ -2146,27 +2161,14 @@ def q213_filtered_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
     totals = base0.select(
         "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
     )
-    return (
-        totals.join(
-            qkeep.select("doc_id", F.lit(1).alias("kept_quality")), "doc_id", "left"
-        )
-        .join(
-            keep_ids.select("doc_id", F.lit(1).alias("kept_exact")), "doc_id", "left"
-        )
-        .join(scrubbed.select("doc_id", "scrub_kept_tokens"), "doc_id", "left")
-        .join(span_kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("kept_quality", F.lit(0)).cast("bigint").alias("kept_quality"),
-            F.coalesce("kept_exact", F.lit(0)).cast("bigint").alias("kept_exact"),
-            F.coalesce("scrub_kept_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("scrub_kept_tokens"),
-            F.coalesce("span_kept_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("span_kept_tokens"),
-        )
+    return _yield_ledger(
+        totals,
+        [
+            ("kept_quality", qkeep.select("doc_id", F.lit(1).alias("kept_quality"))),
+            ("kept_exact", keep_ids.select("doc_id", F.lit(1).alias("kept_exact"))),
+            ("scrub_kept_tokens", scrubbed.select("doc_id", "scrub_kept_tokens")),
+            ("span_kept_tokens", span_kept),
+        ],
     )
 
 
@@ -2334,27 +2336,13 @@ def q214_fuzzy_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = base0.select(
         "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
     )
-    return (
-        totals.join(
-            qkeep.select("doc_id", F.lit(1).alias("kept_quality")), "doc_id", "left"
-        )
-        .join(fkeep.select("doc_id", F.lit(1).alias("kept_fuzzy")), "doc_id", "left")
-        .join(
-            keep_ids.select("doc_id", F.lit(1).alias("kept_exact")), "doc_id", "left"
-        )
-        .join(scrubbed.select("doc_id", "scrub_kept_tokens"), "doc_id", "left")
-        .join(span_kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("kept_quality", F.lit(0)).cast("bigint").alias("kept_quality"),
-            F.coalesce("kept_fuzzy", F.lit(0)).cast("bigint").alias("kept_fuzzy"),
-            F.coalesce("kept_exact", F.lit(0)).cast("bigint").alias("kept_exact"),
-            F.coalesce("scrub_kept_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("scrub_kept_tokens"),
-            F.coalesce("span_kept_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("span_kept_tokens"),
-        )
+    return _yield_ledger(
+        totals,
+        [
+            ("kept_quality", qkeep.select("doc_id", F.lit(1).alias("kept_quality"))),
+            ("kept_fuzzy", fkeep.select("doc_id", F.lit(1).alias("kept_fuzzy"))),
+            ("kept_exact", keep_ids.select("doc_id", F.lit(1).alias("kept_exact"))),
+            ("scrub_kept_tokens", scrubbed.select("doc_id", "scrub_kept_tokens")),
+            ("span_kept_tokens", span_kept),
+        ],
     )

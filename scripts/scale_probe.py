@@ -715,13 +715,7 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
 
     def fingerprint():
         df = fn(spark, d)
-        line = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
-        return (
-            df.select(F.md5(line).alias("h"))
-            .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
-            .collect()[0][0],
-            df.count(),
-        )
+        return _order_free_set_digest(df), df.count()
 
     budgets = {"default": None, "256kb": "262144"}
     flip = {"probe": "q212_aqe_flip", "m": scales[-1]}
@@ -768,6 +762,23 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     return out
 
 
+def _order_free_set_digest(df):
+    """Literal order-free digest of a DataFrame's full row set: md5 per
+    row over every column, sort-collect the 128-bit digests, hash the
+    concatenation. ONE definition shared by every probe that records a
+    'ledger identical' verdict (review-caught duplicate — the r10 ADVICE
+    fix had to rewrite this exact idiom once already, and a second copy
+    is where the next digest fix would silently miss)."""
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+    return (
+        df.select(F.md5(line).alias("h"))
+        .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
+        .collect()[0][0]
+    )
+
+
 def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
     """The q214 order-sheet probe: m-axis clock for the fuzzy curation
     composition under BOTH candidate modes — exact (q44's within-lang
@@ -800,14 +811,6 @@ def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
             F.sum("span_kept_tokens"),
         )
 
-    def set_digest(df):
-        line = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
-        return (
-            df.select(F.md5(line).alias("h"))
-            .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
-            .collect()[0][0]
-        )
-
     saved_mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES")
     try:
         for m in scales:
@@ -821,8 +824,11 @@ def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
                     t0 = time.perf_counter()
                     row = summary(fn(spark, d)).collect()[0]
                     secs.append(round(time.perf_counter() - t0, 2))
+                # digest pass runs on the 2nd run's still-warm caches —
+                # releasing first would re-execute the heaviest query on
+                # the surface from scratch just to hash it (review-caught)
+                digests[mode] = _order_free_set_digest(fn(spark, d))
                 release(spark)
-                digests[mode] = set_digest(fn(spark, d))
                 rec = {
                     "probe": "q214_fuzzy",
                     "query": "q214_fuzzy_curation_pipeline",
