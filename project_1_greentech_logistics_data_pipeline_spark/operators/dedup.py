@@ -40,7 +40,9 @@ from ..sources.readers import load_table
 from .text import DOC_FP_SQL as _DOC_FP_SQL
 from .text import _Q212_CTES as _Q212_CTES_SQL
 from .text import doc_fp_expr as _doc_fp_expr
+from .text import lang_stage_cte_sql as _lang_stage_cte_sql
 from .text import tokens_expr
+from .text2 import _lm_tier_sql
 
 QUERIES: dict = {}
 
@@ -2345,4 +2347,165 @@ def q214_fuzzy_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("scrub_kept_tokens", scrubbed.select("doc_id", "scrub_kept_tokens")),
             ("span_kept_tokens", span_kept),
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216: CCNet pipeline (normalized scrub -> lang-id -> per-lang LM tiers)
+# ---------------------------------------------------------------------------
+# The CCNet-ordered composition (Wenzek et al. 2020, §3-4) — the third
+# published curation stack on the surface, next to the RefinedWeb orders
+# (q210/q213/q214): stage 1 removes cross-document boilerplate with
+# CCNet's own NORMALIZED hash key (q209 semantics — CCNet runs dedup
+# FIRST, §3, noting it strips boilerplate before any model sees the text);
+# stage 2 assigns each survivor a language by q42's marker argmax over the
+# POST-SCRUB tokens (CCNet runs fastText on the deduplicated paragraphs);
+# stage 3 trains q215's per-language add-k bigram LM on the post-scrub
+# corpus, scores each document, and cuts each language into head/middle/
+# tail at thirds of cumulative POST-SCRUB token mass (CCNet buckets by
+# size in perplexity order). Output is one ledger row per non-null input
+# document: original tokens, post-scrub tokens, predicted language,
+# bigram count, LM score, tier ('unscored' for documents that lose every
+# line to the scrub or keep < 2 tokens).
+#
+# STAGE ORDER IS DECISION-BEARING (pinned by test, CCNet's own argument):
+# lang-id on post-scrub text differs from raw text — a document whose only
+# language markers sit in boilerplate lines flips to 'und' after the
+# scrub; and the LM trained on the scrubbed corpus scores differently
+# than q215 over raw text (boilerplate mass no longer inflates its own
+# bigram probabilities). Adaptations from the paper, documented: CCNet's
+# LM is KenLM-trained on Wikipedia — here the LM trains on the corpus
+# itself (q161's in-engine precedent); the accent-strip step of the
+# normalization key is out of scope (q209's documented waiver).
+#
+# Determinism: the Spark side rebuilds each survivor's post-scrub token
+# sequence by flattening kept lines' token arrays while the oracle
+# re-splits the STRING_AGG'd clean text — equivalent by exactly q210's
+# pinned edge-empties argument. Tier masses are the integer kept-token
+# ledger values (identical by q209's construction); the only float is the
+# decimal-pinned avg_neg_logp; the cut is all-integer (q215's rule).
+#
+# 100 TB shape: stage 1 is q209's adjudicated plan (two-stage distinct
+# agg on the SMALLER (norm_key, doc_id) projection, AQE-decided broadcast
+# anti join); the post-scrub ``langed`` relation (doc_id, toks, mass,
+# lang) is cache()d — the module's documented packed-token-set precedent
+# (q44), released by session.release_session_state — because THREE
+# consumers need it (the LM pair fan-out, the mass join, the ledger) and
+# re-deriving the scrub chain per consumer is exactly q213's measured
+# first-cut mistake; the LM stage is q215's adjudicated shape (broadcast
+# pruned LM, per-lang prefix window with the sketch-threshold /
+# distributed-prefix-sum adjudication in q215's block comment). No
+# reference equivalent (SURVEY.md §2.10 north-star extension).
+
+_Q216_SQL = (
+    """WITH base0 AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+units AS (
+"""
+    + _unit_body_sql(_LINE, "line", "base0")
+    + """
+),
+normed AS (
+  SELECT doc_id, s.line_id AS line_id, s.line_text AS line_text,
+         s.line_len AS line_len,
+         """
+    + _norm_line_sql("s.line_text")
+    + """ AS norm_key
+  FROM units
+),
+ndf AS (
+  SELECT norm_key, COUNT(DISTINCT doc_id) AS df FROM normed GROUP BY norm_key
+),
+kept_lines AS (
+  SELECT n.doc_id AS doc_id, n.line_id AS line_id, n.line_text AS line_text,
+         n.line_len AS line_len
+  FROM normed n JOIN ndf d ON n.norm_key = d.norm_key
+  WHERE d.df < """
+    + str(_BOILER_DF)
+    + """
+),
+scrubbed AS (
+  SELECT doc_id, SUM(line_len) AS scrub_kept_tokens,
+         STRING_AGG(line_text, ' ' ORDER BY line_id) AS clean_text
+  FROM kept_lines GROUP BY doc_id
+),
+clean_src AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(clean_text, '[\\s\\x0b]+') AS toks,
+         CAST(scrub_kept_tokens AS BIGINT) AS mass
+  FROM scrubbed
+),
+"""
+    + _lang_stage_cte_sql("clean_src")
+    + """,
+"""
+    + _lm_tier_sql("langed")
+    + """,
+totals AS (
+  SELECT doc_id, LEN(toks) AS n_tokens FROM base0
+)
+SELECT t.doc_id AS doc_id,
+  CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(l.mass, 0) AS BIGINT) AS scrub_kept_tokens,
+  COALESCE(l.lang, 'und') AS predicted_lang,
+  CAST(COALESCE(x.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  x.avg_neg_logp AS avg_neg_logp,
+  COALESCE(x.tier, 'unscored') AS tier
+FROM totals t
+LEFT JOIN langed l ON l.doc_id = t.doc_id
+LEFT JOIN tiered x ON x.doc_id = t.doc_id
+"""
+)
+
+
+@query("q216_ccnet_pipeline", _Q216_SQL)
+def q216_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-ordered curation composition (Wenzek et al. 2020 §3-4):
+    q209 normalized-line boilerplate scrub -> q42 language-ID over the
+    POST-SCRUB tokens -> q215's per-language bigram-LM head/middle/tail
+    tiering by post-scrub token mass. One ledger row per non-null input
+    document: doc_id, n_tokens, scrub_kept_tokens, predicted_lang,
+    n_bigrams, avg_neg_logp, tier. See the block comment above for the
+    decision-bearing stage order (lang-id and the LM both see scrubbed
+    text), the documented CCNet adaptations, and the cached ``langed``
+    relation's 100 TB rationale."""
+    from .text import lang_id_from_toks
+    from .text2 import _lm_tier_df
+
+    lines, totals = _doc_unit_fanout(spark, sf_dir, _LINE, "line")
+    normed = lines.withColumn("norm_key", _norm_line_expr(F.col("line_text")))
+    kept = normed.join(_boiler_set(normed, "norm_key"), "norm_key", "left_anti")
+    scrubbed = kept.groupBy("doc_id").agg(
+        F.sum("line_len").cast("bigint").alias("mass"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "line_text"))),
+                lambda s: F.split(s["line_text"], " "),
+            )
+        ).alias("toks"),
+    )
+    # ONE cached post-scrub relation (module cache contract; released by
+    # session.release_session_state) serving all three downstream reads.
+    langed = scrubbed.select(
+        "doc_id", "toks", "mass", lang_id_from_toks(F.col("toks")).alias("lang")
+    ).cache()
+    tiers = _lm_tier_df(langed)
+    out = (
+        totals.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+        .join(langed.select("doc_id", "mass", "lang"), "doc_id", "left")
+        .join(
+            tiers.select("doc_id", "n_bigrams", "avg_neg_logp", "tier"),
+            "doc_id",
+            "left",
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("mass", F.lit(0)).cast("bigint").alias("scrub_kept_tokens"),
+        F.coalesce("lang", F.lit("und")).alias("predicted_lang"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_neg_logp",
+        F.coalesce("tier", F.lit("unscored")).alias("tier"),
     )

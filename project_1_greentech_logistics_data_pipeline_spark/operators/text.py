@@ -76,24 +76,40 @@ def _in_set(markers: list[str]):
     return lambda t: F.array_contains(arr, t)
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts over the token set — the classic
-    n-gram/stopword heuristic, JVM-side."""
-    toks = tokens_expr(text)
+def lang_scores_from_toks(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over an already-tokenized array —
+    the classic n-gram/stopword heuristic, JVM-side. Factored from
+    lang_scores so composition stages that already hold a token array
+    (q216's post-scrub text) share the SAME expression tree instead of
+    re-tokenizing."""
     return {
         lang: F.size(F.filter(toks, _in_set(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 
 
-def lang_id_expr(text: Column | str) -> Column:
-    """argmax over marker scores; ties resolve in LANG_ORDER; all-zero -> 'und'."""
-    scores = lang_scores(text)
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token set — the classic
+    n-gram/stopword heuristic, JVM-side."""
+    return lang_scores_from_toks(tokens_expr(text))
+
+
+def lang_id_from_toks(toks: Column) -> Column:
+    """argmax over marker scores of a token array; ties resolve in
+    LANG_ORDER; all-zero -> 'und'. THE single Spark-side definition of the
+    language decision — q42 consumes it via lang_id_expr, q216 directly
+    over post-scrub tokens."""
+    scores = lang_scores_from_toks(toks)
     best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
     expr = F.lit("und")
     for lang in reversed(LANG_ORDER):
         expr = F.when((best > 0) & (scores[lang] == best), lang).otherwise(expr)
     return expr
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """argmax over marker scores; ties resolve in LANG_ORDER; all-zero -> 'und'."""
+    return lang_id_from_toks(tokens_expr(text))
 
 
 # ---------------------------------------------------------------------------
@@ -169,19 +185,60 @@ def q41_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_case_sql() -> str:
-    def lst(markers):  # DuckDB list literal: ['a','b',...]
-        return "[" + ", ".join("'" + m + "'" for m in markers) + "]"
+def _duck_list_sql(markers: list[str]) -> str:
+    """DuckDB list literal: ['a','b',...]."""
+    return "[" + ", ".join("'" + m + "'" for m in markers) + "]"
 
+
+def _lang_scores_sel_sql() -> str:
+    """Per-language marker-score select list over a ``toks`` column — the
+    oracle twin of :func:`lang_scores_from_toks`. ONE definition shared by
+    q42's oracle and the q216 composition's post-scrub lang stage
+    (:func:`lang_stage_cte_sql`); generating q42's SQL through it is
+    byte-identical to the pre-refactor literal (sha256-pinned in
+    tests/test_extensions.py::test_lang_and_lm_sql_generators_pin)."""
     score = {
-        lang: f"LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({lst(markers)}, x)))"
+        lang: f"LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_duck_list_sql(markers)}, x)))"
         for lang, markers in LANG_MARKERS.items()
     }
-    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
-    whens = "\n    ".join(
+    return ",\n    ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+
+
+def _lang_best_sql() -> str:
+    return "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+
+
+def _lang_whens_sql() -> str:
+    return "\n    ".join(
         f"WHEN s_{lang} = m AND m > 0 THEN '{lang}'" for lang in LANG_ORDER
     )
-    scores_sel = ",\n    ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+
+
+def lang_stage_cte_sql(src: str) -> str:
+    """Oracle twin of :func:`lang_id_from_toks` for composition stages:
+    CTE pair (``lang_scored``, ``langed``) assigning q42's marker-argmax
+    language over a ``(doc_id, toks, mass)`` CTE named ``src`` — the same
+    score/GREATEST/CASE fragments q42's oracle is generated from, so the
+    language decision has one definition on the oracle side too."""
+    return f"""lang_scored AS (
+  SELECT doc_id, toks, mass,
+    {_lang_scores_sel_sql()}
+  FROM {src}
+),
+langed AS (
+  SELECT doc_id, toks, mass,
+    CASE
+    {_lang_whens_sql()}
+    ELSE 'und'
+  END AS lang
+  FROM (SELECT *, {_lang_best_sql()} AS m FROM lang_scored)
+)"""
+
+
+def _lang_case_sql() -> str:
+    best = _lang_best_sql()
+    whens = _lang_whens_sql()
+    scores_sel = _lang_scores_sel_sql()
     return f"""
 WITH t AS (
   SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks FROM documents

@@ -305,6 +305,231 @@ def q161_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q215: CCNet perplexity tiers (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+# The bucketing stage CCNet (Wenzek et al. 2020, §4.3) runs on top of the
+# LM-perplexity signal: within each language, sort documents by perplexity
+# and cut the corpus into head / middle / tail at one-third and two-thirds
+# of the CUMULATIVE TOKEN MASS (CCNet cuts by size, not document count) —
+# "head" is the most-fluent third, the slice a training run keeps first.
+# q161 provides the signal (add-k bigram LM, decimal-rounded logp); q215 is
+# the DECISION stage, with two CCNet-faithful changes from q161's shape:
+# the LM is trained PER LANGUAGE (CCNet trains one KenLM per language;
+# counts group by (lang, a, b)), and the output carries the tier ledger.
+#
+# Determinism: the only float is avg_neg_logp, q161's pinned construction
+# (each ln() rounds to decimal(38,18) BEFORE the order-free per-doc sum,
+# so the mean is bit-identical on both engines); the tier ORDER BY uses
+# that bit-identical double with a doc_id tie-break (total order), and the
+# cut itself is ALL-INTEGER — head iff 3*cum <= total, middle iff
+# 3*cum <= 2*total — so no threshold arithmetic can drift.
+#
+# 100 TB shape: counts/vocab are partial-aggregatable; the per-lang LM
+# relation is |pruned bigram vocab| rows and BROADCASTS into the scoring
+# join (CCNet's own LMs are pruned the same way — q161's argument). The
+# tier stage is ONE ROW PER DOCUMENT (post-agg, no token fan-out), but the
+# exact cumulative-mass rule is a per-language prefix sum BY DEFINITION —
+# Spark executes the window as one sorted task per language. At 100 TB
+# (~1e9 skinny rows per major language) swap in either (a) broadcast
+# thresholds from a mergeable weighted-quantile sketch (approx_percentile
+# over (score, mass) — CCNet's practical cut, within sketch tolerance), or
+# (b) an exact two-pass distributed prefix sum: repartitionByRange((lang,
+# score, doc_id)), per-partition mass totals collected as offsets (bounded
+# driver state: one row per partition), then per-partition prefix + offset.
+# The exact window form is kept here because the oracle contract requires
+# exactness and the input is doc-count-bounded at test scale; the probe in
+# scripts/scale_probe.py measures the m-axis growth of this stage.
+# No reference equivalent (SURVEY.md §2.10 north-star extension).
+
+
+def _bi_pairs(src: DataFrame, keys: list[str]) -> DataFrame:
+    """Adjacent-token pair fan-out over a ``(*keys, toks)`` relation —
+    q161's sequence construction with the q206 materialize-once lesson
+    applied: ``toks`` is a real column here, so the two slice() calls
+    consume one attribute instead of re-evaluating a split per arm.
+    Shared by q215 and q216 (q161 predates it and keeps its stamped
+    tree)."""
+    t = F.col("toks")
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    return src.select(
+        *keys,
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, n1),
+                F.slice(t, 2, n1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select(*keys, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
+def _lm_tier_sql(src: str) -> str:
+    """Oracle twin of :func:`_lm_tier_df`: the per-language add-k bigram
+    LM + CCNet mass-tier CTE stack (``bi`` .. ``tiered``) over a CTE named
+    ``src`` exposing ``(doc_id, lang, toks, mass)``. ONE definition shared
+    by q215 (labeled lang, raw tokens) and q216 (predicted lang,
+    post-scrub tokens) so the LM and the cut cannot drift between the
+    compositions."""
+    return f"""bi AS (
+  SELECT doc_id, lang,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i])) AS a,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i + 1])) AS b
+  FROM {src}
+),
+big_c AS (SELECT lang, a, b, COUNT(*) AS c_ab FROM bi GROUP BY lang, a, b),
+uni_c AS (SELECT lang, a, COUNT(*) AS c_a FROM bi GROUP BY lang, a),
+vocab AS (SELECT lang, COUNT(DISTINCT b) AS v FROM bi GROUP BY lang),
+lm AS (
+  SELECT bc.lang AS lang, bc.a AS a, bc.b AS b,
+         CAST(LN((bc.c_ab + {_LM_K}) / (uc.c_a + {_LM_K} * vc.v))
+              AS DECIMAL(38,18)) AS logp
+  FROM big_c bc
+  JOIN uni_c uc ON uc.lang = bc.lang AND uc.a = bc.a
+  JOIN vocab vc ON vc.lang = bc.lang
+),
+scored AS (
+  SELECT g.doc_id AS doc_id, g.lang AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(-CAST(SUM(lm.logp) AS DOUBLE) / COUNT(*) AS DOUBLE)
+           AS avg_neg_logp
+  FROM bi g JOIN lm ON lm.lang = g.lang AND lm.a = g.a AND lm.b = g.b
+  GROUP BY g.doc_id, g.lang
+),
+cumed AS (
+  SELECT s.doc_id AS doc_id, s.lang AS lang, m.mass AS mass,
+         s.n_bigrams AS n_bigrams, s.avg_neg_logp AS avg_neg_logp,
+         SUM(m.mass) OVER (PARTITION BY s.lang
+                           ORDER BY s.avg_neg_logp, s.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_mass,
+         SUM(m.mass) OVER (PARTITION BY s.lang) AS lang_mass
+  FROM scored s JOIN {src} m ON m.doc_id = s.doc_id
+),
+tiered AS (
+  SELECT *,
+         CASE WHEN 3 * cum_mass <= lang_mass THEN 'head'
+              WHEN 3 * cum_mass <= 2 * lang_mass THEN 'middle'
+              ELSE 'tail' END AS tier
+  FROM cumed
+)"""
+
+
+def _lm_tier_df(src: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_lm_tier_sql` over a ``(doc_id, lang, toks,
+    mass)`` relation: per-language add-k bigram LM (q161's decimal-pinned
+    logp, counts grouped by lang), per-doc scoring, then the CCNet
+    head/middle/tail cut by cumulative mass (all-integer rule, doc_id
+    tie-break). Returns ``(doc_id, lang, mass, n_bigrams, avg_neg_logp,
+    cum_mass, lang_mass, tier)``. See the q215 block comment for the
+    100 TB adjudication of the per-lang prefix window."""
+    bi = _bi_pairs(src.select("doc_id", "lang", "toks"), ["doc_id", "lang"])
+    big_c = bi.groupBy("lang", "a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni_c = bi.groupBy("lang", "a").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = bi.groupBy("lang").agg(F.countDistinct("b").alias("v"))
+    lm = (
+        big_c.join(uni_c, ["lang", "a"])
+        .join(F.broadcast(vocab), "lang")
+        .select(
+            "lang",
+            "a",
+            "b",
+            F.log((F.col("c_ab") + _LM_K) / (F.col("c_a") + _LM_K * F.col("v")))
+            .cast("decimal(38,18)")
+            .alias("logp"),
+        )
+    )
+    scored = (
+        bi.join(F.broadcast(lm), ["lang", "a", "b"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-(F.sum("logp").cast("double")) / F.count(F.lit(1))).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
+    j = scored.join(src.select("doc_id", "mass"), "doc_id")
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("avg_neg_logp", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("mass").over(wcum)
+    tot = F.sum("mass").over(Window.partitionBy("lang"))
+    tier = (
+        F.when(F.lit(3) * cum <= tot, F.lit("head"))
+        .when(F.lit(3) * cum <= F.lit(2) * tot, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        F.col("mass").cast("bigint").alias("mass"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "avg_neg_logp",
+        cum.cast("bigint").alias("cum_mass"),
+        tot.cast("bigint").alias("lang_mass"),
+        tier.alias("tier"),
+    )
+
+
+_Q215_SQL = (
+    """WITH base AS (
+  SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+src AS (
+  SELECT doc_id, lang, toks, CAST(LEN(toks) AS BIGINT) AS mass FROM base
+),
+"""
+    + _lm_tier_sql("src")
+    + """
+SELECT doc_id, lang,
+  mass AS n_tokens,
+  n_bigrams, avg_neg_logp,
+  CAST(cum_mass AS BIGINT) AS cum_tokens,
+  CAST(lang_mass AS BIGINT) AS lang_tokens,
+  tier
+FROM tiered
+"""
+)
+
+
+@query("q215_ccnet_perplexity_tiers", _Q215_SQL)
+def q215_ccnet_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020 §4.3):
+    train an add-k bigram LM PER LANGUAGE (q161's decimal-pinned logp with
+    lang added to every count key), score each document, then cut each
+    language's corpus at one-third and two-thirds of cumulative token mass
+    in perplexity order — head is the most-fluent third. One row per
+    scoreable document (>= 1 bigram): doc_id, lang, n_tokens, n_bigrams,
+    avg_neg_logp, cum/lang token masses, tier. See the block comment above
+    for the all-integer cut rule and the 100 TB adjudication of the
+    per-language prefix window (sketch thresholds or a two-pass
+    distributed prefix sum at scale)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # explicit doc_id exchange before the pair fan-out — the q206 lesson:
+    # a single-file scan would otherwise run the explode in one task
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = (
+        d.repartition(n_shuffle, F.col("doc_id"))
+        .select("doc_id", "lang", tokens_expr("text").alias("toks"))
+        .withColumn("mass", F.size("toks").cast("bigint"))
+    )
+    t = _lm_tier_df(src)
+    return t.select(
+        "doc_id",
+        "lang",
+        F.col("mass").alias("n_tokens"),
+        "n_bigrams",
+        "avg_neg_logp",
+        F.col("cum_mass").alias("cum_tokens"),
+        F.col("lang_mass").alias("lang_tokens"),
+        "tier",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q165: vocabulary indexing — encode documents as id sequences.
 # ---------------------------------------------------------------------------
 
