@@ -319,10 +319,13 @@ def q161_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism: the only float is avg_neg_logp, q161's pinned construction
 # (each ln() rounds to decimal(38,18) BEFORE the order-free per-doc sum,
-# so the mean is bit-identical on both engines); the tier ORDER BY uses
-# that bit-identical double with a doc_id tie-break (total order), and the
-# cut itself is ALL-INTEGER — head iff 3*cum <= total, middle iff
-# 3*cum <= 2*total — so no threshold arithmetic can drift.
+# so the mean agrees across engines to the driver's round-9 grain; the
+# LAST-ULP of the final decimal->double cast + /n division is engine-
+# dependent, measured on a hand corpus). The tier ORDER BY therefore uses
+# ROUND(mean, 9) with a doc_id tie-break (see the in-code comment in
+# _lm_tier_df for the measured flip this prevents), and the cut itself is
+# ALL-INTEGER — head iff 3*cum <= total, middle iff 3*cum <= 2*total — so
+# no threshold arithmetic can drift.
 #
 # 100 TB shape: counts/vocab are partial-aggregatable; the per-lang LM
 # relation is |pruned bigram vocab| rows and BROADCASTS into the scoring
@@ -399,7 +402,7 @@ cumed AS (
   SELECT s.doc_id AS doc_id, s.lang AS lang, m.mass AS mass,
          s.n_bigrams AS n_bigrams, s.avg_neg_logp AS avg_neg_logp,
          SUM(m.mass) OVER (PARTITION BY s.lang
-                           ORDER BY s.avg_neg_logp, s.doc_id
+                           ORDER BY ROUND(s.avg_neg_logp, 9), s.doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_mass,
          SUM(m.mass) OVER (PARTITION BY s.lang) AS lang_mass
@@ -449,9 +452,20 @@ def _lm_tier_df(src: DataFrame) -> DataFrame:
         )
     )
     j = scored.join(src.select("doc_id", "mass"), "doc_id")
+    # The sort key is the mean ROUNDED TO THE DRIVER'S 9-DECIMAL GRAIN,
+    # not the raw double: the decimal logp sum is exact, but the final
+    # decimal->double cast and the /n division can land 1 ulp apart PER
+    # ENGINE when two documents' means are analytically equal through
+    # different bigram counts (measured: 9x/9 vs 4x/4 on a uniform-LM
+    # hand corpus ordered DIFFERENTLY on Spark and DuckDB, flipping
+    # tiers). Round-9 collapses analytic ties to equal keys — the doc_id
+    # tie-break then gives both engines the same total order; a residual
+    # divergence would need a transcendental ln-mean within 1 ulp of a
+    # 0.5e-9 rounding boundary (measure-zero, and both engines round
+    # half-away-from-zero on the non-negative mean).
     wcum = (
         Window.partitionBy("lang")
-        .orderBy("avg_neg_logp", "doc_id")
+        .orderBy(F.round("avg_neg_logp", 9), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("mass").over(wcum)

@@ -2210,3 +2210,254 @@ def test_q214_lsh_mode_matches_exact_mode(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NEARDUP_CANDIDATES", "lsh")
     lsh = sorted(tuple(r) for r in q214_fuzzy_curation_pipeline(spark, SF).collect())
     assert exact == lsh
+
+
+# ---------------------------------------------------------------------------
+# q215 CCNet perplexity tiers / q216 CCNet pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_lang_and_lm_sql_generators_pin():
+    """The r10 lang-ID fragment factoring must not move q42's generated
+    oracle by a single byte (its driver hash would silently re-baseline),
+    and the two LM-tier consumers must build on the ONE shared generator
+    (hand-copied CTE stacks are exactly how q213's first cut started to
+    drift)."""
+    import hashlib
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q216_SQL,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        _lang_case_sql,
+        lang_stage_cte_sql,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text2 import (
+        _Q215_SQL,
+        _lm_tier_sql,
+    )
+
+    assert (
+        hashlib.sha256(_lang_case_sql().encode()).hexdigest()
+        == "17aee442041e2a34ef2e2fff27b0aa8c04ddb4b42e5e22b394bcf0cbe67384a6"
+    )
+    assert _lm_tier_sql("src") in _Q215_SQL
+    assert _lm_tier_sql("langed") in _Q216_SQL
+    assert lang_stage_cte_sql("clean_src") in _Q216_SQL
+
+
+def _round9(d: dict) -> dict:
+    """The driver-contract float convention: values compare after
+    round(·, 9) (the decimal-pinned LM sum is exact, but the final
+    decimal->double CAST can differ by 1 ulp between engines — measured on
+    the q215 hand corpus: ...239 vs ...237 at the 16th digit)."""
+    return {k: (round(v, 9) if isinstance(v, float) else v) for k, v in d.items()}
+
+
+def test_q215_tier_cut_pins(spark, tmp_path):
+    """Pin q215's load-bearing decisions on a hand corpus:
+
+    (a) score direction — a repetitive document (one repeated bigram) is
+        the most predictable under the corpus LM and sorts head-ward;
+    (b) the all-integer mass boundaries are INCLUSIVE — three equal-mass
+        docs in one language land exactly on 3*cum == total and
+        3*cum == 2*total and must tier head/middle/tail in score order;
+    (c) a language whose single document holds all its mass is 'tail'
+        (3*m <= m and 3*m <= 2*m are both false for m > 0);
+    (d) the LM is per-language: the same text scores differently under a
+        language whose co-corpus differs;
+    (e) documents with < 2 tokens (no bigram) are out of scope.
+
+    Then check Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text2 import (
+        _Q215_SQL,
+        q215_ccnet_perplexity_tiers,
+    )
+
+    diverse = "a b c d e f g h i j"
+    docs = [
+        (1, "aa", "w w w w w w w w w w"),   # repeated bigram -> lowest ppl
+        (2, "aa", diverse),                  # all-distinct bigrams -> highest
+        (3, "aa", "a b a b a b a b a b"),    # in between
+        (4, "bb", "p q r s t u v w x y"),    # single-doc language
+        (5, "cc", diverse),                  # doc2's text, different co-corpus
+        (6, "aa", "solo"),                   # 1 token: no bigram, out of scope
+        (7, "aa", None),                     # NULL text: excluded
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    rows = {r["doc_id"]: r.asDict() for r in q215_ccnet_perplexity_tiers(spark, d).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # (e)
+    # (a) score direction
+    assert rows[1]["avg_neg_logp"] < rows[3]["avg_neg_logp"] < rows[2]["avg_neg_logp"]
+    # (b) equal masses 10/10/10: cum 10 (3*10 <= 30, head), 20 (60 <= 60,
+    # middle), 30 (90 > 60, tail) — both boundaries inclusive
+    assert (rows[1]["tier"], rows[3]["tier"], rows[2]["tier"]) == (
+        "head",
+        "middle",
+        "tail",
+    )
+    assert rows[1]["lang_tokens"] == 30 and rows[1]["cum_tokens"] == 10
+    # (c) single-doc language
+    assert rows[4]["tier"] == "tail" and rows[4]["cum_tokens"] == rows[4]["lang_tokens"]
+    # (d) same text, different language co-corpus -> different score
+    assert rows[5]["avg_neg_logp"] != rows[2]["avg_neg_logp"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q215_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert _round9(sr) == _round9(drows[k]), (k, sr, drows[k])
+
+
+def test_q215_consistency_sf(spark):
+    """q215 on the sf corpus: scope (every non-null doc with >= 2 tokens),
+    per-language mass bookkeeping (lang_tokens == sum of member masses),
+    and the integer cut rule re-derived from the query's own cum/lang
+    columns."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text2 import (
+        q215_ccnet_perplexity_tiers,
+    )
+
+    rows = [r.asDict() for r in q215_ccnet_perplexity_tiers(spark, SF).collect()]
+    assert len(rows) > 0
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, members in by_lang.items():
+        total = members[0]["lang_tokens"]
+        assert all(m["lang_tokens"] == total for m in members), lang
+        assert sum(m["n_tokens"] for m in members) == total, lang
+        members.sort(key=lambda m: (round(m["avg_neg_logp"], 9), m["doc_id"]))
+        cum = 0
+        for m in members:
+            cum += m["n_tokens"]
+            assert m["cum_tokens"] == cum, (lang, m["doc_id"])
+            want = (
+                "head"
+                if 3 * cum <= total
+                else ("middle" if 3 * cum <= 2 * total else "tail")
+            )
+            assert m["tier"] == want, (lang, m["doc_id"])
+        assert m["n_bigrams"] == m["n_tokens"] - 1 or m["n_bigrams"] >= 1
+
+
+def test_q216_stage_decision_pins(spark, tmp_path):
+    """Pin q216's load-bearing stage decisions on a hand corpus:
+
+    (a) lang-id runs on POST-SCRUB text — a document whose only language
+        markers sit in a cross-document boilerplate line flips to 'und'
+        (raw-text lang-id would say 'en');
+    (b) a document that loses every line to the scrub is 'und'/'unscored'
+        with scrub_kept_tokens = 0;
+    (c) a document keeping a single token is scored-out ('unscored') but
+        its kept mass still appears in the ledger;
+    (d) the scrub key is q209's NORMALIZED form — a cased/punctuated
+        variant of the boilerplate line lands in the same df group and is
+        removed;
+    (e) markers OUTSIDE boilerplate survive and the doc is scored in its
+        predicted language (a single-doc language tiers 'tail', the q215
+        boundary rule).
+
+    Then check Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q216_SQL,
+        q216_ccnet_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        lang_id_expr,
+    )
+
+    boiler = "the a of and is"  # exactly one 5-token line, all en markers
+    docs = [
+        (1, "en", boiler + " alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (2, "en", boiler + " kilo lima mike november oscar papa quebec romeo sierra tango"),
+        (3, "en", boiler),                       # loses its only line
+        (4, "en", boiler + " zqx"),              # keeps one token
+        (5, "en", "The, A. Of And Is! uniform victor whiskey xray yankee"),  # (d)
+        (6, "en", "the quick brown fox jumps over the lazy dog today"),      # (e)
+        (7, "en", None),
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    rows = {r["doc_id"]: r.asDict() for r in q216_ccnet_pipeline(spark, d).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    # counterfactual for (a): raw-text lang-id on doc 1 is 'en'
+    raw = {
+        r["doc_id"]: r["p"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, _, t in docs if t is not None], "doc_id long, text string"
+        )
+        .select("doc_id", lang_id_expr("text").alias("p"))
+        .collect()
+    }
+    assert raw[1] == "en"
+    assert rows[1]["predicted_lang"] == "und" and rows[2]["predicted_lang"] == "und"
+    assert rows[1]["scrub_kept_tokens"] == 10 and rows[1]["tier"] in (
+        "head",
+        "middle",
+        "tail",
+    )
+    # (b)
+    assert rows[3]["scrub_kept_tokens"] == 0
+    assert rows[3]["predicted_lang"] == "und" and rows[3]["tier"] == "unscored"
+    assert rows[3]["avg_neg_logp"] is None and rows[3]["n_bigrams"] == 0
+    # (c)
+    assert rows[4]["scrub_kept_tokens"] == 1 and rows[4]["tier"] == "unscored"
+    # (d) the cased/punctuated marker line was removed by the normalized key
+    assert rows[5]["scrub_kept_tokens"] == 5 and rows[5]["predicted_lang"] == "und"
+    # (e)
+    assert rows[6]["predicted_lang"] == "en" and rows[6]["tier"] == "tail"
+    assert rows[6]["scrub_kept_tokens"] == rows[6]["n_tokens"] == 10
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q216_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert _round9(sr) == _round9(drows[k]), (k, sr, drows[k])
+
+
+def test_q216_consistency_sf(spark):
+    """q216 on the sf corpus: one ledger row per non-null document,
+    stage consistency against the STANDALONE q209 (scrub_kept_tokens must
+    equal q209's kept_tokens per document — the composition's stage 1 and
+    the standalone query share semantics, not code paths), and the
+    unscored contract (no bigrams <=> NULL score <=> 'unscored')."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q209_normalized_line_scrub,
+        q216_ccnet_pipeline,
+    )
+
+    r216 = {r["doc_id"]: r.asDict() for r in q216_ccnet_pipeline(spark, SF).collect()}
+    r209 = {r["doc_id"]: r.asDict() for r in q209_normalized_line_scrub(spark, SF).collect()}
+    assert set(r216) == set(r209) and len(r216) > 0
+    for k, v in r216.items():
+        assert v["scrub_kept_tokens"] == r209[k]["kept_tokens"], k
+        assert v["scrub_kept_tokens"] <= v["n_tokens"], k
+        unscored = v["tier"] == "unscored"
+        assert unscored == (v["n_bigrams"] == 0) == (v["avg_neg_logp"] is None), k
+        if not unscored:
+            assert v["tier"] in ("head", "middle", "tail"), k
+    # the scrub and the tier stages both fire on real data
+    assert any(v["scrub_kept_tokens"] < v["n_tokens"] for v in r216.values())
+    assert any(v["tier"] == "head" for v in r216.values())
