@@ -860,6 +860,89 @@ def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
     return out
 
 
+def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
+    """The q215/q216 order-sheet probe: m-axis clock for the per-language
+    LM tier stage (q215) and the full CCNet composition (q216). The
+    m-fold corpus multiplies every language's document count by m while
+    the vocab permutation makes copies diverge, so this stresses exactly
+    the adjudicated scale limit: the per-language prefix-sum window (one
+    sorted task per language) whose input grows m-fold while the LM
+    count/scoring stages stay partial-aggregatable. Expect ~linear clock
+    while the window input is doc-count-bounded; the probe records
+    per-language group sizes so a super-linear bend can be attributed.
+    Warm 2nd-run timings. Summary aggregates reference EVERY output
+    column (the standing probe-validity rule: a bare count lets
+    ColumnPruning delete the LM branch entirely — q212's probe measured
+    ~zero overhead that way before review caught it)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    out = []
+    fns = {n: em.queries()[n] for n in
+           ("q215_ccnet_perplexity_tiers", "q216_ccnet_pipeline")}
+    # every output column appears in some aggregate; strings enter via
+    # length sums (tier/lang are CASE/argmax branches ColumnPruning would
+    # otherwise delete wholesale)
+    summaries = {
+        "q215_ccnet_perplexity_tiers": lambda df: df.agg(
+            F.count("*"),
+            F.sum("n_tokens"),
+            F.sum("n_bigrams"),
+            F.sum("avg_neg_logp"),
+            F.sum("cum_tokens"),
+            F.sum("lang_tokens"),
+            F.sum(F.length("tier")),
+            F.sum(F.length("lang")),
+            F.max(F.length("doc_id").cast("long")),
+        ),
+        "q216_ccnet_pipeline": lambda df: df.agg(
+            F.count("*"),
+            F.sum("n_tokens"),
+            F.sum("scrub_kept_tokens"),
+            F.sum("n_bigrams"),
+            F.sum("avg_neg_logp"),
+            F.sum(F.length("tier")),
+            F.sum(F.length("predicted_lang")),
+            F.max(F.length("doc_id").cast("long")),
+        ),
+    }
+    for m in scales:
+        d = build_corpus(spark, m, with_embeddings=False)
+        # largest per-language window input at this m (q215 groups by the
+        # labeled lang — the composition's 'und'/predicted groups differ,
+        # but the labeled census is the stable cross-m yardstick)
+        lang_sizes = {
+            r["lang"]: r["n"]
+            for r in spark.read.parquet(os.path.join(d, "documents.parquet"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for name, fn in fns.items():
+            secs = []
+            for _ in range(2):
+                release(spark)
+                t0 = time.perf_counter()
+                row = summaries[name](fn(spark, d)).collect()[0]
+                secs.append(round(time.perf_counter() - t0, 2))
+            rec = {
+                "probe": "q215_tier",
+                "query": name,
+                "m": m,
+                "rows": int(row[0]),
+                "ledger_sums": [
+                    (round(float(v), 6) if isinstance(v, float) else int(v))
+                    for v in row[1:]
+                ],
+                "max_lang_docs": max(lang_sizes.values()),
+                "cold_sec": secs[0],
+                "warm_sec": secs[1],
+            }
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+    return out
+
+
 def release(spark) -> None:
     # the shared cleanup contract — NOT a private copy (the r3 .toArray()
     # bug showed what a silently-divergent duplicate of this loop costs)
@@ -916,7 +999,27 @@ def main() -> None:
         help="run the q214 fuzzy-curation m-axis probe, both candidate "
         "modes (comma list of corpus multiples, e.g. 1,2,4)",
     )
+    ap.add_argument(
+        "--q215-scales",
+        default=None,
+        help="run the q215/q216 LM-tier m-axis probe (comma list of corpus "
+        "multiples, e.g. 1,2,4,8)",
+    )
     args = ap.parse_args()
+
+    if args.q215_scales is not None:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-probe-q215")
+        results = q215_tier_probe(
+            spark, tuple(int(m) for m in args.q215_scales.split(","))
+        )
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, "q215_tier_probe_results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+        spark.stop()
+        return
 
     if args.q214_scales is not None:
         os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
