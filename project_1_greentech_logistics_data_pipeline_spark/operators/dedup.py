@@ -1714,17 +1714,27 @@ def _norm_line_sql(col: str) -> str:
     )
 
 
-_Q209_SQL = _unit_cte_sql(_LINE, "line") + f""",
-normed AS (
+def _norm_scrub_ctes_sql(units: str, df: str) -> str:
+    """The normalized-key scrub core shared by q209 and q216's oracles:
+    ``normed`` (q209's norm_key over a line fan-out CTE named ``units``)
+    + the ``{df}`` distinct-doc-count table. ONE definition so the two
+    consumers cannot drift (the q213 hand-copy lesson); generating
+    q209's SQL through it is byte-identical to the r8 literal
+    (sha256-pinned in test_lang_and_lm_sql_generators_pin)."""
+    return f"""normed AS (
   SELECT doc_id, s.line_id AS line_id, s.line_text AS line_text,
          s.line_len AS line_len,
          {_norm_line_sql('s.line_text')} AS norm_key
-  FROM units
+  FROM {units}
 ),
-df AS (
+{df} AS (
   SELECT norm_key, COUNT(DISTINCT doc_id) AS df
   FROM normed GROUP BY norm_key
-)
+)"""
+
+
+_Q209_SQL = _unit_cte_sql(_LINE, "line") + f""",
+{_norm_scrub_ctes_sql("units", "df")}
 SELECT n.doc_id AS doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_lines,
   CAST(SUM(n.line_len) AS BIGINT) AS n_tokens,
@@ -2407,17 +2417,9 @@ units AS (
     + _unit_body_sql(_LINE, "line", "base0")
     + """
 ),
-normed AS (
-  SELECT doc_id, s.line_id AS line_id, s.line_text AS line_text,
-         s.line_len AS line_len,
-         """
-    + _norm_line_sql("s.line_text")
-    + """ AS norm_key
-  FROM units
-),
-ndf AS (
-  SELECT norm_key, COUNT(DISTINCT doc_id) AS df FROM normed GROUP BY norm_key
-),
+"""
+    + _norm_scrub_ctes_sql("units", "ndf")
+    + """,
 kept_lines AS (
   SELECT n.doc_id AS doc_id, n.line_id AS line_id, n.line_text AS line_text,
          n.line_len AS line_len

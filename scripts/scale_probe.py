@@ -930,10 +930,20 @@ def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
                 "query": name,
                 "m": m,
                 "rows": int(row[0]),
+                # None-safe: a pathological corpus (no scoreable docs /
+                # zero rows) makes F.sum(...) return NULL — record it as
+                # null rather than crashing after the timed runs
                 "ledger_sums": [
-                    (round(float(v), 6) if isinstance(v, float) else int(v))
+                    (
+                        None
+                        if v is None
+                        else (round(float(v), 6) if isinstance(v, float) else int(v))
+                    )
                     for v in row[1:]
                 ],
+                # the FULL per-language census (not just the max): a
+                # super-linear bend must be attributable from this JSON
+                "lang_docs": dict(sorted(lang_sizes.items())),
                 "max_lang_docs": max(lang_sizes.values()),
                 "cold_sec": secs[0],
                 "warm_sec": secs[1],

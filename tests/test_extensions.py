@@ -2244,6 +2244,20 @@ def test_lang_and_lm_sql_generators_pin():
     assert _lm_tier_sql("src") in _Q215_SQL
     assert _lm_tier_sql("langed") in _Q216_SQL
     assert lang_stage_cte_sql("clean_src") in _Q216_SQL
+    # the normalized-scrub core is likewise ONE generator: q209's SQL
+    # must be byte-identical to its pre-factoring literal, and q216's
+    # oracle must embed the same generator output (not a hand copy)
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q209_SQL,
+        _norm_scrub_ctes_sql,
+    )
+
+    assert (
+        hashlib.sha256(_Q209_SQL.encode()).hexdigest()
+        == "720721edc0ff70c6aff83a1a41940c654f82ad8bb88f52610631f16c04845a2f"
+    )
+    assert _norm_scrub_ctes_sql("units", "df") in _Q209_SQL
+    assert _norm_scrub_ctes_sql("units", "ndf") in _Q216_SQL
 
 
 def _round9(d: dict) -> dict:
@@ -2331,8 +2345,20 @@ def test_q215_consistency_sf(spark):
 
     rows = [r.asDict() for r in q215_ccnet_perplexity_tiers(spark, SF).collect()]
     assert len(rows) > 0
+    # scope: exactly the non-null docs with >= 2 tokens, one row each
+    expected = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .collect()
+        if r["n"] >= 2
+    }
+    assert {r["doc_id"] for r in rows} == expected and len(rows) == len(expected)
     by_lang: dict = {}
     for r in rows:
+        # the fan-out invariant, per row: adjacent pairs exactly
+        assert r["n_bigrams"] == r["n_tokens"] - 1, r["doc_id"]
         by_lang.setdefault(r["lang"], []).append(r)
     for lang, members in by_lang.items():
         total = members[0]["lang_tokens"]
@@ -2349,7 +2375,6 @@ def test_q215_consistency_sf(spark):
                 else ("middle" if 3 * cum <= 2 * total else "tail")
             )
             assert m["tier"] == want, (lang, m["doc_id"])
-        assert m["n_bigrams"] == m["n_tokens"] - 1 or m["n_bigrams"] >= 1
 
 
 def test_q216_stage_decision_pins(spark, tmp_path):
