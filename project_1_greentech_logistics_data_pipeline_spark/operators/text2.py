@@ -17,6 +17,8 @@ in one double op, identically shaped on both engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -332,17 +334,22 @@ def q161_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join (CCNet's own LMs are pruned the same way — q161's argument). The
 # tier stage is ONE ROW PER DOCUMENT (post-agg, no token fan-out), but the
 # exact cumulative-mass rule is a per-language prefix sum BY DEFINITION —
-# Spark executes the window as one sorted task per language. At 100 TB
-# (~1e9 skinny rows per major language) swap in either (a) broadcast
-# thresholds from a mergeable weighted-quantile sketch (approx_percentile
-# over (score, mass) — CCNet's practical cut, within sketch tolerance), or
-# (b) an exact two-pass distributed prefix sum: repartitionByRange((lang,
-# score, doc_id)), per-partition mass totals collected as offsets (bounded
-# driver state: one row per partition), then per-partition prefix + offset.
-# The exact window form is kept here because the oracle contract requires
-# exactness and the input is doc-count-bounded at test scale; the probe in
-# scripts/scale_probe.py measures the m-axis growth of this stage.
-# No reference equivalent (SURVEY.md §2.10 north-star extension).
+# the default window mode executes it as one sorted task per language. At
+# 100 TB (~1e9 skinny rows per major language) two replacements exist:
+# (a) broadcast thresholds from a mergeable weighted-quantile sketch
+# (approx_percentile over (score, mass) — CCNet's practical cut, within
+# sketch tolerance), or (b) an exact two-pass distributed prefix sum —
+# IMPLEMENTED here as ``SPARK_GRAFT_TIER_CUT=prefix2``
+# (:func:`_tier_prefix2`): repartitionByRange((lang, round(score,9),
+# doc_id)) materialized once, per-(lang, partition) mass offsets via a
+# bounded driver collect, then partition-bounded prefix windows. Output
+# is bit-identical to the window mode (parity-pinned at sf and on an
+# analytic-ties corpus); the window stays the default because at
+# doc-count-bounded test scale it is the cheaper plan (prefix2 pays an
+# extra exchange + cache + driver roundtrip — measured ~1s more at
+# sf0.1). The probe in scripts/scale_probe.py measures the m-axis growth
+# of this stage. No reference equivalent (SURVEY.md §2.10 north-star
+# extension).
 
 
 def _bi_pairs(src: DataFrame, keys: list[str]) -> DataFrame:
@@ -417,6 +424,73 @@ tiered AS (
 )"""
 
 
+def _tier_prefix2(j: DataFrame, n_shuffle: int) -> DataFrame:
+    """The 100 TB tier-cut path (``SPARK_GRAFT_TIER_CUT=prefix2``): an
+    EXACT two-pass distributed prefix sum replacing the window mode's
+    one-sorted-task-per-language execution — same output bit-for-bit
+    (parity-pinned by test), different physical plan.
+
+    Pass 1 range-partitions the scored rows by the total order
+    ``(lang, round(score,9), doc_id)`` and MATERIALIZES the partitioning
+    (cache — RangePartitioning's sampled boundaries are re-drawn per
+    execution, so the partials aggregation and the final window MUST read
+    one materialization or their partition ids could disagree;
+    review-this-first note for any future edit). One (lang, pid) mass row
+    per physical partition is collected to the driver — a BOUNDED collect
+    (<= shuffle partitions x languages-spanning-a-boundary rows), the
+    repo's documented bounded-collect class — and turned into per-(lang,
+    pid) offsets plus per-lang totals.
+
+    Pass 2 broadcasts the offsets back and computes the within-partition
+    prefix with a window partitioned by ``(lang, pid)``: every window
+    group is PARTITION-bounded, never language-bounded, so no task sorts
+    more than one shuffle partition's rows. offset + within-prefix equals
+    the global per-language prefix WHEREVER the sampled boundaries fall
+    (range partitions are assigned to ascending pids in key order), so
+    the output is deterministic even though the partitioning is not.
+    The cached relation is skinny (5 scalar columns per document) and is
+    released by session.release_session_state."""
+    part = (
+        j.withColumn("skey", F.round("avg_neg_logp", 9))
+        .repartitionByRange(n_shuffle, "lang", "skey", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
+    partials = part.groupBy("lang", "pid").agg(F.sum("mass").alias("pm")).collect()
+    partials.sort(key=lambda r: (r["lang"], r["pid"]))
+    offsets, totals, run = [], {}, {}
+    for r in partials:
+        offsets.append((r["lang"], r["pid"], run.get(r["lang"], 0)))
+        run[r["lang"]] = run.get(r["lang"], 0) + r["pm"]
+    totals = run
+    spark = j.sparkSession
+    off_df = spark.createDataFrame(
+        [(l, p, o, totals[l]) for (l, p, o) in offsets],
+        "lang string, pid int, offset long, lang_mass long",
+    )
+    w = (
+        Window.partitionBy("lang", "pid")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("offset") + F.sum("mass").over(w)
+    tier = (
+        F.when(F.lit(3) * cum <= F.col("lang_mass"), F.lit("head"))
+        .when(F.lit(3) * cum <= F.lit(2) * F.col("lang_mass"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return part.join(F.broadcast(off_df), ["lang", "pid"]).select(
+        "doc_id",
+        "lang",
+        F.col("mass").cast("bigint").alias("mass"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "avg_neg_logp",
+        cum.cast("bigint").alias("cum_mass"),
+        F.col("lang_mass").cast("bigint").alias("lang_mass"),
+        tier.alias("tier"),
+    )
+
+
 def _lm_tier_df(src: DataFrame) -> DataFrame:
     """Spark twin of :func:`_lm_tier_sql` over a ``(doc_id, lang, toks,
     mass)`` relation: per-language add-k bigram LM (q161's decimal-pinned
@@ -424,7 +498,10 @@ def _lm_tier_df(src: DataFrame) -> DataFrame:
     head/middle/tail cut by cumulative mass (all-integer rule, doc_id
     tie-break). Returns ``(doc_id, lang, mass, n_bigrams, avg_neg_logp,
     cum_mass, lang_mass, tier)``. See the q215 block comment for the
-    100 TB adjudication of the per-lang prefix window."""
+    100 TB adjudication of the per-lang prefix window; set
+    ``SPARK_GRAFT_TIER_CUT=prefix2`` for the distributed two-pass prefix
+    sum (:func:`_tier_prefix2` — identical output, parity-pinned, no
+    language-sized sort task)."""
     bi = _bi_pairs(src.select("doc_id", "lang", "toks"), ["doc_id", "lang"])
     big_c = bi.groupBy("lang", "a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     uni_c = bi.groupBy("lang", "a").agg(F.count(F.lit(1)).alias("c_a"))
@@ -452,6 +529,11 @@ def _lm_tier_df(src: DataFrame) -> DataFrame:
         )
     )
     j = scored.join(src.select("doc_id", "mass"), "doc_id")
+    if os.environ.get("SPARK_GRAFT_TIER_CUT", "window") == "prefix2":
+        n_shuffle = int(
+            src.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        return _tier_prefix2(j, n_shuffle)
     # The sort key is the mean ROUNDED TO THE DRIVER'S 9-DECIMAL GRAIN,
     # not the raw double: the decimal logp sum is exact, but the final
     # decimal->double cast and the /n division can land 1 ulp apart PER

@@ -2486,3 +2486,60 @@ def test_q216_consistency_sf(spark):
     # the scrub and the tier stages both fire on real data
     assert any(v["scrub_kept_tokens"] < v["n_tokens"] for v in r216.values())
     assert any(v["tier"] == "head" for v in r216.values())
+
+
+def test_q215_q216_prefix2_mode_matches_window_mode(spark, monkeypatch):
+    """SPARK_GRAFT_TIER_CUT=prefix2 (the 100 TB two-pass distributed
+    prefix sum — range partition + bounded offset collect + partition-
+    bounded windows) must produce the IDENTICAL rows as the default
+    per-language window on both queries, at sf AND on the analytic-ties
+    hand corpus whose equal round-9 keys exercise tie placement across
+    sampled range boundaries. Boundary-invariance is the load-bearing
+    claim: offset + within-partition prefix equals the global prefix
+    wherever RangePartitioning's sampled boundaries fall."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q216_ccnet_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text2 import (
+        q215_ccnet_perplexity_tiers,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    for fn in (q215_ccnet_perplexity_tiers, q216_ccnet_pipeline):
+        monkeypatch.delenv("SPARK_GRAFT_TIER_CUT", raising=False)
+        base = sorted(tuple(r) for r in fn(spark, SF).collect())
+        release_session_state(spark)
+        monkeypatch.setenv("SPARK_GRAFT_TIER_CUT", "prefix2")
+        alt = sorted(tuple(r) for r in fn(spark, SF).collect())
+        release_session_state(spark)
+        monkeypatch.delenv("SPARK_GRAFT_TIER_CUT", raising=False)
+        assert base == alt and len(base) > 0, fn.__name__
+
+
+def test_q215_prefix2_analytic_ties(spark, tmp_path, monkeypatch):
+    """prefix2 on the corpus class that motivated the round-9 sort key:
+    several equal-key (analytically tied) docs per language, more
+    shuffle partitions than rows — every partition boundary falls inside
+    a tie run. The doc_id component of the range key keeps the total
+    order; the modes must agree row-for-row."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text2 import (
+        q215_ccnet_perplexity_tiers,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    diverse = "a b c d e f g h i j"
+    docs = [(i, "aa", diverse + f" z{i}") for i in range(1, 13)]  # near-ties
+    docs += [(i, "bb", diverse) for i in range(21, 27)]  # exact analytic ties
+    d = _write_docs(spark, tmp_path, docs)
+
+    monkeypatch.delenv("SPARK_GRAFT_TIER_CUT", raising=False)
+    base = sorted(tuple(r) for r in q215_ccnet_perplexity_tiers(spark, d).collect())
+    release_session_state(spark)
+    monkeypatch.setenv("SPARK_GRAFT_TIER_CUT", "prefix2")
+    alt = sorted(tuple(r) for r in q215_ccnet_perplexity_tiers(spark, d).collect())
+    release_session_state(spark)
+    assert base == alt and len(base) == 18
