@@ -918,13 +918,30 @@ def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        for name, fn in fns.items():
+        # the window mode (default) for both queries, plus q215 under
+        # SPARK_GRAFT_TIER_CUT=prefix2 — the implemented 100 TB cut path
+        # must be MEASURED on the same axis, not just parity-tested
+        runs = [(name, fn, None) for name, fn in fns.items()]
+        runs.append(
+            (
+                "q215_ccnet_perplexity_tiers[prefix2]",
+                fns["q215_ccnet_perplexity_tiers"],
+                "prefix2",
+            )
+        )
+        for name, fn, mode in runs:
+            base_name = name.split("[")[0]
             secs = []
             for _ in range(2):
                 release(spark)
-                t0 = time.perf_counter()
-                row = summaries[name](fn(spark, d)).collect()[0]
-                secs.append(round(time.perf_counter() - t0, 2))
+                if mode:
+                    os.environ["SPARK_GRAFT_TIER_CUT"] = mode
+                try:
+                    t0 = time.perf_counter()
+                    row = summaries[base_name](fn(spark, d)).collect()[0]
+                    secs.append(round(time.perf_counter() - t0, 2))
+                finally:
+                    os.environ.pop("SPARK_GRAFT_TIER_CUT", None)
             rec = {
                 "probe": "q215_tier",
                 "query": name,

@@ -2543,3 +2543,76 @@ def test_q215_prefix2_analytic_ties(spark, tmp_path, monkeypatch):
     alt = sorted(tuple(r) for r in q215_ccnet_perplexity_tiers(spark, d).collect())
     release_session_state(spark)
     assert base == alt and len(base) == 18
+
+
+def test_q216_multilingual_tier_groups(spark, tmp_path):
+    """q216 with MULTIPLE predicted languages post-scrub:
+
+    (a) lang-id can flip BETWEEN languages (not just to 'und') — docs
+        whose fr markers all sit in a shared boilerplate line but whose
+        en markers survive the scrub predict 'en' (raw lang-id says
+        'fr': 5 fr marker hits vs 3 en);
+    (b) the two flipped docs are ANALYTIC LM ties within the 'en' group
+        (isomorphic bigram structures: every pair count, 'the'/'of'
+        unigram counts, and the vocab size agree), so the round-9 sort
+        key collapses them and the doc_id tie-break orders them —
+        equal masses 10/10 then tier middle/tail by the integer rule
+        (3*10 > 20 kills head);
+    (c) a doc with fr markers OUTSIDE boilerplate forms its own 'fr'
+        tier group (single-doc language => 'tail').
+
+    Then the DuckDB differential row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q216_SQL,
+        q216_ccnet_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        lang_id_expr,
+    )
+
+    boiler = "le la et est un"  # one 5-token line, all fr markers
+    docs = [
+        (1, "xx", boiler + " the alpha bravo of charlie delta echo foxtrot golf the"),
+        (2, "xx", boiler + " the hotel india of juliet kilo lima mike november the"),
+        (3, "xx", "le papa quebec romeo sierra est tango uniform victor whiskey"),
+        (4, "xx", None),
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    rows = {r["doc_id"]: r.asDict() for r in q216_ccnet_pipeline(spark, d).collect()}
+    assert set(rows) == {1, 2, 3}
+    # (a) counterfactual: raw lang-id on doc 1 is 'fr'
+    raw = {
+        r["doc_id"]: r["p"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, _, t in docs if t is not None], "doc_id long, text string"
+        )
+        .select("doc_id", lang_id_expr("text").alias("p"))
+        .collect()
+    }
+    assert raw[1] == "fr" and raw[2] == "fr"
+    assert rows[1]["predicted_lang"] == "en" and rows[2]["predicted_lang"] == "en"
+    # (b) analytic tie + equal masses: doc_id order decides; 2-doc group
+    # has no head (3*10 > 20)
+    assert rows[1]["avg_neg_logp"] == rows[2]["avg_neg_logp"]
+    assert (rows[1]["tier"], rows[2]["tier"]) == ("middle", "tail")
+    assert rows[1]["scrub_kept_tokens"] == rows[2]["scrub_kept_tokens"] == 10
+    # (c) fr markers outside boilerplate: own group, single-doc => tail
+    assert rows[3]["predicted_lang"] == "fr" and rows[3]["tier"] == "tail"
+    assert rows[3]["scrub_kept_tokens"] == rows[3]["n_tokens"] == 10
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q216_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert _round9(sr) == _round9(drows[k]), (k, sr, drows[k])
