@@ -2616,3 +2616,93 @@ def test_q216_multilingual_tier_groups(spark, tmp_path):
     assert set(drows) == set(rows)
     for k, sr in rows.items():
         assert _round9(sr) == _round9(drows[k]), (k, sr, drows[k])
+
+
+def test_lm_tier_properties_random_corpora(spark):
+    """LM-tier invariants on random corpora (hypothesis): scope is
+    exactly the >= 2-token docs; n_bigrams == n_tokens - 1 per row;
+    per-language mass bookkeeping and the integer tier rule re-derive
+    from the outputs; and prefix2 mode returns the IDENTICAL rows —
+    boundary-invariance under arbitrary duplicate/tie structure, not
+    just the two pinned corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text2 import (
+        q215_ccnet_perplexity_tiers,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    doc = st.tuples(
+        st.sampled_from(["aa", "bb"]),
+        st.lists(st.sampled_from(["a", "b", "c", "w", "the"]), max_size=8),
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=10))
+    def prop(docs):
+        import os as _os
+        import shutil
+
+        tmpdir = "/tmp/p1gl_lm_prop"
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        rows_in = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)]
+        rows_in.append((len(rows_in), "aa", None))
+        spark.createDataFrame(
+            rows_in, "doc_id long, lang string, text string"
+        ).write.parquet(_os.path.join(tmpdir, "documents.parquet"))
+
+        out = [r.asDict() for r in q215_ccnet_perplexity_tiers(spark, tmpdir).collect()]
+        release_session_state(spark)
+        # scope: split(trim(text), \s+) of the joined text — '' joins to
+        # [''] (1 token), so scoreable <=> >= 2 generated tokens
+        expect = {i for i, (lang, toks) in enumerate(docs) if len(toks) >= 2}
+        assert {r["doc_id"] for r in out} == expect and len(out) == len(expect)
+        by_lang: dict = {}
+        for r in out:
+            assert r["n_bigrams"] == r["n_tokens"] - 1
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, members in by_lang.items():
+            total = members[0]["lang_tokens"]
+            assert sum(m["n_tokens"] for m in members) == total
+            members.sort(key=lambda m: (round(m["avg_neg_logp"], 9), m["doc_id"]))
+            cum = 0
+            for m in members:
+                cum += m["n_tokens"]
+                assert m["cum_tokens"] == cum
+                want = (
+                    "head"
+                    if 3 * cum <= total
+                    else ("middle" if 3 * cum <= 2 * total else "tail")
+                )
+                assert m["tier"] == want
+        # prefix2 parity on the same corpus
+        _os.environ["SPARK_GRAFT_TIER_CUT"] = "prefix2"
+        try:
+            alt = [r.asDict() for r in q215_ccnet_perplexity_tiers(spark, tmpdir).collect()]
+        finally:
+            _os.environ.pop("SPARK_GRAFT_TIER_CUT", None)
+        release_session_state(spark)
+        k = lambda r: r["doc_id"]
+        assert sorted(alt, key=k) == sorted(out, key=k)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+    prop()
+
+
+def test_q215_degenerate_corpus_both_modes(spark, tmp_path, monkeypatch):
+    """A corpus with NO scoreable document (all single-token or NULL
+    text) returns zero rows in BOTH tier-cut modes — prefix2's empty
+    offset relation (createDataFrame([], schema)) must not throw."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text2 import (
+        q215_ccnet_perplexity_tiers,
+    )
+
+    d = _write_docs(
+        spark, tmp_path, [(1, "aa", "solo"), (2, "bb", ""), (3, "aa", None)]
+    )
+    monkeypatch.delenv("SPARK_GRAFT_TIER_CUT", raising=False)
+    assert q215_ccnet_perplexity_tiers(spark, d).count() == 0
+    monkeypatch.setenv("SPARK_GRAFT_TIER_CUT", "prefix2")
+    assert q215_ccnet_perplexity_tiers(spark, d).count() == 0
