@@ -2471,7 +2471,11 @@ def q216_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bigrams, avg_neg_logp, tier. See the block comment above for the
     decision-bearing stage order (lang-id and the LM both see scrubbed
     text), the documented CCNet adaptations, and the cached ``langed``
-    relation's 100 TB rationale."""
+    relation's 100 TB rationale. Inherits q215's ``SPARK_GRAFT_TIER_CUT``
+    mode contract: under ``prefix2`` the tier stage runs an EAGER driver
+    job (the bounded offsets collect) at DataFrame-construction time, and
+    the env var is read at plan-build time — see
+    :func:`..text2.q215_ccnet_perplexity_tiers`."""
     from .text import lang_id_from_toks
     from .text2 import _lm_tier_df
 

@@ -435,7 +435,15 @@ def _tier_prefix2(j: DataFrame, n_shuffle: int) -> DataFrame:
     (cache — RangePartitioning's sampled boundaries are re-drawn per
     execution, so the partials aggregation and the final window MUST read
     one materialization or their partition ids could disagree;
-    review-this-first note for any future edit). One (lang, pid) mass row
+    review-this-first note for any future edit). cache() is sufficient at
+    single-process scale, but on a real cluster it is NOT durable: an
+    executor/node failure that loses both the cached blocks AND the
+    shuffle output forces a recompute that RE-SAMPLES the range
+    boundaries, so recomputed pid assignments can diverge from the
+    already-collected offsets and silently mis-tier rows. At that scale,
+    replace the cache with ``localCheckpoint(eager=True)`` / a reliable
+    ``checkpoint()``, or persist the pid-stamped rows to durable storage
+    before the offsets collect. One (lang, pid) mass row
     per physical partition is collected to the driver — a BOUNDED collect
     (<= shuffle partitions x languages-spanning-a-boundary rows), the
     repo's documented bounded-collect class — and turned into per-(lang,
@@ -602,7 +610,17 @@ def q215_ccnet_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_neg_logp, cum/lang token masses, tier. See the block comment above
     for the all-integer cut rule and the 100 TB adjudication of the
     per-language prefix window (sketch thresholds or a two-pass
-    distributed prefix sum at scale)."""
+    distributed prefix sum at scale).
+
+    Mode contract (``SPARK_GRAFT_TIER_CUT``, read at PLAN-BUILD time like
+    q214's ``SPARK_GRAFT_NEARDUP_CANDIDATES``): the default ``window``
+    mode is fully lazy; ``prefix2`` runs an EAGER driver job during
+    DataFrame CONSTRUCTION (the bounded per-(lang, pid) offsets collect in
+    :func:`_tier_prefix2`), so merely calling this function executes
+    Spark jobs before the caller acts on the result. Because the env var
+    is read when the plan is built, building under one value and
+    collecting under another keeps the build-time mode — set the switch
+    before calling, not before collecting."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # explicit doc_id exchange before the pair fan-out — the q206 lesson:
     # a single-file scan would otherwise run the explode in one task

@@ -918,16 +918,14 @@ def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        # the window mode (default) for both queries, plus q215 under
-        # SPARK_GRAFT_TIER_CUT=prefix2 — the implemented 100 TB cut path
-        # must be MEASURED on the same axis, not just parity-tested
+        # the window mode (default) for both queries, plus BOTH queries
+        # under SPARK_GRAFT_TIER_CUT=prefix2 — the implemented 100 TB cut
+        # path must be MEASURED on the same axis, not just parity-tested
+        # (and through the composition, whose cached langed relation feeds
+        # the prefix2 eager collect)
         runs = [(name, fn, None) for name, fn in fns.items()]
-        runs.append(
-            (
-                "q215_ccnet_perplexity_tiers[prefix2]",
-                fns["q215_ccnet_perplexity_tiers"],
-                "prefix2",
-            )
+        runs.extend(
+            (f"{name}[prefix2]", fn, "prefix2") for name, fn in fns.items()
         )
         for name, fn, mode in runs:
             base_name = name.split("[")[0]

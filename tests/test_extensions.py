@@ -2545,6 +2545,60 @@ def test_q215_prefix2_analytic_ties(spark, tmp_path, monkeypatch):
     assert base == alt and len(base) == 18
 
 
+def test_q216_prefix2_analytic_ties(spark, tmp_path, monkeypatch):
+    """q216 under prefix2 on an analytic-ties corpus (the q215 test's
+    boundary-invariance claim, through the composition): the predicted-
+    lang groups ADD the 'und' group to the tie structure — a scored
+    marker-free tie run lands in 'und' NEXT TO the exact-duplicate docs
+    the scrub empties (unscored, outside every LM group), so range
+    boundaries fall inside tie runs of two different predicted groups.
+    Modes must agree row-for-row."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q216_ccnet_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    # 12-doc 'en' analytic tie run. Two scrub traps designed around:
+    # the scrub unit is a DISJOINT 5-TOKEN window (q208's line), so a
+    # doc-unique LETTER-suffixed token sits in EVERY window (shared
+    # windows would hit df=12 and be scrubbed); and q209's norm key
+    # folds digit runs to '0', so z1..z12 would collapse to one
+    # boilerplate key. Isomorphic bigram structure => equal LM means.
+    docs = [
+        (i, "xx", f"the b c d z{c} f g h i y{c}")
+        for i, c in ((i, chr(96 + i)) for i in range(1, 13))
+    ]
+    # 6-doc marker-free tie run: predicted 'und' but fully scored
+    docs += [
+        (i, "xx", f"k l m n w{c} o p q r v{c}")
+        for i, c in ((i, chr(76 + i)) for i in range(21, 27))
+    ]
+    # 3 exact duplicates: df=3 line scrubbed everywhere -> unscored
+    docs += [(i, "xx", "menu home about contact links") for i in range(31, 34)]
+    d = _write_docs(spark, tmp_path, docs)
+
+    monkeypatch.delenv("SPARK_GRAFT_TIER_CUT", raising=False)
+    base = sorted(tuple(r) for r in q216_ccnet_pipeline(spark, d).collect())
+    release_session_state(spark)
+    monkeypatch.setenv("SPARK_GRAFT_TIER_CUT", "prefix2")
+    alt = sorted(tuple(r) for r in q216_ccnet_pipeline(spark, d).collect())
+    release_session_state(spark)
+    assert base == alt and len(base) == 21
+    by = {r[0]: r.asDict() for r in q216_ccnet_pipeline(spark, d).collect()}
+    release_session_state(spark)
+    assert {by[i]["predicted_lang"] for i in range(1, 13)} == {"en"}
+    assert {by[i]["predicted_lang"] for i in range(21, 27)} == {"und"}
+    for i in range(31, 34):  # scrubbed empty: und + unscored
+        assert by[i]["predicted_lang"] == "und"
+        assert by[i]["tier"] == "unscored"
+        assert by[i]["scrub_kept_tokens"] == 0
+    # the two scored groups really are analytic tie runs
+    assert len({round(by[i]["avg_neg_logp"], 9) for i in range(1, 13)}) == 1
+    assert len({round(by[i]["avg_neg_logp"], 9) for i in range(21, 27)}) == 1
+
+
 def test_q216_multilingual_tier_groups(spark, tmp_path):
     """q216 with MULTIPLE predicted languages post-scrub:
 
@@ -2618,7 +2672,7 @@ def test_q216_multilingual_tier_groups(spark, tmp_path):
         assert _round9(sr) == _round9(drows[k]), (k, sr, drows[k])
 
 
-def test_lm_tier_properties_random_corpora(spark):
+def test_lm_tier_properties_random_corpora(spark, tmp_path):
     """LM-tier invariants on random corpora (hypothesis): scope is
     exactly the >= 2-token docs; n_bigrams == n_tokens - 1 per row;
     per-language mass bookkeeping and the integer tier rule re-derive
@@ -2644,49 +2698,65 @@ def test_lm_tier_properties_random_corpora(spark):
     def prop(docs):
         import os as _os
         import shutil
+        import uuid
 
-        tmpdir = "/tmp/p1gl_lm_prop"
-        shutil.rmtree(tmpdir, ignore_errors=True)
-        rows_in = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)]
-        rows_in.append((len(rows_in), "aa", None))
-        spark.createDataFrame(
-            rows_in, "doc_id long, lang string, text string"
-        ).write.parquet(_os.path.join(tmpdir, "documents.parquet"))
-
-        out = [r.asDict() for r in q215_ccnet_perplexity_tiers(spark, tmpdir).collect()]
-        release_session_state(spark)
-        # scope: split(trim(text), \s+) of the joined text — '' joins to
-        # [''] (1 token), so scoreable <=> >= 2 generated tokens
-        expect = {i for i, (lang, toks) in enumerate(docs) if len(toks) >= 2}
-        assert {r["doc_id"] for r in out} == expect and len(out) == len(expect)
-        by_lang: dict = {}
-        for r in out:
-            assert r["n_bigrams"] == r["n_tokens"] - 1
-            by_lang.setdefault(r["lang"], []).append(r)
-        for lang, members in by_lang.items():
-            total = members[0]["lang_tokens"]
-            assert sum(m["n_tokens"] for m in members) == total
-            members.sort(key=lambda m: (round(m["avg_neg_logp"], 9), m["doc_id"]))
-            cum = 0
-            for m in members:
-                cum += m["n_tokens"]
-                assert m["cum_tokens"] == cum
-                want = (
-                    "head"
-                    if 3 * cum <= total
-                    else ("middle" if 3 * cum <= 2 * total else "tail")
-                )
-                assert m["tier"] == want
-        # prefix2 parity on the same corpus
-        _os.environ["SPARK_GRAFT_TIER_CUT"] = "prefix2"
+        # per-example unique dir under the test's tmp_path: a shared
+        # hardcoded path races under pytest-xdist / concurrent sessions
+        # (one worker rmtree's another's parquet mid-read) and leaks on
+        # assertion failure — uuid + finally fixes both
+        tmpdir = str(tmp_path / f"lm_prop_{uuid.uuid4().hex}")
         try:
-            alt = [r.asDict() for r in q215_ccnet_perplexity_tiers(spark, tmpdir).collect()]
+            rows_in = [
+                (i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)
+            ]
+            rows_in.append((len(rows_in), "aa", None))
+            spark.createDataFrame(
+                rows_in, "doc_id long, lang string, text string"
+            ).write.parquet(_os.path.join(tmpdir, "documents.parquet"))
+
+            out = [
+                r.asDict()
+                for r in q215_ccnet_perplexity_tiers(spark, tmpdir).collect()
+            ]
+            release_session_state(spark)
+            # scope: split(trim(text), \s+) of the joined text — '' joins
+            # to [''] (1 token), so scoreable <=> >= 2 generated tokens
+            expect = {i for i, (lang, toks) in enumerate(docs) if len(toks) >= 2}
+            assert {r["doc_id"] for r in out} == expect and len(out) == len(expect)
+            by_lang: dict = {}
+            for r in out:
+                assert r["n_bigrams"] == r["n_tokens"] - 1
+                by_lang.setdefault(r["lang"], []).append(r)
+            for lang, members in by_lang.items():
+                total = members[0]["lang_tokens"]
+                assert sum(m["n_tokens"] for m in members) == total
+                members.sort(
+                    key=lambda m: (round(m["avg_neg_logp"], 9), m["doc_id"])
+                )
+                cum = 0
+                for m in members:
+                    cum += m["n_tokens"]
+                    assert m["cum_tokens"] == cum
+                    want = (
+                        "head"
+                        if 3 * cum <= total
+                        else ("middle" if 3 * cum <= 2 * total else "tail")
+                    )
+                    assert m["tier"] == want
+            # prefix2 parity on the same corpus
+            _os.environ["SPARK_GRAFT_TIER_CUT"] = "prefix2"
+            try:
+                alt = [
+                    r.asDict()
+                    for r in q215_ccnet_perplexity_tiers(spark, tmpdir).collect()
+                ]
+            finally:
+                _os.environ.pop("SPARK_GRAFT_TIER_CUT", None)
+            release_session_state(spark)
+            k = lambda r: r["doc_id"]
+            assert sorted(alt, key=k) == sorted(out, key=k)
         finally:
-            _os.environ.pop("SPARK_GRAFT_TIER_CUT", None)
-        release_session_state(spark)
-        k = lambda r: r["doc_id"]
-        assert sorted(alt, key=k) == sorted(out, key=k)
-        shutil.rmtree(tmpdir, ignore_errors=True)
+            shutil.rmtree(tmpdir, ignore_errors=True)
 
     prop()
 
