@@ -37,6 +37,7 @@ from ..sources.readers import load_table
 # engines (q41/q43/q78/q92/q109/q146/q200/q210 and the streaming
 # incremental dedup) so the rule cannot drift; aliased to this module's
 # historical names.
+from .quality import _SCRUB_PATTERN as _REDACT_PATTERN
 from .text import DOC_FP_SQL as _DOC_FP_SQL
 from .text import _Q212_CTES as _Q212_CTES_SQL
 from .text import doc_fp_expr as _doc_fp_expr
@@ -142,7 +143,10 @@ def _size_band(sa: Column, sb: Column, threshold: float) -> Column:
 
 
 def bitmask_token_sets(
-    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, lang, mask array<long>, sz): token sets as dense bitmaps.
 
@@ -152,7 +156,10 @@ def bitmask_token_sets(
     scale the gate must drop mass before this build, not after the pairs
     exist. Per-pair Jaccard is encoding-invariant (set sizes and
     intersections don't depend on the dictionary), so gating here equals
-    filtering pair endpoints afterwards — cheaper, same edges.
+    filtering pair endpoints afterwards — cheaper, same edges. ``docs``
+    (optional ``(doc_id, lang, text)`` relation) replaces the documents
+    scan so the graph can be built over transformed text (q217's
+    redacted survivors); defaults keep every existing plan unchanged.
 
     Dictionary-encode tokens to per-lang dense indices (a tiny broadcast
     vocab built with one distinct + row_number), then pack each doc's set
@@ -167,7 +174,7 @@ def bitmask_token_sets(
     dwarf the sparse array — keep hashed_token_sets for that regime. The
     same dictionary-encode-then-bitmap idea underlies bitmap indexes and
     roaring bitmaps; this is the flat fixed-width variant."""
-    d = load_table(spark, sf_dir, "documents")
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     if keep is not None:
         d = d.join(keep.select("doc_id"), "doc_id", "semi")
     toks = d.select(
@@ -227,14 +234,20 @@ def _jaccard_mask_expr(ma: Column, mb: Column, sza: Column, szb: Column) -> Colu
 
 
 def hashed_token_sets(
-    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, lang, hset, sz): distinct tokens hashed ONCE to sorted
     longs. Set ops on long arrays are far cheaper than on string arrays
     (no UTF8 compares, 8-byte elements through joins); a 64-bit collision
     changing a Jaccard count is astronomically unlikely. ``keep`` gates
-    the scan with a doc_id SEMI join (see bitmask_token_sets)."""
-    d = load_table(spark, sf_dir, "documents")
+    the scan with a doc_id SEMI join (see bitmask_token_sets); ``docs``
+    (optional ``(doc_id, lang, text)`` relation) replaces the documents
+    scan entirely so compositions can enumerate pairs over TRANSFORMED
+    text (q217 builds the graph over redacted survivors)."""
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     if keep is not None:
         d = d.join(keep.select("doc_id"), "doc_id", "semi")
     hset = F.array_sort(
@@ -265,15 +278,19 @@ def q44_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_pairs(
-    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """q44's scored pair enumeration, parameterized by an optional doc_id
     gate (``keep`` SEMI-joins the scan before the bitmap build) so the
-    q214 composition can enumerate pairs over quality survivors only.
-    With keep=None this IS q44's plan, expression for expression."""
+    q214 composition can enumerate pairs over quality survivors only, and
+    an optional ``docs`` relation override (q217's redacted survivors).
+    With both defaults this IS q44's plan, expression for expression."""
     tune(spark)
     # cache: the packed-set build (2 small shuffles) feeds both join sides
-    docs = bitmask_token_sets(spark, sf_dir, keep).cache()
+    docs = bitmask_token_sets(spark, sf_dir, keep, docs).cache()
     a = docs.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(_PAIR_SALT))).alias("a")
     b = docs.withColumn(
         "part", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
@@ -333,16 +350,22 @@ def minhash_signature(hset: Column) -> Column:
 
 
 def minhash_docs(
-    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
-    docs = hashed_token_sets(spark, sf_dir, keep)
+    docs = hashed_token_sets(spark, sf_dir, keep, docs)
     return docs.select(
         "doc_id", "lang", "hset", "sz", minhash_signature(F.col("hset")).alias("sig")
     )
 
 
 def lsh_candidate_pairs(
-    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) MinHash-LSH candidate pairs: signature scan (narrow)
     -> explode to LSH bands -> equi-join on (band_id, band_hash). This is
@@ -350,7 +373,7 @@ def lsh_candidate_pairs(
     measure candidate mass (the quantity the S-curve actually governs)
     independent of verify cost."""
     tune(spark)
-    docs = minhash_docs(spark, sf_dir, keep).cache()
+    docs = minhash_docs(spark, sf_dir, keep, docs).cache()
     # lang rides along: the exact-verify bitmaps are dictionary-encoded PER
     # LANG, so a cross-lang candidate pair would popcount meaningless bit
     # overlap (or zip_with a NULL). Same-lang candidates only — matching
@@ -390,6 +413,7 @@ def lsh_candidate_pairs(
 def _lsh_verified_pairs(
     spark: SparkSession, sf_dir: str, *, round_first: bool,
     keep: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates + exact bitmap-Jaccard verify at JACCARD_THRESHOLD.
 
@@ -398,9 +422,11 @@ def _lsh_verified_pairs(
     True matches the ROUND-then-WHERE order of q194's oracle — a pair
     whose raw score sits in [t-5e-7, t) exists under True but not False,
     so callers must pick the order their oracle uses. ``keep`` gates both
-    the candidate build and the verify bitmaps (see bitmask_token_sets)."""
-    cand = lsh_candidate_pairs(spark, sf_dir, keep)
-    masks = bitmask_token_sets(spark, sf_dir, keep).cache()
+    the candidate build and the verify bitmaps (see bitmask_token_sets);
+    ``docs`` overrides the scan on both (same relation both sides, so
+    candidate and verify token sets stay consistent)."""
+    cand = lsh_candidate_pairs(spark, sf_dir, keep, docs)
+    masks = bitmask_token_sets(spark, sf_dir, keep, docs).cache()
     a = masks.select(
         F.col("doc_id").alias("doc_a"), F.col("mask").alias("mask_a"), F.col("sz").alias("sz_a")
     )
@@ -841,7 +867,10 @@ def q73_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_pairs(
-    spark: SparkSession, sf_dir: str, keep: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    keep: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate-pair source for clustering/curation (q73/q78/q214),
     switchable via SPARK_GRAFT_NEARDUP_CANDIDATES:
@@ -861,15 +890,21 @@ def neardup_pairs(
     ever sees surviving mass (pair existence is pairwise, so the two are
     equivalent; the induced-subgraph point matters one level up, where
     connected components over the gated edges CAN differ from restricting
-    full-corpus components — removing a junk node may split a cluster)."""
+    full-corpus components — removing a junk node may split a cluster).
+
+    ``docs`` (optional ``(doc_id, lang, text)`` relation) replaces the
+    documents scan in BOTH modes — q217 builds the pair graph over
+    redaction-transformed survivor text, where pair existence itself
+    changes (two docs differing only in blocklisted terms become
+    near-identical after redaction)."""
     import os
 
     mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES", "exact")
     if mode == "lsh":
         return _lsh_verified_pairs(
-            spark, sf_dir, round_first=False, keep=keep
+            spark, sf_dir, round_first=False, keep=keep, docs=docs
         ).select("doc_a", "doc_b")
-    return _exact_pairs(spark, sf_dir, keep).select("doc_a", "doc_b")
+    return _exact_pairs(spark, sf_dir, keep, docs).select("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -2514,4 +2549,204 @@ def q216_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         "avg_neg_logp",
         F.coalesce("tier", F.lit("unscored")).alias("tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217: tagged curation pipeline (filter -> blocklist/PII redaction ->
+# fuzzy -> exact -> scrub -> span) — Dolma's tagger placement
+# ---------------------------------------------------------------------------
+# Dolma (Soldaini et al. 2024) runs CONTENT TAGGERS — PII masking, toxic/
+# blocklist span redaction — between the quality filter and deduplication:
+# the filter decides on RAW text, the taggers rewrite the surviving text,
+# and every downstream stage (fuzzy dedup, exact dedup, scrub) sees the
+# REWRITTEN text. q217 is q214's five-stage chain with that tagger stage
+# spliced in: stage 0 q212's Gopher gate (raw text), stage 1 q131's
+# word-boundary blocklist redaction over the gated scan (the PII-redaction
+# plumbing — emails/SSNs are the same regexp_replace with different
+# patterns), stage 2 near-dup pair graph over the REDACTED survivors ->
+# connected components -> cluster argmin keeper, stages 3-5 q210's chain
+# (exact fingerprint dedup -> line scrub -> span keep-first) over the
+# redacted fuzzy survivors. Ledger: (doc_id, n_tokens, kept_quality,
+# redact_hits, kept_fuzzy, kept_exact, scrub_kept_tokens,
+# span_kept_tokens); n_tokens counts RAW tokens (word-boundary redaction
+# is token-count-preserving, so the raw and redacted counts coincide —
+# documented, not load-bearing).
+#
+# STAGE-ORDER RATIONALE, beyond q214's: (a) redaction BEFORE fuzzy dedup
+# is decision-bearing — two documents differing ONLY in blocklisted terms
+# sit below the Jaccard threshold raw but become identical after
+# redaction, so the fuzzy stage collapses them (Dolma's motivation:
+# masked PII must not keep near-duplicates distinct); pinned by a hand
+# corpus where q214 keeps both copies and q217 drops one AT THE FUZZY
+# stage. (b) The gate sees RAW text — a document whose redacted form
+# would fail a Gopher rule (|[REDACTED]| = 10 chars inflates mean word
+# length) is still kept, because the filter decision predates the
+# rewrite; pinned by running the gate on the redacted twin corpus and
+# observing the flip. (c) The scrub's df table counts REDACTED line text,
+# so lines differing only in blocklisted terms merge into one boilerplate
+# key (df >= 2 fires where raw df = 1) — pinned. (d) On a corpus with no
+# blocklist hits the redaction is the identity and q217's stage columns
+# equal q214's exactly, with redact_hits = 0 (equivalence pin).
+#
+# Determinism: redact_hits is an integer count of non-overlapping matches
+# (Java and RE2 agree on this word-boundary alternation subset — q131's
+# driver-green pairing); everything else is q214's all-integer machinery
+# over rewritten strings. Gated-out documents carry redact_hits = 0 (the
+# tagger never ran on them — the _yield_ledger n/a->0 convention).
+#
+# 100 TB shape: the redaction is one regexp_replace in whole-stage
+# codegen over the ALREADY-GATED scan (no extra shuffle — it fuses into
+# the semi-join projection); the redacted relation is cache()d because
+# three consumers need it (pair build via neardup_pairs(docs=), the
+# fuzzy-survivor text, the ledger's hits column) — the module's
+# documented cache contract, released by session.release_session_state;
+# candidates stay env-switchable exact->LSH through neardup_pairs. No
+# reference equivalent (SURVEY.md §2.10 north-star extension).
+
+_Q217_SQL = _Q212_CTES_SQL.replace("WITH base AS", "WITH RECURSIVE base AS", 1) + f""",
+qkeep AS (
+  SELECT doc_id FROM flags
+  WHERE pass_length AND pass_word_len AND pass_alpha AND pass_stopwords
+    AND pass_repetition
+),
+rdocs AS (
+  SELECT d.doc_id AS doc_id,
+         REGEXP_REPLACE(d.text, '{_REDACT_PATTERN}', '[REDACTED]', 'g') AS text,
+         CAST(LEN(REGEXP_EXTRACT_ALL(d.text, '{_REDACT_PATTERN}')) AS BIGINT)
+           AS redact_hits,
+         d.lang AS lang
+  FROM documents d JOIN qkeep q ON d.doc_id = q.doc_id
+  WHERE d.text IS NOT NULL
+),
+dt AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+')) AS toks
+  FROM rdocs
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM dt a JOIN dt b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE LEN(LIST_FILTER(a.toks, x -> LIST_CONTAINS(b.toks, x)))::DOUBLE
+        / LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+fkeep AS (
+  SELECT d.doc_id AS doc_id, d.text AS text
+  FROM rdocs d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+  WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+),
+docs2 AS (
+  SELECT doc_id, text, {_DOC_FP_SQL} AS fp FROM fkeep
+),
+keep_ids AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs2 GROUP BY fp
+),
+base1 AS (
+  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '[\\s\\x0b]+') AS toks
+  FROM docs2 d JOIN keep_ids k ON d.doc_id = k.doc_id
+),
+""" + _curation_stage_sql("units1", "df1", "base1") + """
+SELECT f.doc_id AS doc_id,
+  CAST(f.n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_quality,
+  CAST(COALESCE(rd.redact_hits, 0) AS BIGINT) AS redact_hits,
+  CAST(CASE WHEN fz.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_fuzzy,
+  CAST(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_exact,
+  CAST(COALESCE(b.scrub_kept_tokens, 0) AS BIGINT) AS scrub_kept_tokens,
+  CAST(COALESCE(v.span_kept_tokens, 0) AS BIGINT) AS span_kept_tokens
+FROM flags f
+LEFT JOIN qkeep q ON f.doc_id = q.doc_id
+LEFT JOIN rdocs rd ON f.doc_id = rd.doc_id
+LEFT JOIN fkeep fz ON f.doc_id = fz.doc_id
+LEFT JOIN keep_ids k ON f.doc_id = k.doc_id
+LEFT JOIN scrubbed b ON f.doc_id = b.doc_id
+LEFT JOIN sp v ON f.doc_id = v.doc_id
+"""
+
+# same silent-miss guard as q214's RECURSIVE arm
+assert _Q217_SQL.lstrip().startswith("WITH RECURSIVE base AS")
+
+
+@query("q217_tagged_curation_pipeline", _Q217_SQL)
+def q217_tagged_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged curation composition (Dolma's tagger placement): q212's
+    Gopher-rule filter -> q131's word-boundary blocklist redaction over
+    the survivors (the PII-masking plumbing) -> near-dup clustering over
+    the REDACTED text with one keeper per connected component -> exact
+    fingerprint dedup -> line scrub -> span keep-first; returns the
+    per-document integer yield ledger (doc_id, n_tokens, kept_quality,
+    redact_hits, kept_fuzzy, kept_exact, scrub_kept_tokens,
+    span_kept_tokens). See the block comment above for the stage-order
+    rationale (redaction-unifies-near-dups; the gate sees raw text; the
+    scrub's df counts redacted lines), the exact->LSH candidate switch,
+    and the 100 TB plan shape."""
+    from .text import q212_gopher_quality_filter
+
+    # ONE cached bounded doc_id verdict set (q213/q214's adjudicated
+    # structure; three consumers: the redaction gate, the ledger's
+    # kept_quality column, and — transitively through redacted — the pair
+    # build); released by session.release_session_state.
+    qkeep = (
+        q212_gopher_quality_filter(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .cache()
+    )
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base0 = d0.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id", "lang", "text"
+    )
+    # stage 1 — redact the blocklist over the GATED scan (filter-first:
+    # the tagger only ever runs on surviving mass). Cached: the pair
+    # build, the fuzzy-survivor text, and the ledger all read it.
+    gated = base0.join(qkeep, "doc_id", "semi")
+    redacted = gated.select(
+        "doc_id",
+        "lang",
+        F.regexp_count("text", F.lit(_REDACT_PATTERN))
+        .cast("bigint")
+        .alias("redact_hits"),
+        F.regexp_replace("text", _REDACT_PATTERN, "[REDACTED]").alias("text"),
+    ).cache()
+    # stage 2 — fuzzy dedup over the REDACTED survivors: pair existence
+    # itself changes under redaction (the docs= override)
+    pairs = neardup_pairs(
+        spark, sf_dir, docs=redacted.select("doc_id", "lang", "text")
+    )
+    clusters = connected_components(pairs, "doc_a", "doc_b")
+    non_keepers = clusters.filter(F.col("comp") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    fkeep = redacted.select("doc_id", "text").join(
+        non_keepers, "doc_id", "left_anti"
+    )
+    # stages 3-5 — the shared exact-dedup/scrub/span chain over the
+    # redacted fuzzy survivors
+    keep_ids, scrubbed, span_kept = _curation_stages(fkeep)
+    totals = base0.select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return _yield_ledger(
+        totals,
+        [
+            ("kept_quality", qkeep.select("doc_id", F.lit(1).alias("kept_quality"))),
+            ("redact_hits", redacted.select("doc_id", "redact_hits")),
+            ("kept_fuzzy", fkeep.select("doc_id", F.lit(1).alias("kept_fuzzy"))),
+            ("kept_exact", keep_ids.select("doc_id", F.lit(1).alias("kept_exact"))),
+            ("scrub_kept_tokens", scrubbed.select("doc_id", "scrub_kept_tokens")),
+            ("span_kept_tokens", span_kept),
+        ],
     )

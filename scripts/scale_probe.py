@@ -860,6 +860,83 @@ def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
     return out
 
 
+def q217_tagged_probe(spark, scales=(1, 2, 4)) -> list[dict]:
+    """The q217 m-axis probe: the tagged (filter -> redact -> fuzzy ->
+    exact -> scrub -> span) composition under BOTH candidate modes —
+    q214's probe shape with the redaction stage in the measured path and
+    redact_hits in the summary (every output column referenced — the
+    standing probe-validity rule; dropping it would let ColumnPruning
+    delete the regexp_count branch). The m-fold corpus's affine vocab
+    permutation does not touch the blocklist terms, so redaction mass
+    grows ~m while the exact-mode predicate evaluations grow ~m^2 —
+    the same divergence q214's probe measures, now over rewritten
+    text. Mode-parity digest per m (order-free set hash)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    fn = em.queries()["q217_tagged_curation_pipeline"]
+    out = []
+
+    def summary(df):
+        return df.agg(
+            F.count("*"),
+            F.sum("kept_quality"),
+            F.sum("kept_fuzzy"),
+            F.sum("kept_exact"),
+            F.sum("redact_hits"),
+            F.sum("n_tokens"),
+            F.sum("scrub_kept_tokens"),
+            F.sum("span_kept_tokens"),
+        )
+
+    saved_mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES")
+    try:
+        for m in scales:
+            d = build_corpus(spark, m, with_embeddings=False)
+            digests = {}
+            for mode in ("exact", "lsh"):
+                os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = mode
+                secs = []
+                for _ in range(2):
+                    release(spark)
+                    t0 = time.perf_counter()
+                    row = summary(fn(spark, d)).collect()[0]
+                    secs.append(round(time.perf_counter() - t0, 2))
+                # digest on the 2nd run's warm caches (q214 precedent)
+                digests[mode] = _order_free_set_digest(fn(spark, d))
+                release(spark)
+                rec = {
+                    "probe": "q217_tagged",
+                    "query": "q217_tagged_curation_pipeline",
+                    "mode": mode,
+                    "m": m,
+                    "rows": int(row[0]),
+                    "kept_quality": int(row[1]),
+                    "kept_fuzzy": int(row[2]),
+                    "kept_exact": int(row[3]),
+                    "redact_hits": int(row[4]),
+                    "ledger_sums": [int(v) for v in row[5:]],
+                    "ledger_digest": digests[mode],
+                    "cold_sec": secs[0],
+                    "warm_sec": secs[1],
+                }
+                out.append(rec)
+                print(json.dumps(rec), flush=True)
+            parity = {
+                "probe": "q217_mode_parity",
+                "m": m,
+                "ledger_identical": digests["exact"] == digests["lsh"],
+            }
+            out.append(parity)
+            print(json.dumps(parity), flush=True)
+    finally:
+        if saved_mode is None:
+            os.environ.pop("SPARK_GRAFT_NEARDUP_CANDIDATES", None)
+        else:
+            os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = saved_mode
+    return out
+
+
 def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     """The q215/q216 order-sheet probe: m-axis clock for the per-language
     LM tier stage (q215) and the full CCNet composition (q216). The
@@ -1030,7 +1107,27 @@ def main() -> None:
         help="run the q215/q216 LM-tier m-axis probe (comma list of corpus "
         "multiples, e.g. 1,2,4,8)",
     )
+    ap.add_argument(
+        "--q217-scales",
+        default=None,
+        help="run the q217 tagged-curation m-axis probe, both candidate "
+        "modes (comma list of corpus multiples, e.g. 1,2,4)",
+    )
     args = ap.parse_args()
+
+    if args.q217_scales is not None:
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("scale-probe-q217")
+        results = q217_tagged_probe(
+            spark, tuple(int(m) for m in args.q217_scales.split(","))
+        )
+        os.makedirs(WORK, exist_ok=True)
+        with open(os.path.join(WORK, "q217_tagged_probe_results.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+        spark.stop()
+        return
 
     if args.q215_scales is not None:
         os.environ.setdefault("SPARK_GRAFT_CPUS", "32")

@@ -1710,6 +1710,16 @@ def test_scrub_and_rep_sql_generators_pin():
         hashlib.sha256(_Q214_SQL.encode()).hexdigest()
         == "11edcd8ad058dd0900956c94a3845b39f2ffbd3d1596e8854638151e0837b79d"
     )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q217_SQL,
+    )
+
+    # q217's glue (the rdocs redaction CTE + the q214-shaped closure
+    # chain over it); its r11 introduction string
+    assert (
+        hashlib.sha256(_Q217_SQL.encode()).hexdigest()
+        == "b679c5266c775f4a82c9f5835ede27e17fab10631f1673e1ca15cdd8d2b4440c"
+    )
 
 
 def test_q211_paragraph_scrub_edge_cases(spark, tmp_path):
@@ -2210,6 +2220,236 @@ def test_q214_lsh_mode_matches_exact_mode(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NEARDUP_CANDIDATES", "lsh")
     lsh = sorted(tuple(r) for r in q214_fuzzy_curation_pipeline(spark, SF).collect())
     assert exact == lsh
+
+
+def test_q217_lsh_mode_matches_exact_mode(spark, monkeypatch):
+    """q217 under SPARK_GRAFT_NEARDUP_CANDIDATES=lsh: the docs= override
+    must thread through the LSH path too (minhash signatures, band join
+    and verify bitmaps all built over the REDACTED relation) and produce
+    the identical ledger — the q214 parity argument over rewritten
+    text."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q217_tagged_curation_pipeline,
+    )
+
+    exact = sorted(tuple(r) for r in q217_tagged_curation_pipeline(spark, SF).collect())
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_CANDIDATES", "lsh")
+    lsh = sorted(tuple(r) for r in q217_tagged_curation_pipeline(spark, SF).collect())
+    assert exact == lsh
+
+
+# ---------------------------------------------------------------------------
+# q217 tagged curation pipeline (filter -> redaction -> fuzzy -> exact ->
+# scrub -> span)
+# ---------------------------------------------------------------------------
+
+
+def test_q217_redaction_stage_orders(spark, tmp_path):
+    """The Dolma tagger placement's decision-bearing order pins:
+
+    (a) redaction BEFORE fuzzy dedup — two docs differing ONLY in a
+        blocklisted term (raw Jaccard 0.818 < 0.95) become identical
+        after redaction and the fuzzy stage collapses them; q214 on the
+        SAME corpus keeps both copies through every stage;
+    (b) the gate sees RAW text — a doc whose redacted form trips the
+        repetition rule (three adjacent blocklisted terms redact to a
+        repeated '[REDACTED] [REDACTED]' bigram) is still kept, because
+        the filter decision predates the rewrite (q212 over the redacted
+        twin corpus drops it);
+    (c) the scrub's df table counts REDACTED line text — two docs whose
+        5-token windows differ only in a blocklisted term share one
+        redacted window (df=2, scrubbed from both) where raw df=1;
+    (d) cross-lang identical text (with a blocklisted term) stays
+        fuzzy-blind and is caught by the global exact argmin.
+
+    Then check Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _REDACT_PATTERN,
+        _Q217_SQL,
+        q214_fuzzy_curation_pipeline,
+        q217_tagged_curation_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+
+    docs = [
+        # (a) near-dup-under-redaction pair: differ only customer/supplier
+        (1, "en", "the customer alpha bravo charlie delta echo fox golf of"),
+        (2, "en", "the supplier alpha bravo charlie delta echo fox golf of"),
+        # (b) passes raw; redacted trips repetition (R R bigram x2)
+        (4, "en", "the customer supplier query kilo lima mike nova oscar papa of"),
+        # (c) shared 5-token window up to the blocklisted term
+        (5, "en", "the wsa wsb wsc wsd customer alpha bravo charlie delta "
+                  "psa psb psc psd of"),
+        (6, "en", "the wta wtb wtc wtd supplier alpha bravo charlie delta "
+                  "pta ptb ptc ptd of"),
+        # (d) identical text, two langs, with a blocklisted term
+        (7, "en", "the customer ssa ssb ssc ssd sse ssf ssg of"),
+        (8, "fr", "the customer ssa ssb ssc ssd sse ssf ssg of"),
+        (9, "en", "too short"),
+        (10, "en", None),
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q217_tagged_curation_pipeline(spark, d).collect()
+    }
+    assert set(rows) == {1, 2, 4, 5, 6, 7, 8, 9}
+    # full expected ledgers (hand-derived in the block comment corpus):
+    # doc1 keeps the solo 'of' span (first occurrence); docs 5/6/7 lose
+    # theirs; docs 5/6 lose the shared redacted window (5 tokens)
+    expect = {
+        1: (10, 1, 1, 1, 1, 10, 10),
+        2: (10, 1, 1, 0, 0, 0, 0),
+        4: (11, 1, 3, 1, 1, 11, 11),
+        5: (15, 1, 1, 1, 1, 10, 9),
+        6: (15, 1, 1, 1, 1, 10, 9),
+        7: (10, 1, 1, 1, 1, 10, 9),
+        8: (10, 1, 1, 1, 0, 0, 0),
+        9: (2, 0, 0, 0, 0, 0, 0),
+    }
+    cols = (
+        "n_tokens", "kept_quality", "redact_hits", "kept_fuzzy",
+        "kept_exact", "scrub_kept_tokens", "span_kept_tokens",
+    )
+    for k, want in expect.items():
+        assert tuple(rows[k][c] for c in cols) == want, (k, rows[k])
+
+    # (a) the q214 counterfactual: no redaction => no fuzzy pair => both
+    # copies survive every stage
+    r214 = {
+        r["doc_id"]: r.asDict()
+        for r in q214_fuzzy_curation_pipeline(spark, d).collect()
+    }
+    assert r214[2]["kept_fuzzy"] == 1 and r214[2]["kept_exact"] == 1
+    assert rows[2]["kept_fuzzy"] == 0
+
+    # (b) the gate-sees-raw counterfactual: q212 over the redacted twin
+    # corpus drops doc 4 on the repetition rule
+    red = [
+        (
+            i,
+            lang,
+            None
+            if t is None
+            else __import__("re").sub(_REDACT_PATTERN, "[REDACTED]", t),
+        )
+        for i, lang, t in docs
+    ]
+    d2 = _write_docs(spark, tmp_path / "red", red)
+    r212r = {
+        r["doc_id"]: r.asDict()
+        for r in q212_gopher_quality_filter(spark, d2).collect()
+    }
+    assert not r212r[4]["kept"] and not r212r[4]["pass_repetition"]
+    assert rows[4]["kept_quality"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q217_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+
+def test_q217_equals_q214_when_redaction_is_vacuous(spark, tmp_path):
+    """Equivalence pin: on a corpus with NO blocklist hits the redaction
+    is the identity — q217's stage columns must equal q214's exactly,
+    with redact_hits == 0 everywhere. The corpus still fires the other
+    stages (the q214 vacuous-test corpus: a cross-lang exact duplicate,
+    a df=2 boilerplate line, a failing-quality doc)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q214_fuzzy_curation_pipeline,
+        q217_tagged_curation_pipeline,
+    )
+
+    boiler = "the menu home about contact"
+    docs = [
+        (1, "en", boiler + " a quality document with plenty real content here today"),
+        (2, "en", boiler + " a different second document body with more words here"),
+        (3, "en", "the third document is a plain unique body of twelve words"),
+        (4, "fr", "the third document is a plain unique body of twelve words"),
+        (5, "en", "too short"),
+        (6, "en", None),
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    r217 = {
+        r["doc_id"]: r.asDict()
+        for r in q217_tagged_curation_pipeline(spark, d).collect()
+    }
+    r214 = {
+        r["doc_id"]: r.asDict()
+        for r in q214_fuzzy_curation_pipeline(spark, d).collect()
+    }
+    assert set(r217) == set(r214) == {1, 2, 3, 4, 5}
+    for k, v in r217.items():
+        assert v["redact_hits"] == 0, k  # redaction fired nowhere
+        for col in ("n_tokens", "kept_quality", "kept_fuzzy", "kept_exact",
+                    "scrub_kept_tokens", "span_kept_tokens"):
+            assert v[col] == r214[k][col], (k, col)
+    # sanity: the other stages actually fired
+    assert r217[4]["kept_exact"] == 0 and r217[4]["kept_fuzzy"] == 1
+    assert r217[5]["kept_quality"] == 0
+    assert r217[1]["scrub_kept_tokens"] < r217[1]["n_tokens"]
+
+
+def test_q217_consistency_sf(spark):
+    """q217 on the sf corpus: stage monotonicity (each kept_* implies the
+    previous; span <= scrub <= n_tokens; dropped docs all-zero),
+    kept_quality equals q212's verdict, and redact_hits is exactly q131's
+    per-doc hit count for quality survivors (0 for gated-out docs — the
+    tagger never ran on them) — the single-definition check between the
+    standalone tagger query and the composed stage."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q217_tagged_curation_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.quality import (
+        q131_blocklist_scrub,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+
+    r217 = {
+        r["doc_id"]: r.asDict()
+        for r in q217_tagged_curation_pipeline(spark, SF).collect()
+    }
+    r212 = {
+        r["doc_id"]: r.asDict()
+        for r in q212_gopher_quality_filter(spark, SF).collect()
+    }
+    hits = {
+        r["doc_id"]: r["n_hits"] for r in q131_blocklist_scrub(spark, SF).collect()
+    }
+    assert set(r217) == set(r212) and len(r217) > 0
+    for k, v in r217.items():
+        assert v["kept_quality"] == int(r212[k]["kept"]), k
+        assert v["kept_fuzzy"] <= v["kept_quality"], k
+        assert v["kept_exact"] <= v["kept_fuzzy"], k
+        assert v["span_kept_tokens"] <= v["scrub_kept_tokens"] <= v["n_tokens"], k
+        if v["kept_fuzzy"] == 0:
+            assert (
+                v["kept_exact"] == v["scrub_kept_tokens"] == v["span_kept_tokens"] == 0
+            ), k
+        want = hits.get(k, 0) if v["kept_quality"] == 1 else 0
+        assert v["redact_hits"] == want, k
+    # both new stages fire on real data
+    assert any(v["redact_hits"] > 0 for v in r217.values())
+    assert any(
+        v["kept_quality"] == 1 and v["kept_fuzzy"] == 0 for v in r217.values()
+    )
 
 
 # ---------------------------------------------------------------------------
