@@ -779,37 +779,35 @@ def _order_free_set_digest(df):
     )
 
 
-def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
-    """The q214 order-sheet probe: m-axis clock for the fuzzy curation
-    composition under BOTH candidate modes — exact (q44's within-lang
-    all-pairs, the oracle default, quadratic per lang block) and lsh
-    (banded MinHash, the 100 TB path, ~linear candidate mass). The copies
-    are affine vocabulary permutations, so each m-fold corpus carries m
-    copies of the natural within-lang near-dup structure while cross-copy
-    overlap stays at background — true pairs grow ~m, but exact-mode
-    PREDICATE EVALUATIONS grow ~m^2 within each lang block. The probe
-    exists to measure that divergence, and to check the two modes'
-    ledgers stay IDENTICAL as the corpus grows (LSH precision is 1.0 by
-    construction, so any divergence is a recall miss). Ledger digest is
-    the literal order-free set hash (sort-collect full per-row md5s,
-    hash the concatenation). Warm 2nd-run timings; the summary references
-    EVERY output column (the r9 probe-validity rule)."""
+def _candidate_mode_probe(
+    spark, scales, *, query: str, probe_tag: str, named_cols: list[str],
+    sum_cols: list[str],
+) -> list[dict]:
+    """Shared m-axis probe body for the candidate-mode compositions
+    (q214/q217): both SPARK_GRAFT_NEARDUP_CANDIDATES modes per m, warm
+    2nd-run timings, order-free set digest per mode, a parity record per
+    m. ONE implementation so a protocol fix (digest-on-warm-caches, env
+    save/restore, timing) cannot silently diverge the two measurements —
+    the review-caught duplication class the operator factorings closed.
+    ``named_cols`` become named integer keys in each record (after
+    ``rows``); ``sum_cols`` land in ``ledger_sums``. Aggregates are
+    None-safe: an empty ledger records nulls instead of crashing AFTER
+    both timed runs (the q215 probe's documented rule)."""
     import __spark_entry__ as em
     from pyspark.sql import functions as F
 
-    fn = em.queries()["q214_fuzzy_curation_pipeline"]
+    fn = em.queries()[query]
     out = []
 
     def summary(df):
         return df.agg(
             F.count("*"),
-            F.sum("kept_quality"),
-            F.sum("kept_fuzzy"),
-            F.sum("kept_exact"),
-            F.sum("n_tokens"),
-            F.sum("scrub_kept_tokens"),
-            F.sum("span_kept_tokens"),
+            *[F.sum(c) for c in named_cols],
+            *[F.sum(c) for c in sum_cols],
         )
+
+    def safe_int(v):
+        return None if v is None else int(v)
 
     saved_mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES")
     try:
@@ -830,15 +828,17 @@ def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
                 digests[mode] = _order_free_set_digest(fn(spark, d))
                 release(spark)
                 rec = {
-                    "probe": "q214_fuzzy",
-                    "query": "q214_fuzzy_curation_pipeline",
+                    "probe": probe_tag,
+                    "query": query,
                     "mode": mode,
                     "m": m,
                     "rows": int(row[0]),
-                    "kept_quality": int(row[1]),
-                    "kept_fuzzy": int(row[2]),
-                    "kept_exact": int(row[3]),
-                    "ledger_sums": [int(v) for v in row[4:]],
+                    **{
+                        c: safe_int(row[1 + i]) for i, c in enumerate(named_cols)
+                    },
+                    "ledger_sums": [
+                        safe_int(v) for v in row[1 + len(named_cols):]
+                    ],
                     "ledger_digest": digests[mode],
                     "cold_sec": secs[0],
                     "warm_sec": secs[1],
@@ -846,7 +846,7 @@ def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
                 out.append(rec)
                 print(json.dumps(rec), flush=True)
             parity = {
-                "probe": "q214_mode_parity",
+                "probe": f"{probe_tag.split('_')[0]}_mode_parity",
                 "m": m,
                 "ledger_identical": digests["exact"] == digests["lsh"],
             }
@@ -858,6 +858,31 @@ def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
         else:
             os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = saved_mode
     return out
+
+
+def q214_fuzzy_probe(spark, scales=(1, 2, 4)) -> list[dict]:
+    """The q214 order-sheet probe: m-axis clock for the fuzzy curation
+    composition under BOTH candidate modes — exact (q44's within-lang
+    all-pairs, the oracle default, quadratic per lang block) and lsh
+    (banded MinHash, the 100 TB path, ~linear candidate mass). The copies
+    are affine vocabulary permutations, so each m-fold corpus carries m
+    copies of the natural within-lang near-dup structure while cross-copy
+    overlap stays at background — true pairs grow ~m, but exact-mode
+    PREDICATE EVALUATIONS grow ~m^2 within each lang block. The probe
+    exists to measure that divergence, and to check the two modes'
+    ledgers stay IDENTICAL as the corpus grows (LSH precision is 1.0 by
+    construction, so any divergence is a recall miss). Ledger digest is
+    the literal order-free set hash (sort-collect full per-row md5s,
+    hash the concatenation). Warm 2nd-run timings; the summary references
+    EVERY output column (the r9 probe-validity rule)."""
+    return _candidate_mode_probe(
+        spark,
+        scales,
+        query="q214_fuzzy_curation_pipeline",
+        probe_tag="q214_fuzzy",
+        named_cols=["kept_quality", "kept_fuzzy", "kept_exact"],
+        sum_cols=["n_tokens", "scrub_kept_tokens", "span_kept_tokens"],
+    )
 
 
 def q217_tagged_probe(spark, scales=(1, 2, 4)) -> list[dict]:
@@ -871,70 +896,14 @@ def q217_tagged_probe(spark, scales=(1, 2, 4)) -> list[dict]:
     grows ~m while the exact-mode predicate evaluations grow ~m^2 —
     the same divergence q214's probe measures, now over rewritten
     text. Mode-parity digest per m (order-free set hash)."""
-    import __spark_entry__ as em
-    from pyspark.sql import functions as F
-
-    fn = em.queries()["q217_tagged_curation_pipeline"]
-    out = []
-
-    def summary(df):
-        return df.agg(
-            F.count("*"),
-            F.sum("kept_quality"),
-            F.sum("kept_fuzzy"),
-            F.sum("kept_exact"),
-            F.sum("redact_hits"),
-            F.sum("n_tokens"),
-            F.sum("scrub_kept_tokens"),
-            F.sum("span_kept_tokens"),
-        )
-
-    saved_mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES")
-    try:
-        for m in scales:
-            d = build_corpus(spark, m, with_embeddings=False)
-            digests = {}
-            for mode in ("exact", "lsh"):
-                os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = mode
-                secs = []
-                for _ in range(2):
-                    release(spark)
-                    t0 = time.perf_counter()
-                    row = summary(fn(spark, d)).collect()[0]
-                    secs.append(round(time.perf_counter() - t0, 2))
-                # digest on the 2nd run's warm caches (q214 precedent)
-                digests[mode] = _order_free_set_digest(fn(spark, d))
-                release(spark)
-                rec = {
-                    "probe": "q217_tagged",
-                    "query": "q217_tagged_curation_pipeline",
-                    "mode": mode,
-                    "m": m,
-                    "rows": int(row[0]),
-                    "kept_quality": int(row[1]),
-                    "kept_fuzzy": int(row[2]),
-                    "kept_exact": int(row[3]),
-                    "redact_hits": int(row[4]),
-                    "ledger_sums": [int(v) for v in row[5:]],
-                    "ledger_digest": digests[mode],
-                    "cold_sec": secs[0],
-                    "warm_sec": secs[1],
-                }
-                out.append(rec)
-                print(json.dumps(rec), flush=True)
-            parity = {
-                "probe": "q217_mode_parity",
-                "m": m,
-                "ledger_identical": digests["exact"] == digests["lsh"],
-            }
-            out.append(parity)
-            print(json.dumps(parity), flush=True)
-    finally:
-        if saved_mode is None:
-            os.environ.pop("SPARK_GRAFT_NEARDUP_CANDIDATES", None)
-        else:
-            os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = saved_mode
-    return out
+    return _candidate_mode_probe(
+        spark,
+        scales,
+        query="q217_tagged_curation_pipeline",
+        probe_tag="q217_tagged",
+        named_cols=["kept_quality", "kept_fuzzy", "kept_exact", "redact_hits"],
+        sum_cols=["n_tokens", "scrub_kept_tokens", "span_kept_tokens"],
+    )
 
 
 def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
