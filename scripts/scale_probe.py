@@ -779,6 +779,20 @@ def _order_free_set_digest(df):
     )
 
 
+def _agg_scalar(v):
+    """THE None-safe aggregate-cell conversion, shared by every probe's
+    record builder: a pathological corpus (no scoreable docs / zero
+    rows) makes F.sum(...) return NULL — record it as null rather than
+    crashing AFTER the timed runs; float sums round to 6dp, everything
+    else records as int. One definition so the probe families cannot
+    diverge on it (review-caught: a q215-only inline copy vs a
+    candidate-probe-only int() copy would truncate a future float
+    ledger column in one family and round it in the other)."""
+    if v is None:
+        return None
+    return round(float(v), 6) if isinstance(v, float) else int(v)
+
+
 def _candidate_mode_probe(
     spark, scales, *, query: str, probe_tag: str, named_cols: list[str],
     sum_cols: list[str],
@@ -806,9 +820,6 @@ def _candidate_mode_probe(
             *[F.sum(c) for c in sum_cols],
         )
 
-    def safe_int(v):
-        return None if v is None else int(v)
-
     saved_mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES")
     try:
         for m in scales:
@@ -834,10 +845,10 @@ def _candidate_mode_probe(
                     "m": m,
                     "rows": int(row[0]),
                     **{
-                        c: safe_int(row[1 + i]) for i, c in enumerate(named_cols)
+                        c: _agg_scalar(row[1 + i]) for i, c in enumerate(named_cols)
                     },
                     "ledger_sums": [
-                        safe_int(v) for v in row[1 + len(named_cols):]
+                        _agg_scalar(v) for v in row[1 + len(named_cols):]
                     ],
                     "ledger_digest": digests[mode],
                     "cold_sec": secs[0],
@@ -846,7 +857,9 @@ def _candidate_mode_probe(
                 out.append(rec)
                 print(json.dumps(rec), flush=True)
             parity = {
-                "probe": f"{probe_tag.split('_')[0]}_mode_parity",
+                # parity tag keyed on the query's stable qNN prefix, not
+                # on probe_tag's spelling (review-caught hidden coupling)
+                "probe": f"{query.split('_')[0]}_mode_parity",
                 "m": m,
                 "ledger_identical": digests["exact"] == digests["lsh"],
             }
@@ -991,17 +1004,7 @@ def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
                 "query": name,
                 "m": m,
                 "rows": int(row[0]),
-                # None-safe: a pathological corpus (no scoreable docs /
-                # zero rows) makes F.sum(...) return NULL — record it as
-                # null rather than crashing after the timed runs
-                "ledger_sums": [
-                    (
-                        None
-                        if v is None
-                        else (round(float(v), 6) if isinstance(v, float) else int(v))
-                    )
-                    for v in row[1:]
-                ],
+                "ledger_sums": [_agg_scalar(v) for v in row[1:]],
                 # the FULL per-language census (not just the max): a
                 # super-linear bend must be attributable from this JSON
                 "lang_docs": dict(sorted(lang_sizes.items())),
