@@ -2238,6 +2238,106 @@ def test_q217_lsh_mode_matches_exact_mode(spark, monkeypatch):
     assert exact == lsh
 
 
+def test_q217_properties_random_corpora(spark, tmp_path):
+    """q217 invariants on random corpora (hypothesis): scope is exactly
+    the non-null docs; kept_quality re-derives from q212's verdict;
+    redact_hits re-derives from a PYTHON re.findall over the raw text
+    (survivors only — gated-out docs carry 0); stage monotonicity with
+    all-zero downstream after a fuzzy drop; and on the no-blocklist-hit
+    arm the ledger equals q214's column-for-column with redact_hits 0 —
+    the vacuous-redaction pin generalized beyond the one hand corpus.
+    Small vocab + short docs make near-dup and exact-dup structure
+    common, so the fuzzy/exact stages fire across examples."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _REDACT_PATTERN,
+        q214_fuzzy_curation_pipeline,
+        q217_tagged_curation_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    vocab = ["the", "a", "of", "alpha", "bravo", "charlie",
+             "customer", "supplier", "query", "delta"]
+    doc = st.lists(st.sampled_from(vocab), max_size=14)
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8), st.booleans())
+    def prop(docs, with_terms):
+        import os as _os
+        import shutil
+        import uuid
+
+        pat = re.compile(_REDACT_PATTERN)
+        if not with_terms:  # the vacuous-redaction arm
+            docs = [
+                ["echo" if pat.fullmatch(t) else t for t in toks]
+                for toks in docs
+            ]
+        tmpdir = str(tmp_path / f"q217_prop_{uuid.uuid4().hex}")
+        try:
+            rows_in = [(i, "en", " ".join(toks)) for i, toks in enumerate(docs)]
+            rows_in.append((len(rows_in), "en", None))
+            spark.createDataFrame(
+                rows_in, "doc_id long, lang string, text string"
+            ).write.parquet(_os.path.join(tmpdir, "documents.parquet"))
+
+            out = {
+                r["doc_id"]: r.asDict()
+                for r in q217_tagged_curation_pipeline(spark, tmpdir).collect()
+            }
+            release_session_state(spark)
+            verdict = {
+                r["doc_id"]: bool(r["kept"])
+                for r in q212_gopher_quality_filter(spark, tmpdir).collect()
+            }
+            release_session_state(spark)
+            assert set(out) == set(range(len(docs)))  # non-null docs only
+            for i, toks in enumerate(docs):
+                v = out[i]
+                assert v["kept_quality"] == int(verdict[i]), i
+                want_hits = (
+                    len(pat.findall(" ".join(toks))) if verdict[i] else 0
+                )
+                assert v["redact_hits"] == want_hits, i
+                assert v["kept_fuzzy"] <= v["kept_quality"], i
+                assert v["kept_exact"] <= v["kept_fuzzy"], i
+                assert (
+                    v["span_kept_tokens"] <= v["scrub_kept_tokens"] <= v["n_tokens"]
+                ), i
+                if v["kept_fuzzy"] == 0:
+                    assert (
+                        v["kept_exact"]
+                        == v["scrub_kept_tokens"]
+                        == v["span_kept_tokens"]
+                        == 0
+                    ), i
+            if not with_terms:
+                r214 = {
+                    r["doc_id"]: r.asDict()
+                    for r in q214_fuzzy_curation_pipeline(spark, tmpdir).collect()
+                }
+                release_session_state(spark)
+                assert set(r214) == set(out)
+                for i, v in out.items():
+                    assert v["redact_hits"] == 0, i
+                    for col in ("n_tokens", "kept_quality", "kept_fuzzy",
+                                "kept_exact", "scrub_kept_tokens",
+                                "span_kept_tokens"):
+                        assert v[col] == r214[i][col], (i, col)
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+
+    prop()
+
+
 # ---------------------------------------------------------------------------
 # q217 tagged curation pipeline (filter -> redaction -> fuzzy -> exact ->
 # scrub -> span)
