@@ -223,3 +223,41 @@ def test_q194_lsh_mode_matches_exact_path(spark, monkeypatch):
     assert base  # non-vacuous: the corpus must actually contain both labels
     assert {t[3] for t in base} == {True, False}
     assert via_lsh == base
+
+
+def test_neardup_pairs_docs_override_composes_with_keep(spark, tmp_path, monkeypatch):
+    """The docs= relation override and the keep= doc_id gate COMPOSE:
+    keep SEMI-gates the provided relation before the signature build, in
+    BOTH candidate modes — the contract q217 relies on half of (docs=
+    alone) and future compositions may rely on jointly. Corpus: three
+    mutual near-dup docs (identical text) plus an unrelated doc; keep
+    excludes one member of the trio, so the gated graph must contain
+    exactly the one surviving pair and never touch the excluded id."""
+    import os
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        neardup_pairs,
+    )
+
+    rows = [
+        (1, "en", "alpha bravo charlie delta echo"),
+        (2, "en", "alpha bravo charlie delta echo"),
+        (3, "en", "alpha bravo charlie delta echo"),
+        (4, "en", "zulu yankee xray whiskey victor"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    keep = spark.createDataFrame([(1,), (2,), (4,)], "doc_id long")
+    for mode in ("exact", "lsh"):
+        monkeypatch.setenv("SPARK_GRAFT_NEARDUP_CANDIDATES", mode)
+        full = {
+            (r["doc_a"], r["doc_b"])
+            for r in neardup_pairs(spark, "unused-sf-dir", docs=docs).collect()
+        }
+        gated = {
+            (r["doc_a"], r["doc_b"])
+            for r in neardup_pairs(
+                spark, "unused-sf-dir", keep=keep, docs=docs
+            ).collect()
+        }
+        assert full == {(1, 2), (1, 3), (2, 3)}, mode
+        assert gated == {(1, 2)}, mode
