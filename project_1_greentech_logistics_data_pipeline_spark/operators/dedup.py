@@ -290,9 +290,9 @@ def _exact_pairs(
     With both defaults this IS q44's plan, expression for expression."""
     tune(spark)
     # cache: the packed-set build (2 small shuffles) feeds both join sides
-    docs = bitmask_token_sets(spark, sf_dir, keep, docs).cache()
-    a = docs.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(_PAIR_SALT))).alias("a")
-    b = docs.withColumn(
+    packed = bitmask_token_sets(spark, sf_dir, keep, docs).cache()
+    a = packed.withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(_PAIR_SALT))).alias("a")
+    b = packed.withColumn(
         "part", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
     ).alias("b")
     return (

@@ -154,6 +154,19 @@ def q130_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BLOCKLIST = ("customer", "supplier", "query")
+
+# The pattern below is f-string-interpolated into single-quoted SQL string
+# literals by BOTH its consumers (q131 here, q217 in dedup.py), and must
+# behave identically under Java regex (Spark) and DuckDB's RE2. Plain
+# lowercase-ASCII terms guarantee both: no quote to break the SQL literal,
+# no escape/class construct for the engines to disagree on. Enforced at
+# import time so a future blocklist edit that would silently diverge the
+# oracle fails loudly in every consumer (ADVICE r11).
+assert all(t and all("a" <= c <= "z" for c in t) for t in _BLOCKLIST), (
+    "_BLOCKLIST terms must be non-empty lowercase ASCII ([a-z]+): safe to "
+    "interpolate into single-quoted SQL and regex-identical on Spark vs DuckDB"
+)
+
 _SCRUB_PATTERN = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
 
 

@@ -1087,87 +1087,10 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    if args.q217_scales is not None:
-        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
+    def _ints(csv: str) -> tuple:
+        return tuple(int(x) for x in csv.split(","))
 
-        spark = get_spark("scale-probe-q217")
-        results = q217_tagged_probe(
-            spark, tuple(int(m) for m in args.q217_scales.split(","))
-        )
-        os.makedirs(WORK, exist_ok=True)
-        with open(os.path.join(WORK, "q217_tagged_probe_results.json"), "w") as fh:
-            json.dump(results, fh, indent=1)
-        spark.stop()
-        return
-
-    if args.q215_scales is not None:
-        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
-
-        spark = get_spark("scale-probe-q215")
-        results = q215_tier_probe(
-            spark, tuple(int(m) for m in args.q215_scales.split(","))
-        )
-        os.makedirs(WORK, exist_ok=True)
-        with open(os.path.join(WORK, "q215_tier_probe_results.json"), "w") as fh:
-            json.dump(results, fh, indent=1)
-        spark.stop()
-        return
-
-    if args.q214_scales is not None:
-        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
-
-        spark = get_spark("scale-probe-q214")
-        results = q214_fuzzy_probe(
-            spark, tuple(int(m) for m in args.q214_scales.split(","))
-        )
-        os.makedirs(WORK, exist_ok=True)
-        with open(os.path.join(WORK, "q214_fuzzy_probe_results.json"), "w") as fh:
-            json.dump(results, fh, indent=1)
-        spark.stop()
-        return
-
-    if args.q211_granularity is not None:
-        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
-
-        spark = get_spark("scale-probe-q211")
-        results = q211_granularity_probe(spark, int(args.q211_granularity))
-        os.makedirs(WORK, exist_ok=True)
-        with open(os.path.join(WORK, "q211_granularity_probe_results.json"), "w") as fh:
-            json.dump(results, fh, indent=1)
-        spark.stop()
-        return
-
-    if args.q212_scales is not None:
-        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
-
-        spark = get_spark("scale-probe-q212")
-        results = q212_filter_probe(
-            spark, tuple(int(m) for m in args.q212_scales.split(","))
-        )
-        os.makedirs(WORK, exist_ok=True)
-        with open(os.path.join(WORK, "q212_filter_probe_results.json"), "w") as fh:
-            json.dump(results, fh, indent=1)
-        spark.stop()
-        return
-
-    if args.q209_norm is not None:
-        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
-
-        spark = get_spark("scale-probe-q209")
-        results = q209_norm_probe(spark, int(args.q209_norm))
-        os.makedirs(WORK, exist_ok=True)
-        with open(os.path.join(WORK, "q209_norm_probe_results.json"), "w") as fh:
-            json.dump(results, fh, indent=1)
-        spark.stop()
-        return
-
-    if args.q194_modes is not None or args.q194_vocab_docs is not None:
+    def _run_q194(spark):
         scales = tuple(
             int(m) for m in (args.q194_modes or "").split(",") if m.strip()
         )
@@ -1176,25 +1099,54 @@ def main() -> None:
         )
         if not scales and not vdocs:
             ap.error("--q194-modes/--q194-vocab-docs given but both empty")
+        return q194_mode_probe(spark, scales, vdocs)
+
+    # Special-probe dispatch table (ADVICE r11): one shared spark-setup/
+    # run/json-dump block, and more than one probe flag is an explicit
+    # argparse error instead of silent first-match precedence. Rows:
+    # (flag label, selected?, runner(spark) -> results, output filename).
+    # --vocab keeps its historical truthiness test (an explicit empty
+    # string falls through to the default probes, as before).
+    special = [
+        ("q217-scales", args.q217_scales is not None,
+         lambda sp: q217_tagged_probe(sp, _ints(args.q217_scales)),
+         "q217_tagged_probe_results.json"),
+        ("q215-scales", args.q215_scales is not None,
+         lambda sp: q215_tier_probe(sp, _ints(args.q215_scales)),
+         "q215_tier_probe_results.json"),
+        ("q214-scales", args.q214_scales is not None,
+         lambda sp: q214_fuzzy_probe(sp, _ints(args.q214_scales)),
+         "q214_fuzzy_probe_results.json"),
+        ("q212-scales", args.q212_scales is not None,
+         lambda sp: q212_filter_probe(sp, _ints(args.q212_scales)),
+         "q212_filter_probe_results.json"),
+        ("q211-granularity", args.q211_granularity is not None,
+         lambda sp: q211_granularity_probe(sp, int(args.q211_granularity)),
+         "q211_granularity_probe_results.json"),
+        ("q209-norm", args.q209_norm is not None,
+         lambda sp: q209_norm_probe(sp, int(args.q209_norm)),
+         "q209_norm_probe_results.json"),
+        ("q194-modes", args.q194_modes is not None or args.q194_vocab_docs is not None,
+         _run_q194, "q194_mode_probe_results.json"),
+        ("vocab", bool(args.vocab),
+         lambda sp: vocab_probe(sp, _ints(args.vocab)),
+         "vocab_probe_results.json"),
+    ]
+    active = [(flag, run, out) for flag, sel, run, out in special if sel]
+    if len(active) > 1:
+        ap.error(
+            "probe flags are mutually exclusive; got --"
+            + " --".join(flag for flag, _, _ in active)
+        )
+    if active:
+        flag, run, out = active[0]
         os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
         from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
 
-        spark = get_spark("scale-probe-q194")
-        results = q194_mode_probe(spark, scales, vdocs)
+        spark = get_spark("scale-probe-" + flag.split("-")[0])
+        results = run(spark)
         os.makedirs(WORK, exist_ok=True)
-        with open(os.path.join(WORK, "q194_mode_probe_results.json"), "w") as fh:
-            json.dump(results, fh, indent=1)
-        spark.stop()
-        return
-
-    if args.vocab:
-        os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-        from project_1_greentech_logistics_data_pipeline_spark.session import get_spark
-
-        spark = get_spark("scale-probe-vocab")
-        results = vocab_probe(spark, tuple(int(v) for v in args.vocab.split(",")))
-        os.makedirs(WORK, exist_ok=True)
-        with open(os.path.join(WORK, "vocab_probe_results.json"), "w") as fh:
+        with open(os.path.join(WORK, out), "w") as fh:
             json.dump(results, fh, indent=1)
         spark.stop()
         return
