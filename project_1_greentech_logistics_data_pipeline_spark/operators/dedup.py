@@ -2750,3 +2750,279 @@ def q217_tagged_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
             ("span_kept_tokens", span_kept),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# q218: URL-dedup curation pipeline (url dedup -> filter -> dedup -> scrub
+#                                    -> spans)
+# ---------------------------------------------------------------------------
+# RefinedWeb (Penedo et al. 2023, §3.2) deduplicates CommonCrawl by URL
+# BEFORE any content processing — the one published pre-filter stage the
+# composition family (q210/q213/q214/q216/q217) did not yet model: pages
+# crawled more than once are collapsed to one copy by their canonical URL
+# alone, content-blind, because it is the cheapest possible dedup axis
+# (a string group-by — no tokenization, no fingerprints, no pair graph).
+# q218 is that chain: stage 0 URL dedup (grouped argmin over the
+# normalized URL — keep the lowest doc_id = earliest crawl; RefinedWeb
+# keeps one copy per URL the same way), stage 1 q212's Gopher gate over
+# the URL SURVIVORS only, stages 2-4 q210's exact-dedup -> line-scrub ->
+# span chain. Ledger: (doc_id, n_tokens, kept_url, url_group_size,
+# kept_quality, kept_exact, scrub_kept_tokens, span_kept_tokens).
+#
+# CORPUS ADAPTER (documented the way q211 token-adapts paragraphs): the
+# documents table carries no URL column, so the crawl URL is DERIVED
+# deterministically — host from the document's language edition
+# (<lang>.example.com), path from the first 2 normalized tokens of the
+# text (a title slug), plus crawl noise keyed on doc_id: scheme http vs
+# https (doc_id%2), a www. prefix (%3), uppercase host (%11), trailing
+# slash (%5), a ?utm_source tracking param (%7). The NORMALIZATION stage
+# is therefore decision-bearing, not vacuous: raw-distinct URLs that
+# differ only in noise collapse to one normalized key (pinned by test on
+# every noise branch). Both engines build the URL and normalize it from
+# the SAME interpolated pattern constants below.
+#
+# STAGE-ORDER RATIONALE (provable, not stylistic): (a) URL-first is the
+# published order (RefinedWeb Fig. 2 runs url dedup on the raw crawl,
+# before extraction and filtering) and the 100 TB-efficient one — the
+# stage is the cheapest per byte in the whole family (one string
+# group-by; no fan-out, no grams) and at sf0.1 it drops ~44% of the
+# corpus before the gate's token statistics and the downstream
+# fingerprint/line/span machinery ever run. (b) The order is observable:
+# the URL keeper is chosen CONTENT-BLIND among all copies (min doc_id),
+# so a group whose keeper then fails the quality gate contributes
+# nothing downstream even when a higher-doc_id copy would have passed —
+# gate-first would keep that passing copy (pinned by test; this loss is
+# inherent to the published order, which accepts it for the scan-cost
+# win). (c) URL dedup is also decision-distinct from every content
+# stage: it drops docs whose text is UNIQUE (same page re-crawled with
+# edits -> same URL, different fingerprint — pinned by test), and exact
+# dedup keeps collapsing what URL dedup cannot see (same text mirrored
+# at two URLs).
+#
+# Determinism: all-integer ledger (flags/group sizes/token counts); the
+# URL strings are grouping keys only, never output; slug/normalization
+# regexes are plain ASCII classes + anchors with identical Java-regex/
+# RE2 semantics, interpolated from ONE constant into both engines
+# (charset-pinned at import time, the q131/q217 precedent).
+#
+# 100 TB shape: stage 0 ships (url_norm, doc_id) pairs through ONE
+# partial-agg group-by (map-side combine; short slugs bound the key
+# bytes) — strictly cheaper than the fingerprint stage it precedes; the
+# per-doc group-size join broadcasts the bounded group table back (AQE-
+# decided). The gate then runs over survivors only via the docs=
+# override (q206/q212 signals are per-document, so the override only
+# shrinks gate mass — never changes a verdict), and stages 2-4 are the
+# shared chain's adjudicated plans. The cached state is bounded: the
+# (url_norm, keeper, grp) group table and the survivor doc_id verdict
+# set — both one short row per distinct URL / surviving doc, released by
+# session.release_session_state. No reference equivalent (SURVEY.md
+# §2.10 north-star extension).
+
+_URL_SLUG_TOKENS = 2
+_URL_STRIP = "[^a-z0-9-]"
+# (pattern, replacement) applied in ORDER to LOWER(url) on both engines:
+# scheme, www. prefix, query string (tracking params), trailing slash.
+_URL_NORM_STEPS = (
+    ("^https?://", ""),
+    (r"^www\.", ""),
+    (r"\?.*$", ""),
+    ("/$", ""),
+)
+# Interpolated into single-quoted SQL literals (the q131/q217 exposure):
+# no quote may enter the pattern text, and these anchors/classes behave
+# identically under Java regex and RE2. Enforced at import time.
+assert all(
+    "'" not in p + r and "\\" not in r for p, r in _URL_NORM_STEPS
+) and "'" not in _URL_STRIP, (
+    "_URL_NORM_STEPS/_URL_STRIP must stay quote-free ASCII regex with "
+    "identical Java/RE2 semantics: both engines receive the same "
+    "interpolated literal"
+)
+
+
+def _doc_urls(base: DataFrame) -> DataFrame:
+    """Derived crawl URL per document from a ``(doc_id, lang, text)``
+    relation: ``(doc_id, url, url_norm)``. See the q218 block comment —
+    host = <lang>.example.com, path = 2-token title slug, deterministic
+    crawl noise keyed on doc_id; ``url_norm`` strips the noise via
+    :data:`_URL_NORM_STEPS`. Everything stays in whole-stage codegen
+    (split/slice/array_join/regexp_replace — no Python, no fan-out)."""
+    slug = F.regexp_replace(
+        F.array_join(
+            F.slice(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                1,
+                _URL_SLUG_TOKENS,
+            ),
+            "-",
+        ),
+        _URL_STRIP,
+        "",
+    )
+    host = F.concat(F.coalesce(F.col("lang"), F.lit("und")), F.lit(".example.com"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.upper(host)).otherwise(host),
+        F.lit("/"),
+        slug,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    out = base.select("doc_id", url.alias("url"))
+    norm: Column = F.lower(F.col("url"))
+    for pat, rep in _URL_NORM_STEPS:
+        norm = F.regexp_replace(norm, pat, rep)
+    return out.select("doc_id", "url", norm.alias("url_norm"))
+
+
+def _url_cte_sql() -> str:
+    """Oracle twin of :func:`_doc_urls` + the stage-0 group tables, built
+    from the SAME pattern constants: CTEs ``urls`` (raw derived URL),
+    ``unorm`` (normalized key), ``ugrp`` (per-key keeper + group size),
+    ``ukeep`` (kept doc_ids), ``usize`` (per-doc group size)."""
+    slug = (
+        "REGEXP_REPLACE(ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(LOWER(d.text)),"
+        f" '[\\s\\x0b]+')[1:{_URL_SLUG_TOKENS}], '-'), '{_URL_STRIP}', '', 'g')"
+    )
+    host = "COALESCE(d.lang, 'und') || '.example.com'"
+    url = (
+        "(CASE WHEN d.doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)"
+        " || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.' ELSE '' END)"
+        f" || (CASE WHEN d.doc_id % 11 = 0 THEN UPPER({host}) ELSE {host} END)"
+        f" || '/' || {slug}"
+        " || (CASE WHEN d.doc_id % 5 = 0 THEN '/' ELSE '' END)"
+        " || (CASE WHEN d.doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END)"
+    )
+    norm = "LOWER(url)"
+    for pat, rep in _URL_NORM_STEPS:
+        norm = f"REGEXP_REPLACE({norm}, '{pat}', '{rep}', 'g')"
+    return f"""urls AS (
+  SELECT d.doc_id AS doc_id, {url} AS url
+  FROM documents d WHERE d.text IS NOT NULL
+),
+unorm AS (
+  SELECT doc_id, {norm} AS url_norm FROM urls
+),
+ugrp AS (
+  SELECT url_norm, MIN(doc_id) AS keeper, COUNT(*) AS grp
+  FROM unorm GROUP BY url_norm
+),
+ukeep AS (
+  SELECT keeper AS doc_id FROM ugrp
+),
+usize AS (
+  SELECT u.doc_id AS doc_id, g.grp AS url_group_size
+  FROM unorm u JOIN ugrp g ON u.url_norm = g.url_norm
+)"""
+
+
+_Q218_SQL = _Q212_CTES_SQL + ",\n" + _url_cte_sql() + f""",
+qk AS (
+  SELECT f.doc_id AS doc_id
+  FROM flags f JOIN ukeep u ON f.doc_id = u.doc_id
+  WHERE pass_length AND pass_word_len AND pass_alpha AND pass_stopwords
+    AND pass_repetition
+),
+docs2 AS (
+  SELECT d.doc_id AS doc_id, d.text AS text, {_DOC_FP_SQL} AS fp
+  FROM documents d JOIN qk q ON d.doc_id = q.doc_id
+  WHERE d.text IS NOT NULL
+),
+keep_ids AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs2 GROUP BY fp
+),
+base1 AS (
+  SELECT d.doc_id AS doc_id, STRING_SPLIT_REGEX(TRIM(d.text), '[\\s\\x0b]+') AS toks
+  FROM docs2 d JOIN keep_ids k ON d.doc_id = k.doc_id
+),
+""" + _curation_stage_sql("units1", "df1", "base1") + """
+SELECT f.doc_id AS doc_id,
+  CAST(f.n_tokens AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN uk.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_url,
+  CAST(COALESCE(us.url_group_size, 0) AS BIGINT) AS url_group_size,
+  CAST(CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_quality,
+  CAST(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS kept_exact,
+  CAST(COALESCE(b.scrub_kept_tokens, 0) AS BIGINT) AS scrub_kept_tokens,
+  CAST(COALESCE(v.span_kept_tokens, 0) AS BIGINT) AS span_kept_tokens
+FROM flags f
+LEFT JOIN ukeep uk ON f.doc_id = uk.doc_id
+LEFT JOIN usize us ON f.doc_id = us.doc_id
+LEFT JOIN qk q ON f.doc_id = q.doc_id
+LEFT JOIN keep_ids k ON f.doc_id = k.doc_id
+LEFT JOIN scrubbed b ON f.doc_id = b.doc_id
+LEFT JOIN sp v ON f.doc_id = v.doc_id
+"""
+
+
+@query("q218_url_curation_pipeline", _Q218_SQL)
+def q218_url_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-dedup curation composition (RefinedWeb §3.2's pre-filter
+    placement): URL dedup (grouped argmin over the normalized derived
+    URL — content-blind, keep the lowest doc_id per key) -> q212's
+    Gopher-rule filter over the URL survivors only -> exact fingerprint
+    dedup -> line scrub -> span keep-first; returns the per-document
+    integer yield ledger (doc_id, n_tokens, kept_url, url_group_size,
+    kept_quality, kept_exact, scrub_kept_tokens, span_kept_tokens).
+    url_group_size is reported for EVERY document (the group-by sees all
+    copies at stage time — the duplicate-mass monitoring artifact);
+    kept_quality is 1 only for URL survivors the gate passed (the gate
+    never ran on dropped copies — q217's attribution convention). See
+    the block comment above for the URL derivation (corpus adapter), the
+    provable stage-order rationale, and the 100 TB plan shape."""
+    from .text import q212_gopher_quality_filter
+
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base0 = d0.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id", "lang", "text"
+    )
+    # stage 0 — URL dedup: ONE partial-agg group-by over (url_norm,
+    # doc_id) pairs; the group table is cached because two consumers read
+    # it (the keeper id set and the per-doc group-size join) and it is
+    # bounded (one short row per distinct normalized URL); released by
+    # session.release_session_state, the module's cache contract.
+    urls = _doc_urls(base0)
+    ugrp = (
+        urls.groupBy("url_norm")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("grp"))
+        .cache()
+    )
+    ukeep = ugrp.select(F.col("keeper").alias("doc_id"))
+    usize = urls.join(ugrp, "url_norm").select(
+        "doc_id", F.col("grp").alias("url_group_size")
+    )
+    usurv = base0.join(ukeep, "doc_id", "semi").select("doc_id", "text")
+    # stage 1 — the gate runs over URL SURVIVORS only (the docs=
+    # override; per-document signals, so the restriction never changes a
+    # verdict — it only skips gate work on dropped copies). Cached
+    # bounded verdict set, two consumers (chain gate + ledger column).
+    qkeep = (
+        q212_gopher_quality_filter(spark, sf_dir, docs=usurv)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .cache()
+    )
+    # stages 2-4 — the shared exact-dedup/scrub/span chain over the
+    # URL-deduplicated, quality-passing corpus
+    keep_ids, scrubbed, span_kept = _curation_stages(
+        usurv.join(qkeep, "doc_id", "semi")
+    )
+    totals = base0.select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    return _yield_ledger(
+        totals,
+        [
+            ("kept_url", ukeep.select("doc_id", F.lit(1).alias("kept_url"))),
+            ("url_group_size", usize),
+            ("kept_quality", qkeep.select("doc_id", F.lit(1).alias("kept_quality"))),
+            ("kept_exact", keep_ids.select("doc_id", F.lit(1).alias("kept_exact"))),
+            ("scrub_kept_tokens", scrubbed.select("doc_id", "scrub_kept_tokens")),
+            ("span_kept_tokens", span_kept),
+        ],
+    )

@@ -860,14 +860,20 @@ LEFT JOIN a3 ON a3.doc_id = b.doc_id
 
 
 @query("q206_repetition_signals", _Q206_SQL)
-def q206_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q206_repetition_signals(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Repetition quality signals per document: most-frequent-bigram mass
     and duplicate-trigram position fraction, with a Gopher-style
     (token-adapted) discard flag at 0.20 / 0.30. The mass arm of the
     flag additionally requires the top bigram to actually REPEAT
     (count >= 2): mass has a 2/n floor, so short all-distinct docs would
-    otherwise be flagged with zero repetition present. See the block comment
-    above for determinism/NULL contracts and the 100 TB plan shape."""
+    otherwise be flagged with zero repetition present. ``docs`` (optional
+    ``(doc_id, text)`` relation, already non-null-filtered) replaces the
+    documents scan — the q217 pair-machinery precedent, added so q218 can
+    run the quality gate over URL-dedup survivors only; the default
+    rebuilds the identical expression tree. See the block comment above
+    for determinism/NULL contracts and the 100 TB plan shape."""
     # Gram construction via posexplode + window lead, NOT array
     # higher-order lambdas: the first cut built grams with nested
     # zip_with/transform lambdas and measured 8.9 s at sf0.1 for a 270k-
@@ -876,7 +882,11 @@ def q206_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Arrow path). posexplode and lead() keep gram building in
     # generated code; the extra window shuffle partitions by doc_id with
     # ~doc-length groups, which is linear and skew-free at any scale.
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = (
+        docs
+        if docs is not None
+        else _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     # The doc_id hash exchange the window requires is placed BEFORE the
     # posexplode: EnsureRequirements then adds no second shuffle, and the
     # token-fan-out generate runs at full parallelism even when the scan
@@ -1050,16 +1060,28 @@ FROM flags
 
 
 @query("q212_gopher_quality_filter", _Q212_SQL)
-def q212_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q212_gopher_quality_filter(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Gopher-rule quality filter (Rae et al. 2021 A1.1, token-adapted):
     per-document keep/drop ledger with per-rule attribution — length,
     mean word length, alphabetic-token fraction, stopword presence, and
     q206's repetition rule — every threshold an exact integer comparison
     (no float anywhere on either engine). One row per non-null document.
+    ``docs`` (optional ``(doc_id, text)`` relation, already non-null-
+    filtered) replaces the documents scan on BOTH branches (stats and
+    q206's repetition signals) — every rule is a per-document signal, so
+    the verdict on any doc is corpus-independent; the override only
+    shrinks the mass the gate processes (q218 runs it over URL-dedup
+    survivors). The default rebuilds the identical expression tree.
     See the block comment above for the rule adaptations, the n >= 3
     guard on the integer-rewritten trigram arm, and the two-branch
     (q206 repetition + q40-style token stats) plan shape."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = (
+        docs
+        if docs is not None
+        else _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     toks = tokens_expr("text")
     # accumulator zero is LONG: an int zero would make F.aggregate sum in
     # 32-bit (the post-hoc bigint cast can't undo a wrapped sum), breaking
@@ -1081,7 +1103,7 @@ def q212_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stopword_tokens"),
     )
-    rep = q206_repetition_signals(spark, sf_dir).select(
+    rep = q206_repetition_signals(spark, sf_dir, docs).select(
         "doc_id", "top_bigram_count", "dup_trigram_tokens"
     )
     j = stats.join(rep, "doc_id")

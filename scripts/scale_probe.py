@@ -919,6 +919,67 @@ def q217_tagged_probe(spark, scales=(1, 2, 4)) -> list[dict]:
     )
 
 
+def q218_url_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
+    """The q218 m-axis probe: the URL-dedup composition next to q213 (its
+    no-url-stage counterfactual) at each corpus multiple. The affine
+    vocab permutation PRESERVES within-copy token equality, so each copy
+    carries the base corpus's URL-collision structure under renamed slugs
+    while cross-copy slugs collide only at background — distinct
+    normalized URLs (= kept_url) grow ~m, URL-dropped mass grows ~m, and
+    the whole chain should stay ~linear: unlike q214/q217 there is NO
+    pair graph anywhere, which is the point of the published url-first
+    order. The summary references EVERY ledger column (the r9
+    probe-validity rule — a bare count would let ColumnPruning delete
+    the slug/normalization branch and the whole downstream chain)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    out = []
+    fns = {n: em.queries()[n] for n in
+           ("q218_url_curation_pipeline", "q213_filtered_curation_pipeline")}
+    summaries = {
+        "q218_url_curation_pipeline": lambda df: df.agg(
+            F.count("*"),
+            F.sum("kept_url"),
+            F.sum("url_group_size"),
+            F.sum("kept_quality"),
+            F.sum("kept_exact"),
+            F.sum("n_tokens"),
+            F.sum("scrub_kept_tokens"),
+            F.sum("span_kept_tokens"),
+        ),
+        "q213_filtered_curation_pipeline": lambda df: df.agg(
+            F.count("*"),
+            F.sum("kept_quality"),
+            F.sum("kept_exact"),
+            F.sum("n_tokens"),
+            F.sum("scrub_kept_tokens"),
+            F.sum("span_kept_tokens"),
+        ),
+    }
+    for m in scales:
+        d = build_corpus(spark, m, with_embeddings=False)
+        for name, fn in fns.items():
+            secs = []
+            for _ in range(2):
+                release(spark)
+                t0 = time.perf_counter()
+                row = summaries[name](fn(spark, d)).collect()[0]
+                secs.append(round(time.perf_counter() - t0, 2))
+            rec = {
+                "probe": "q218_url",
+                "query": name,
+                "m": m,
+                "rows": _agg_scalar(row[0]),
+                "ledger_sums": [_agg_scalar(v) for v in row[1:]],
+                "cold_sec": secs[0],
+                "warm_sec": secs[1],
+            }
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+    return out
+
+
 def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     """The q215/q216 order-sheet probe: m-axis clock for the per-language
     LM tier stage (q215) and the full CCNet composition (q216). The
@@ -1085,6 +1146,12 @@ def main() -> None:
         help="run the q217 tagged-curation m-axis probe, both candidate "
         "modes (comma list of corpus multiples, e.g. 1,2,4)",
     )
+    ap.add_argument(
+        "--q218-scales",
+        default=None,
+        help="run the q218 url-dedup m-axis probe next to q213 (comma "
+        "list of corpus multiples, e.g. 1,2,4,8)",
+    )
     args = ap.parse_args()
 
     def _ints(csv: str) -> tuple:
@@ -1108,6 +1175,9 @@ def main() -> None:
     # --vocab keeps its historical truthiness test (an explicit empty
     # string falls through to the default probes, as before).
     special = [
+        ("q218-scales", args.q218_scales is not None,
+         lambda sp: q218_url_probe(sp, _ints(args.q218_scales)),
+         "q218_url_probe_results.json"),
         ("q217-scales", args.q217_scales is not None,
          lambda sp: q217_tagged_probe(sp, _ints(args.q217_scales)),
          "q217_tagged_probe_results.json"),

@@ -3116,3 +3116,283 @@ def test_q215_degenerate_corpus_both_modes(spark, tmp_path, monkeypatch):
     assert q215_ccnet_perplexity_tiers(spark, d).count() == 0
     monkeypatch.setenv("SPARK_GRAFT_TIER_CUT", "prefix2")
     assert q215_ccnet_perplexity_tiers(spark, d).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# q218 URL-dedup curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_q218_url_stage_decision_pins(spark, tmp_path):
+    """The URL-dedup stage's decision-bearing pins on a hand corpus with
+    a full hand-derived expected ledger:
+
+    (a) normalization-unifies — raw URLs differing in EVERY noise
+        dimension (scheme, www., host case, trailing slash, tracking
+        query) collapse to one normalized key and the group keeps only
+        its min doc_id (every noise branch exercised across the corpus);
+    (b) content-blind — the dropped copy's TEXT is unique (unique
+        fingerprint), yet URL dedup removes it: the URL axis is distinct
+        from every content-dedup axis;
+    (c) url-before-gate — a group whose min-doc_id keeper FAILS the
+        quality gate contributes nothing downstream even though the
+        higher-doc_id copy would have passed; the gate-first
+        counterfactual composition keeps that copy;
+    (d) slug canonicalization — punctuation/case in the leading tokens
+        strips to the same slug ('The, Alpha!' -> 'the-alpha').
+
+    Then check Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q218_SQL,
+        _doc_urls,
+        q218_url_curation_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        # (a)+(b) G1 'green-motor': 12 (https+www) vs 35 (http+slash+utm).
+        # Survivor texts place the stopwords mid-sequence so no two docs
+        # share any 5-token line or 3-token/trailing span (span keep-first
+        # would otherwise cross-charge a shared trailing 'the').
+        (12, "en", "green motor quality of the document alpha bravo charlie delta"),
+        (35, "en", "green motor unique second body india juliet kilo of the"),
+        # (a) G2 'blue-rocket': 22 exercises the UPPER-host branch
+        (13, "en", "blue rocket first of the crawl copy nopea nopeb nopec"),
+        (22, "en", "blue rocket second crawl copy qopea qopeb qopec of the"),
+        # (c) G3 'too-short': keeper 15 fails the gate, 16 would pass
+        (15, "en", "too short"),
+        (16, "en", "too short rema remb remc remd reme remf of the"),
+        # (d) G4 'the-alpha': 21's slug strips punctuation/case to 9's
+        (9, "en", "the alpha walta of the waltb waltc waltd walte waltf"),
+        (21, "en", "The, Alpha! different uniqa uniqb uniqc uniqd uniqe of the"),
+        # singleton group on the fr host
+        (30, "fr", "paris metro fillera of the fillerb fillerc fillerd fillere fillerf"),
+        (40, "en", None),
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    # raw-URL noise + normalized-key pins (the derivation itself)
+    u = {r["doc_id"]: r for r in _doc_urls(
+        spark.createDataFrame(
+            [x for x in docs if x[2] is not None],
+            "doc_id long, lang string, text string",
+        )
+    ).collect()}
+    assert u[12]["url"] == "https://www.en.example.com/green-motor"
+    assert u[35]["url"] == "http://en.example.com/green-motor/?utm_source=feed"
+    assert u[22]["url"] == "https://EN.EXAMPLE.COM/blue-rocket"
+    assert u[30]["url"] == "https://www.fr.example.com/paris-metro/"
+    assert u[21]["url"].endswith("/the-alpha?utm_source=feed")
+    assert u[12]["url_norm"] == u[35]["url_norm"] == "en.example.com/green-motor"
+    assert u[13]["url_norm"] == u[22]["url_norm"] == "en.example.com/blue-rocket"
+    assert u[9]["url_norm"] == u[21]["url_norm"] == "en.example.com/the-alpha"
+    assert u[15]["url_norm"] == u[16]["url_norm"] == "en.example.com/too-short"
+    assert u[30]["url_norm"] == "fr.example.com/paris-metro"
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q218_url_curation_pipeline(spark, d).collect()
+    }
+    assert set(rows) == {9, 12, 13, 15, 16, 21, 22, 30, 35}
+    # full expected ledgers: survivors {12,13,9,30} pass the gate and ride
+    # the chain untouched (distinct fps, no shared 5-token window, no
+    # repeated span); 15 is kept by URL but fails the gate; 16/21/22/35
+    # are URL-dropped copies (16's and 35's/21's texts are unique — pin b)
+    expect = {
+        9: (10, 1, 2, 1, 1, 10, 10),
+        12: (10, 1, 2, 1, 1, 10, 10),
+        13: (10, 1, 2, 1, 1, 10, 10),
+        15: (2, 1, 2, 0, 0, 0, 0),
+        16: (10, 0, 2, 0, 0, 0, 0),
+        21: (10, 0, 2, 0, 0, 0, 0),
+        22: (10, 0, 2, 0, 0, 0, 0),
+        30: (10, 1, 1, 1, 1, 10, 10),
+        35: (10, 0, 2, 0, 0, 0, 0),
+    }
+    cols = (
+        "n_tokens", "kept_url", "url_group_size", "kept_quality",
+        "kept_exact", "scrub_kept_tokens", "span_kept_tokens",
+    )
+    for k, want in expect.items():
+        assert tuple(rows[k][c] for c in cols) == want, (k, rows[k])
+
+    # (c) the gate-first counterfactual: url-dedup among gate PASSERS
+    # keeps 16 (15 is no longer in its group); the published url-first
+    # order loses the whole group
+    qpass = {
+        r["doc_id"]
+        for r in q212_gopher_quality_filter(spark, d).collect()
+        if r["kept"]
+    }
+    assert 16 in qpass and 15 not in qpass
+    base = spark.createDataFrame(
+        [x for x in docs if x[2] is not None],
+        "doc_id long, lang string, text string",
+    )
+    gate_first_keepers = {
+        r["k"]
+        for r in _doc_urls(base.filter(F.col("doc_id").isin(list(qpass))))
+        .groupBy("url_norm")
+        .agg(F.min("doc_id").alias("k"))
+        .collect()
+    }
+    assert 16 in gate_first_keepers
+    assert rows[16]["kept_url"] == 0 and rows[15]["kept_quality"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q218_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+
+def test_q218_equals_q213_when_url_dedup_is_vacuous(spark, tmp_path):
+    """Equivalence pin: on a corpus where every normalized URL is unique
+    the URL stage drops nothing — q218's downstream stage columns must
+    equal q213's ledger exactly, with kept_url == 1 and
+    url_group_size == 1 everywhere. The corpus still fires the other
+    stages (a df=2 boilerplate window placed OFF the slug tokens, a
+    cross-lang exact duplicate, a failing-quality doc)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q213_filtered_curation_pipeline,
+        q218_url_curation_pipeline,
+    )
+
+    docs = [
+        (1, "en", "alpha one filler fillb fillc the menu home about contact "
+                  "of the tail3 tail4 tail5"),
+        (2, "en", "beta two fillx filly fillz the menu home about contact "
+                  "of the othr3 othr4 othr5"),
+        # identical text under two langs: distinct URL hosts (vacuous for
+        # the URL stage) but ONE fingerprint for the exact stage
+        (3, "en", "gamma three document body is a plain unique text here"),
+        (4, "fr", "gamma three document body is a plain unique text here"),
+        (5, "en", "too short"),
+        (6, "en", None),
+    ]
+    d = _write_docs(spark, tmp_path, docs)
+
+    r218 = {
+        r["doc_id"]: r.asDict()
+        for r in q218_url_curation_pipeline(spark, d).collect()
+    }
+    r213 = {
+        r["doc_id"]: r.asDict()
+        for r in q213_filtered_curation_pipeline(spark, d).collect()
+    }
+    assert set(r218) == set(r213) == {1, 2, 3, 4, 5}
+    for k, v in r218.items():
+        assert v["kept_url"] == 1 and v["url_group_size"] == 1, k
+        for col in ("n_tokens", "kept_quality", "kept_exact",
+                    "scrub_kept_tokens", "span_kept_tokens"):
+            assert v[col] == r213[k][col], (k, col)
+    # sanity: the downstream stages actually fired
+    assert r218[4]["kept_exact"] == 0 and r218[3]["kept_exact"] == 1
+    assert r218[5]["kept_quality"] == 0
+    assert r218[1]["scrub_kept_tokens"] < r218[1]["n_tokens"]
+
+
+def test_q218_consistency_sf(spark):
+    """q218 on the sf corpus: stage monotonicity (kept_exact <=
+    kept_quality <= kept_url; span <= scrub <= n_tokens; URL-dropped or
+    gate-dropped docs all-zero downstream), the URL-stage accounting
+    identities (kept_url total == distinct normalized URLs; every doc's
+    group size >= 1; group sizes sum over keepers to the corpus), the
+    gate-restriction identity (kept_quality == q212's full-corpus verdict
+    for URL keepers, 0 for dropped copies — per-document signals make the
+    docs= restriction verdict-preserving), and that the stage fires on
+    real data (some group > 1)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _doc_urls,
+        q218_url_curation_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    r218 = {
+        r["doc_id"]: r.asDict()
+        for r in q218_url_curation_pipeline(spark, SF).collect()
+    }
+    r212 = {
+        r["doc_id"]: bool(r["kept"])
+        for r in q212_gopher_quality_filter(spark, SF).collect()
+    }
+    base = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    n_norm = _doc_urls(base).select("url_norm").distinct().count()
+
+    assert set(r218) == set(r212) and len(r218) > 0
+    for k, v in r218.items():
+        assert v["kept_quality"] <= v["kept_url"], k
+        assert v["kept_exact"] <= v["kept_quality"], k
+        assert v["span_kept_tokens"] <= v["scrub_kept_tokens"] <= v["n_tokens"], k
+        assert v["url_group_size"] >= 1, k
+        if v["kept_quality"] == 0:
+            assert (
+                v["kept_exact"] == v["scrub_kept_tokens"] == v["span_kept_tokens"] == 0
+            ), k
+        # gate-restriction identity: per-document rules => the survivor-
+        # only gate agrees with the full-corpus verdict on every keeper
+        want = r212[k] if v["kept_url"] == 1 else False
+        assert v["kept_quality"] == int(want), k
+    assert sum(v["kept_url"] for v in r218.values()) == n_norm
+    assert sum(
+        v["url_group_size"] for v in r218.values() if v["kept_url"] == 1
+    ) == len(r218)
+    # the stage fires on real data
+    assert any(v["url_group_size"] > 1 for v in r218.values())
+
+
+def test_q212_docs_override_is_verdict_preserving(spark, tmp_path):
+    """The q218-motivated docs= override on q206/q212: restricting the
+    gate's input relation to a doc_id subset returns exactly the
+    full-corpus rows for that subset (per-document signals — no
+    cross-document state in any rule), and the default (docs=None)
+    keeps the original call shape."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    full = {
+        r["doc_id"]: tuple(r)
+        for r in q212_gopher_quality_filter(spark, SF).collect()
+    }
+    subset_ids = sorted(full)[::3]
+    sub_rel = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id").isin(subset_ids))
+        .select("doc_id", "text")
+    )
+    sub = {
+        r["doc_id"]: tuple(r)
+        for r in q212_gopher_quality_filter(spark, SF, docs=sub_rel).collect()
+    }
+    assert set(sub) == set(subset_ids)
+    for k, v in sub.items():
+        assert v == full[k], k
