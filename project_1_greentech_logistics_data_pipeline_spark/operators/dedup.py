@@ -2821,12 +2821,18 @@ def q217_tagged_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
 _URL_SLUG_TOKENS = 2
 _URL_STRIP = "[^a-z0-9-]"
 # (pattern, replacement) applied in ORDER to LOWER(url) on both engines:
-# scheme, www. prefix, query string (tracking params), trailing slash.
+# scheme, www. prefix, query string (tracking params), trailing slashes.
+# The slash step is '/+$', not '/$': an empty slug leaves the raw URL
+# ending in '//' when the trailing-slash noise branch fires, and a
+# single-anchored strip would leave 'host/' vs its twin's 'host' —
+# splitting one logical URL group in two on BOTH engines, invisibly to
+# the oracle differential (review-caught; pinned by the empty-slug twin
+# test).
 _URL_NORM_STEPS = (
     ("^https?://", ""),
     (r"^www\.", ""),
     (r"\?.*$", ""),
-    ("/$", ""),
+    ("/+$", ""),
 )
 # Interpolated into single-quoted SQL literals (the q131/q217 exposure):
 # no quote may enter the pattern text, and these anchors/classes behave

@@ -681,12 +681,7 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     for m in scales:
         d = build_corpus(spark, m, with_embeddings=False)
         for name, fn in fns.items():
-            secs = []
-            for _ in range(2):
-                release(spark)
-                t0 = time.perf_counter()
-                row = summaries[name](fn(spark, d)).collect()[0]
-                secs.append(round(time.perf_counter() - t0, 2))
+            row, cold, warm = _timed_summary(spark, fn, d, summaries[name])
             rec = {
                 "probe": "q212_filter",
                 "query": name,
@@ -697,8 +692,8 @@ def q212_filter_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
                 # computed-to-defeat-ColumnPruning: SCALE.md's q213
                 # plateau evidence must be reproducible from this JSON
                 "ledger_sums": [int(v) for v in row[2:]],
-                "cold_sec": secs[0],
-                "warm_sec": secs[1],
+                "cold_sec": cold,
+                "warm_sec": warm,
             }
             out.append(rec)
             print(json.dumps(rec), flush=True)
@@ -777,6 +772,24 @@ def _order_free_set_digest(df):
         .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))))
         .collect()[0][0]
     )
+
+
+def _timed_summary(spark, fn, d, summary):
+    """Shared cold/warm timed-run mechanics for the ledger-axis probes
+    (q212, q218): two runs of summary(fn(spark, d)) with release()
+    between, returning (summary_row, cold_sec, warm_sec). One definition
+    so a timing-protocol change (extra warm run, new hygiene step)
+    cannot silently diverge across probes (review-caught — the probe
+    bodies were accreting hand-copies of this block the same way main()
+    accreted dispatch blocks before the r11-advice table)."""
+    row = None
+    secs = []
+    for _ in range(2):
+        release(spark)
+        t0 = time.perf_counter()
+        row = summary(fn(spark, d)).collect()[0]
+        secs.append(round(time.perf_counter() - t0, 2))
+    return row, secs[0], secs[1]
 
 
 def _agg_scalar(v):
@@ -923,12 +936,16 @@ def q218_url_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     """The q218 m-axis probe: the URL-dedup composition next to q213 (its
     no-url-stage counterfactual) at each corpus multiple. The affine
     vocab permutation PRESERVES within-copy token equality, so each copy
-    carries the base corpus's URL-collision structure under renamed slugs
-    while cross-copy slugs collide only at background — distinct
-    normalized URLs (= kept_url) grow ~m, URL-dropped mass grows ~m, and
-    the whole chain should stay ~linear: unlike q214/q217 there is NO
-    pair graph anywhere, which is the point of the published url-first
-    order. The summary references EVERY ledger column (the r9
+    carries the base corpus's URL-collision structure under renamed
+    slugs — but every copy's slug pairs live in the SAME bounded space
+    (~31 tokens/lang -> ~4.8k (lang, slug) keys), so distinct normalized
+    URLs (= kept_url) SATURATE rather than growing ~m (measured:
+    2809/3915/4609/4797 at m=1/2/4/8 — SCALE.md §Round-12), URL drop
+    mass climbs toward ~1, and the downstream stages run on a
+    near-constant corpus while q213's grow linearly. Unlike q214/q217
+    there is NO pair graph anywhere, so the clock has no quadratic
+    regime — the url stage's own cost stays honestly linear in crawl
+    mass. The summary references EVERY ledger column (the r9
     probe-validity rule — a bare count would let ColumnPruning delete
     the slug/normalization branch and the whole downstream chain)."""
     import __spark_entry__ as em
@@ -960,20 +977,15 @@ def q218_url_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     for m in scales:
         d = build_corpus(spark, m, with_embeddings=False)
         for name, fn in fns.items():
-            secs = []
-            for _ in range(2):
-                release(spark)
-                t0 = time.perf_counter()
-                row = summaries[name](fn(spark, d)).collect()[0]
-                secs.append(round(time.perf_counter() - t0, 2))
+            row, cold, warm = _timed_summary(spark, fn, d, summaries[name])
             rec = {
                 "probe": "q218_url",
                 "query": name,
                 "m": m,
                 "rows": _agg_scalar(row[0]),
                 "ledger_sums": [_agg_scalar(v) for v in row[1:]],
-                "cold_sec": secs[0],
-                "warm_sec": secs[1],
+                "cold_sec": cold,
+                "warm_sec": warm,
             }
             out.append(rec)
             print(json.dumps(rec), flush=True)
@@ -1157,16 +1169,22 @@ def main() -> None:
     def _ints(csv: str) -> tuple:
         return tuple(int(x) for x in csv.split(","))
 
-    def _run_q194(spark):
-        scales = tuple(
+    # q194's two flags parse (and empty-pair-error) BEFORE any Spark
+    # startup — the pre-refactor behavior (review-caught: validating
+    # inside the runner spun up a JVM only to ap.error past its stop()).
+    q194_selected = args.q194_modes is not None or args.q194_vocab_docs is not None
+    if q194_selected:
+        q194_scales = tuple(
             int(m) for m in (args.q194_modes or "").split(",") if m.strip()
         )
-        vdocs = tuple(
+        q194_vdocs = tuple(
             int(n) for n in (args.q194_vocab_docs or "").split(",") if n.strip()
         )
-        if not scales and not vdocs:
+        if not q194_scales and not q194_vdocs:
             ap.error("--q194-modes/--q194-vocab-docs given but both empty")
-        return q194_mode_probe(spark, scales, vdocs)
+
+    def _run_q194(spark):
+        return q194_mode_probe(spark, q194_scales, q194_vdocs)
 
     # Special-probe dispatch table (ADVICE r11): one shared spark-setup/
     # run/json-dump block, and more than one probe flag is an explicit
@@ -1196,7 +1214,7 @@ def main() -> None:
         ("q209-norm", args.q209_norm is not None,
          lambda sp: q209_norm_probe(sp, int(args.q209_norm)),
          "q209_norm_probe_results.json"),
-        ("q194-modes", args.q194_modes is not None or args.q194_vocab_docs is not None,
+        ("q194-modes/--q194-vocab-docs", q194_selected,
          _run_q194, "q194_mode_probe_results.json"),
         ("vocab", bool(args.vocab),
          lambda sp: vocab_probe(sp, _ints(args.vocab)),

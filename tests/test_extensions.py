@@ -3396,3 +3396,33 @@ def test_q212_docs_override_is_verdict_preserving(spark, tmp_path):
     assert set(sub) == set(subset_ids)
     for k, v in sub.items():
         assert v == full[k], k
+
+
+def test_q218_empty_slug_trailing_slash_normalizes(spark, tmp_path):
+    """Review-caught edge: an EMPTY slug (whitespace-only text) plus the
+    trailing-slash noise branch leaves the raw URL ending in '//';
+    normalization must still unify the group (the '/+$' step — a
+    single-anchored '/$' strip left 'host/' vs 'host', splitting one
+    logical URL group in two on BOTH engines, invisibly to the oracle
+    differential). doc 10 fires the %5 slash branch, doc 11 the %11
+    uppercase-host branch; both must normalize to the bare host."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _doc_urls,
+        q218_url_curation_pipeline,
+    )
+
+    docs = [(10, "en", " "), (11, "en", " ")]
+    u = {r["doc_id"]: r for r in _doc_urls(
+        spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    ).collect()}
+    assert u[10]["url"] == "https://en.example.com//"
+    assert u[11]["url"] == "http://EN.EXAMPLE.COM/"
+    assert u[10]["url_norm"] == u[11]["url_norm"] == "en.example.com"
+
+    d = _write_docs(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q218_url_curation_pipeline(spark, d).collect()
+    }
+    assert rows[10]["kept_url"] == 1 and rows[11]["kept_url"] == 0
+    assert rows[10]["url_group_size"] == rows[11]["url_group_size"] == 2
