@@ -3426,3 +3426,136 @@ def test_q218_empty_slug_trailing_slash_normalizes(spark, tmp_path):
     }
     assert rows[10]["kept_url"] == 1 and rows[11]["kept_url"] == 0
     assert rows[10]["url_group_size"] == rows[11]["url_group_size"] == 2
+
+
+def test_q218_properties_random_corpora(spark, tmp_path):
+    """q218 invariants on random corpora (hypothesis): the URL stage
+    re-derives from an independent PYTHON reimplementation of the
+    derivation + normalization + grouped argmin (a third implementation
+    next to the Spark and DuckDB twins — kept_url and url_group_size
+    must match it exactly); kept_quality == q212's verdict AND url-kept;
+    stage monotonicity with all-zero downstream for non-keepers; and on
+    the unique-slug arm (every doc prefixed with its own token pair) the
+    ledger equals q213's column-for-column with kept_url == 1 and
+    url_group_size == 1 — the vacuous-url pin generalized beyond the one
+    hand corpus. Small vocab + short docs make slug collisions and
+    exact-dup structure common on the colliding arm."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _URL_NORM_STEPS,
+        _URL_SLUG_TOKENS,
+        _URL_STRIP,
+        q213_filtered_curation_pipeline,
+        q218_url_curation_pipeline,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.operators.text import (
+        q212_gopher_quality_filter,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    vocab = ["the", "a", "of", "alpha", "bravo", "charlie", "delta", "Ech!o"]
+    doc = st.lists(st.sampled_from(vocab), max_size=14)
+
+    def py_url_norm(doc_id, lang, text):
+        # independent re-derivation: lower, space-trim, \s+ split (edge
+        # empties kept, matching both engines), 2-token slug, charset
+        # strip, noise by doc_id residues, then the shared norm steps
+        toks = re.split(r"\s+", text.lower().strip(" "))
+        slug = re.sub(_URL_STRIP, "", "-".join(toks[:_URL_SLUG_TOKENS]))
+        host = (lang or "und") + ".example.com"
+        url = (
+            ("https://" if doc_id % 2 == 0 else "http://")
+            + ("www." if doc_id % 3 == 0 else "")
+            + (host.upper() if doc_id % 11 == 0 else host)
+            + "/" + slug
+            + ("/" if doc_id % 5 == 0 else "")
+            + ("?utm_source=feed" if doc_id % 7 == 0 else "")
+        )
+        norm = url.lower()
+        for pat, rep in _URL_NORM_STEPS:
+            norm = re.sub(pat, rep, norm)
+        return norm
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=8),
+        st.lists(st.sampled_from(["en", "fr"]), min_size=8, max_size=8),
+        st.booleans(),
+    )
+    def prop(docs, langs, unique_slugs):
+        import os as _os
+        import shutil
+        import uuid
+
+        if unique_slugs:  # the vacuous-url arm
+            docs = [[f"u{i}a", f"u{i}b"] + toks for i, toks in enumerate(docs)]
+        tmpdir = str(tmp_path / f"q218_prop_{uuid.uuid4().hex}")
+        try:
+            rows_in = [
+                (i, langs[i], " ".join(toks)) for i, toks in enumerate(docs)
+            ]
+            rows_in.append((len(rows_in), "en", None))
+            spark.createDataFrame(
+                rows_in, "doc_id long, lang string, text string"
+            ).write.parquet(_os.path.join(tmpdir, "documents.parquet"))
+
+            out = {
+                r["doc_id"]: r.asDict()
+                for r in q218_url_curation_pipeline(spark, tmpdir).collect()
+            }
+            release_session_state(spark)
+            assert set(out) == set(range(len(docs)))  # non-null docs only
+
+            # python re-derivation of the whole URL stage
+            norms = {
+                i: py_url_norm(i, langs[i], " ".join(toks))
+                for i, toks in enumerate(docs)
+            }
+            groups: dict = {}
+            for i, n in norms.items():
+                groups.setdefault(n, []).append(i)
+            keepers = {min(ids) for ids in groups.values()}
+            for i in out:
+                assert out[i]["kept_url"] == int(i in keepers), i
+                assert out[i]["url_group_size"] == len(groups[norms[i]]), i
+
+            verdict = {
+                r["doc_id"]: bool(r["kept"])
+                for r in q212_gopher_quality_filter(spark, tmpdir).collect()
+            }
+            release_session_state(spark)
+            for i, v in out.items():
+                assert v["kept_quality"] == int(i in keepers and verdict[i]), i
+                assert v["kept_exact"] <= v["kept_quality"] <= v["kept_url"], i
+                assert (
+                    v["span_kept_tokens"] <= v["scrub_kept_tokens"] <= v["n_tokens"]
+                ), i
+                if v["kept_quality"] == 0:
+                    assert (
+                        v["kept_exact"]
+                        == v["scrub_kept_tokens"]
+                        == v["span_kept_tokens"]
+                        == 0
+                    ), i
+
+            if unique_slugs:
+                r213 = {
+                    r["doc_id"]: r.asDict()
+                    for r in q213_filtered_curation_pipeline(spark, tmpdir).collect()
+                }
+                release_session_state(spark)
+                assert set(r213) == set(out)
+                for i, v in out.items():
+                    assert v["kept_url"] == 1 and v["url_group_size"] == 1, i
+                    for col in ("n_tokens", "kept_quality", "kept_exact",
+                                "scrub_kept_tokens", "span_kept_tokens"):
+                        assert v[col] == r213[i][col], (i, col)
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+
+    prop()
