@@ -3559,3 +3559,52 @@ def test_q218_properties_random_corpora(spark, tmp_path):
             shutil.rmtree(tmpdir, ignore_errors=True)
 
     prop()
+
+
+def test_q218_null_lang_host_fallback(spark, tmp_path):
+    """The COALESCE(lang, 'und') host branch is dead on testdata (no
+    NULL langs) — pin it cross-engine: a NULL-lang doc derives the
+    und.example.com host identically on Spark and DuckDB, groups with a
+    same-slug NULL-lang twin, and rides the chain. doc 7 fires the %7
+    utm branch, doc 23 is plain (odd, no noise branches)."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q218_SQL,
+        _doc_urls,
+        q218_url_curation_pipeline,
+    )
+
+    docs = [
+        (7, None, "some text alpha bravo charlie delta echo fox of the"),
+        (23, None, "some text uniqa uniqb uniqc uniqd uniqe uniqf of the"),
+    ]
+    u = {r["doc_id"]: r for r in _doc_urls(
+        spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    ).collect()}
+    assert u[7]["url"] == "http://und.example.com/some-text?utm_source=feed"
+    assert u[23]["url"] == "http://und.example.com/some-text"
+    assert u[7]["url_norm"] == u[23]["url_norm"] == "und.example.com/some-text"
+
+    d = _write_docs(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q218_url_curation_pipeline(spark, d).collect()
+    }
+    assert rows[7]["kept_url"] == 1 and rows[23]["kept_url"] == 0
+    assert rows[7]["url_group_size"] == rows[23]["url_group_size"] == 2
+    assert rows[7]["kept_quality"] == 1  # 10 tokens, 2 stopwords -> passes
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q218_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
