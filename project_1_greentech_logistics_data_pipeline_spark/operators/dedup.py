@@ -2338,7 +2338,9 @@ LEFT JOIN sp v ON f.doc_id = v.doc_id
 
 # the .replace() above must have actually armed the recursive keyword —
 # a silent miss would surface only as a DuckDB parse error at driver time
-assert _Q214_SQL.lstrip().startswith("WITH RECURSIVE base AS")
+# (explicit raise, not assert, so the guard survives `python -O`)
+if not _Q214_SQL.lstrip().startswith("WITH RECURSIVE base AS"):
+    raise ValueError("q214 oracle failed to arm its RECURSIVE keyword")
 
 
 @query("q214_fuzzy_curation_pipeline", _Q214_SQL)
@@ -2675,8 +2677,9 @@ LEFT JOIN scrubbed b ON f.doc_id = b.doc_id
 LEFT JOIN sp v ON f.doc_id = v.doc_id
 """
 
-# same silent-miss guard as q214's RECURSIVE arm
-assert _Q217_SQL.lstrip().startswith("WITH RECURSIVE base AS")
+# same silent-miss guard as q214's RECURSIVE arm (explicit raise: -O safe)
+if not _Q217_SQL.lstrip().startswith("WITH RECURSIVE base AS"):
+    raise ValueError("q217 oracle failed to arm its RECURSIVE keyword")
 
 
 @query("q217_tagged_curation_pipeline", _Q217_SQL)
@@ -2836,14 +2839,17 @@ _URL_NORM_STEPS = (
 )
 # Interpolated into single-quoted SQL literals (the q131/q217 exposure):
 # no quote may enter the pattern text, and these anchors/classes behave
-# identically under Java regex and RE2. Enforced at import time.
-assert all(
-    "'" not in p + r and "\\" not in r for p, r in _URL_NORM_STEPS
-) and "'" not in _URL_STRIP, (
-    "_URL_NORM_STEPS/_URL_STRIP must stay quote-free ASCII regex with "
-    "identical Java/RE2 semantics: both engines receive the same "
-    "interpolated literal"
-)
+# identically under Java regex and RE2. Enforced at import time with an
+# explicit raise (not assert) so the guard survives `python -O` (ADVICE r12).
+if not (
+    all("'" not in p + r and "\\" not in r for p, r in _URL_NORM_STEPS)
+    and "'" not in _URL_STRIP
+):
+    raise ValueError(
+        "_URL_NORM_STEPS/_URL_STRIP must stay quote-free ASCII regex with "
+        "identical Java/RE2 semantics: both engines receive the same "
+        "interpolated literal"
+    )
 
 
 def _doc_urls(base: DataFrame) -> DataFrame:

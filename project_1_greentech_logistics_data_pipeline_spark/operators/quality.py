@@ -161,11 +161,13 @@ _BLOCKLIST = ("customer", "supplier", "query")
 # lowercase-ASCII terms guarantee both: no quote to break the SQL literal,
 # no escape/class construct for the engines to disagree on. Enforced at
 # import time so a future blocklist edit that would silently diverge the
-# oracle fails loudly in every consumer (ADVICE r11).
-assert all(t and all("a" <= c <= "z" for c in t) for t in _BLOCKLIST), (
-    "_BLOCKLIST terms must be non-empty lowercase ASCII ([a-z]+): safe to "
-    "interpolate into single-quoted SQL and regex-identical on Spark vs DuckDB"
-)
+# oracle fails loudly in every consumer (ADVICE r11); explicit raise rather
+# than assert so the guard survives `python -O` (ADVICE r12).
+if not all(t and all("a" <= c <= "z" for c in t) for t in _BLOCKLIST):
+    raise ValueError(
+        "_BLOCKLIST terms must be non-empty lowercase ASCII ([a-z]+): safe to "
+        "interpolate into single-quoted SQL and regex-identical on Spark vs DuckDB"
+    )
 
 _SCRUB_PATTERN = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
 
