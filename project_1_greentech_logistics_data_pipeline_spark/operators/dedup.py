@@ -3053,3 +3053,268 @@ def q218_url_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("span_kept_tokens", span_kept),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# q219: ExactSubstr cross-document substring dedup (Lee et al. 2021, §4.1)
+# ---------------------------------------------------------------------------
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+# 2021) removes any substring of >= 50 BPE tokens that appears verbatim
+# more than once in the corpus, found with a suffix array over the
+# concatenated corpus — the one published dedup AXIS the family did not
+# yet model: SUB-document, ALIGNMENT-FREE. q43 drops whole documents,
+# q207 drops disjoint fixed-offset spans, the scrub family drops
+# frequency-flagged fixed windows; none of them can see a shared run that
+# starts at token 3 of one document and token 117 of another. q219 can.
+#
+# SPARK-FIRST ADAPTATION (the suffix array is a single-machine structure;
+# a distributed engine wants relational primitives): a token position p
+# lies inside a cross-document shared substring of length >= K iff some
+# duplicated K-gram occurrence covers p. Proof both ways: a shared run of
+# length L >= K contributes L-K+1 duplicated K-grams covering all L of
+# its positions; conversely a duplicated K-gram covering p IS a length-K
+# shared substring containing p. So the suffix-array semantics decompose
+# exactly into (sliding K-gram fan-out) -> (gram group stats) ->
+# (per-document interval union) — three shuffles of relational work, no
+# suffix array anywhere. Token-adapted like q207/q208/q211: K = 8
+# whitespace tokens stands in for the paper's 50 BPE tokens on this
+# short-document corpus.
+#
+# DECISION PINS (each a deliberate semantic choice, each tested):
+# - CROSS-document only: a gram's group must span >= 2 DISTINCT documents
+#   (COUNT(DISTINCT doc_id) >= 2). A substring repeated only WITHIN one
+#   document is q206's repetition-signal concern and survives here —
+#   mirroring the q208 boilerplate rule's df semantics, and keeping the
+#   axis orthogonal to every existing operator.
+# - Keeper: per gram, MIN(doc_id) keeps ALL its occurrences (the
+#   q43/q207 keep-first precedent; Lee et al. likewise leave one
+#   occurrence in place). Every occurrence in every OTHER document drops.
+# - Coverage is a UNION: overlapping duplicated windows cover a position
+#   once (a shared run of K+2 tokens has 3 duplicated grams but drops
+#   exactly K+2 positions), merged per document with an integer
+#   gaps-and-islands pass — equal-width intervals sorted by start merge
+#   iff next_start - prev_start <= K (adjacency merges; a 1-token
+#   uncovered gap splits).
+#
+# Determinism: all-integer ledger (token/gram/occurrence/island counts) —
+# no float exists anywhere in the query on either engine; the keeper
+# argmin and the island arithmetic are integer-exact. Ledger: (doc_id,
+# n_tokens, n_grams, keeper_hits, dup_hits, n_islands, dup_tokens,
+# kept_tokens); keeper_hits/dup_hits are the two sides of the duplicated
+# occurrence mass (monitoring columns — the keeper side shows how much
+# text OTHER documents deduplicated against this one).
+#
+# 100 TB shape: the sliding fan-out is the known ExactSubstr cost — K x
+# token mass in gram text (the paper pays O(corpus) suffix-array memory
+# on one machine instead; the relational form is what shards). The gram
+# group-by ships (gram, doc_id) through Spark's two-stage distinct
+# aggregate (partial-aggregatable — a hot gram ships one row per map
+# task per doc, never per occurrence, the _boiler_set precedent); under
+# SPARK_GRAFT_SUBSTR_KEY=hash the shuffle key becomes xxhash64(gram) —
+# 8 bytes instead of ~K tokens of text — with the exact text key as the
+# default/oracle path and the mode equivalence pinned by test (the
+# q44->q45 / q194 exact->LSH switch precedent; a 64-bit collision would
+# need ~2^32 distinct grams in one corpus to reach even-odds). The
+# dup-gram table is the HAVING filter's output (bounded by the shared
+# mass, not the corpus) and joins back to occurrences AQE-decided
+# (broadcast when it fits — the q208 anti-join rationale); the island
+# merge is one window per document over only the dropped occurrences
+# (two Window ops sharing one doc_id sort: lag + running sum); every
+# downstream join is doc_id-keyed against the doc_id-partitioned base.
+# No pair graph, no crossJoin, no driver state: the only corpus-sized
+# relation after the fan-out is the occurrence set of DUPLICATED grams.
+# No reference equivalent (SURVEY.md §2.10 north-star extension).
+
+_SUBSTR_K = 8
+
+
+def _substr_gram_sql(k: int) -> str:
+    """Oracle gram CTE: sliding ``k``-token windows with 1-based start
+    positions over the q207-family tokenization (TRIM + ``[\\s\\x0b]+``
+    split — the Java-\\s/RE2 parity spelling, see DOC_NORM_SQL)."""
+    return f"""base AS (
+  SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '[\\s\\x0b]+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         ARRAY_TO_STRING(toks[i:i+{k}-1], ' ') AS gram
+  FROM base, UNNEST(RANGE(1, LEN(toks) - {k} + 2)) AS t(i)
+  WHERE LEN(toks) >= {k}
+)"""
+
+
+_Q219_SQL = f"""
+WITH {_substr_gram_sql(_SUBSTR_K)},
+gstats AS (
+  SELECT gram, MIN(doc_id) AS keeper
+  FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT g.doc_id AS doc_id, g.pos AS pos, (g.doc_id = s.keeper) AS is_keeper
+  FROM grams g JOIN gstats s ON g.gram = s.gram
+),
+drops AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER w IS NULL OR pos - LAG(pos) OVER w > {_SUBSTR_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM occ WHERE NOT is_keeper
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM drops
+),
+isl_agg AS (
+  SELECT doc_id, isl, MAX(pos) - MIN(pos) + {_SUBSTR_K} AS cov
+  FROM islands GROUP BY doc_id, isl
+),
+doc_isl AS (
+  SELECT doc_id, COUNT(*) AS n_islands, SUM(cov) AS dup_tokens
+  FROM isl_agg GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id,
+         SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS keeper_hits,
+         SUM(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS dup_hits
+  FROM occ GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id,
+  CAST(LEN(b.toks) AS BIGINT) AS n_tokens,
+  CAST(GREATEST(LEN(b.toks) - {_SUBSTR_K} + 1, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(h.keeper_hits, 0) AS BIGINT) AS keeper_hits,
+  CAST(COALESCE(h.dup_hits, 0) AS BIGINT) AS dup_hits,
+  CAST(COALESCE(i.n_islands, 0) AS BIGINT) AS n_islands,
+  CAST(COALESCE(i.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(LEN(b.toks) - COALESCE(i.dup_tokens, 0) AS BIGINT) AS kept_tokens
+FROM base b
+LEFT JOIN hits h ON b.doc_id = h.doc_id
+LEFT JOIN doc_isl i ON b.doc_id = i.doc_id
+"""
+
+
+def _substr_grams(base: DataFrame, k: int) -> DataFrame:
+    """Sliding ``k``-token gram fan-out over a ``(doc_id, toks)`` relation:
+    (doc_id, pos, gram) with 1-based start positions — :data:`_Q219_SQL`'s
+    ``grams`` CTE. The ``size >= k`` filter is load-bearing on the Spark
+    side beyond symmetry: ``F.sequence(1, stop)`` DESCENDS when stop < 1
+    (step defaults to -1), so an unguarded short document would fan out
+    phantom positions instead of none. sequence+slice+array_join all stay
+    in whole-stage codegen (the :func:`_unit_fanout_from` precedent)."""
+    return (
+        base.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"),
+                    (F.size("toks") - k + 1).cast("bigint"),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(F.slice("toks", F.col("pos").cast("int"), k), " ").alias(
+                "gram"
+            ),
+        )
+    )
+
+
+@query("q219_substring_dedup", _Q219_SQL)
+def q219_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cross-document substring dedup (Lee et al. 2021 §4.1,
+    token-adapted, alignment-free): every occurrence of a K-token
+    substring shared by >= 2 distinct documents drops from all but the
+    min-doc_id keeper; covered positions merge per document into maximal
+    islands. One integer ledger row per document: (doc_id, n_tokens,
+    n_grams, keeper_hits, dup_hits, n_islands, dup_tokens, kept_tokens).
+    See the block comment above for the suffix-array -> K-gram-cover
+    equivalence proof, the decision pins (cross-document only, keep-first
+    keeper, union coverage), and the 100 TB plan shape (two-stage
+    distinct gram agg, SPARK_GRAFT_SUBSTR_KEY=hash 8-byte shuffle-key
+    mode, AQE-decided join-back, one doc_id window for the island merge).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    k = _SUBSTR_K
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = d.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id", tokens_expr("text").alias("toks")
+    )
+    grams = _substr_grams(base, k)
+    # The 100 TB shuffle-key switch: text key (default, oracle-exact) vs
+    # xxhash64 (8-byte shuffle rows; equivalence pinned by test).
+    if os.environ.get("SPARK_GRAFT_SUBSTR_KEY", "text") == "hash":
+        grams = grams.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
+    # countDistinct + min in ONE aggregate: plans through Spark's expand +
+    # two partial-agg stages (the _boiler_set rationale) — a hot gram
+    # never ships per-occurrence rows.
+    gstats = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("ndocs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("ndocs") >= 2)
+        .select("gram", "keeper")
+    )
+    # Join-back strategy deliberately left to AQE (q208): gstats is the
+    # HAVING filter's output — broadcast when the shared mass is small,
+    # shuffled join when a pathological corpus makes it huge.
+    occ = grams.join(gstats, "gram").select(
+        "doc_id", "pos", (F.col("doc_id") == F.col("keeper")).alias("is_keeper")
+    )
+    hits = occ.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).alias("keeper_hits"),
+        F.sum(F.when(F.col("is_keeper"), 0).otherwise(1)).alias("dup_hits"),
+    )
+    # Island merge: equal-width intervals sorted by start — one doc_id
+    # sort feeds both window ops (lag for the break flag, running sum for
+    # the island id); adjacency (pos - lag == k) merges, a gap splits.
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    drops = occ.filter(~F.col("is_keeper")).withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            1,
+        ).otherwise(0),
+    )
+    islands = drops.withColumn(
+        "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    doc_isl = (
+        islands.groupBy("doc_id", "isl")
+        .agg((F.max("pos") - F.min("pos") + k).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_islands"), F.sum("cov").alias("dup_tokens"))
+    )
+    totals = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.greatest(F.size("toks") - k + 1, F.lit(0)).cast("bigint").alias("n_grams"),
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .join(doc_isl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("keeper_hits", F.lit(0)).cast("bigint").alias("keeper_hits"),
+            F.coalesce("dup_hits", F.lit(0)).cast("bigint").alias("dup_hits"),
+            F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )

@@ -808,11 +808,13 @@ def _agg_scalar(v):
 
 def _candidate_mode_probe(
     spark, scales, *, query: str, probe_tag: str, named_cols: list[str],
-    sum_cols: list[str],
+    sum_cols: list[str], env_var: str = "SPARK_GRAFT_NEARDUP_CANDIDATES",
+    modes: tuple = ("exact", "lsh"),
 ) -> list[dict]:
-    """Shared m-axis probe body for the candidate-mode compositions
-    (q214/q217): both SPARK_GRAFT_NEARDUP_CANDIDATES modes per m, warm
-    2nd-run timings, order-free set digest per mode, a parity record per
+    """Shared m-axis probe body for the mode-switched compositions
+    (q214/q217 exact-vs-lsh candidates, q219 text-vs-hash shuffle keys):
+    both ``env_var`` ``modes`` per m, warm 2nd-run timings, order-free
+    set digest per mode, a parity record per
     m. ONE implementation so a protocol fix (digest-on-warm-caches, env
     save/restore, timing) cannot silently diverge the two measurements —
     the review-caught duplication class the operator factorings closed.
@@ -833,13 +835,13 @@ def _candidate_mode_probe(
             *[F.sum(c) for c in sum_cols],
         )
 
-    saved_mode = os.environ.get("SPARK_GRAFT_NEARDUP_CANDIDATES")
+    saved_mode = os.environ.get(env_var)
     try:
         for m in scales:
             d = build_corpus(spark, m, with_embeddings=False)
             digests = {}
-            for mode in ("exact", "lsh"):
-                os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = mode
+            for mode in modes:
+                os.environ[env_var] = mode
                 secs = []
                 for _ in range(2):
                     release(spark)
@@ -874,15 +876,15 @@ def _candidate_mode_probe(
                 # on probe_tag's spelling (review-caught hidden coupling)
                 "probe": f"{query.split('_')[0]}_mode_parity",
                 "m": m,
-                "ledger_identical": digests["exact"] == digests["lsh"],
+                "ledger_identical": digests[modes[0]] == digests[modes[1]],
             }
             out.append(parity)
             print(json.dumps(parity), flush=True)
     finally:
         if saved_mode is None:
-            os.environ.pop("SPARK_GRAFT_NEARDUP_CANDIDATES", None)
+            os.environ.pop(env_var, None)
         else:
-            os.environ["SPARK_GRAFT_NEARDUP_CANDIDATES"] = saved_mode
+            os.environ[env_var] = saved_mode
     return out
 
 
@@ -990,6 +992,40 @@ def q218_url_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
             out.append(rec)
             print(json.dumps(rec), flush=True)
     return out
+
+
+def q219_substr_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
+    """The q219 m-axis probe: the ExactSubstr substring-dedup ledger
+    under BOTH shuffle-key modes — text (the gram string itself, the
+    oracle default) and hash (xxhash64, the 100 TB 8-byte-key path) —
+    at each corpus multiple. The affine vocab permutation preserves
+    within-copy token equality, so each copy carries the base corpus's
+    cross-document shared-run structure under renamed tokens while
+    cross-copy gram collisions stay at background: MEASURED at
+    m=1/2/4/8 the duplicated-occurrence mass is 11010/22020/44041/88083
+    (exactly ~m; the 3 extra hits at m=8 are the cross-copy background)
+    and every other ledger sum scales the same way, while the warm
+    clock reads 1.75/1.70/1.97/2.80 s (text mode) — fixed-overhead
+    dominated at this scale; the m=1 text cold run (10.73 s) carries
+    first-run JIT, recorded rather than smoothed (the q218 note's
+    precedent). NO pair graph exists anywhere in the query, so there is
+    no quadratic regime to report (the q218 precedent's wording). The
+    hash mode (8-byte xxhash64 shuffle keys) reads faster at every m
+    (warm 1.38/1.51/1.83/2.33) and its ledger digest is IDENTICAL to
+    text mode at all four scales — a divergence would be a 64-bit
+    gram-hash collision. The summary references EVERY ledger column
+    (the r9 probe-validity rule — a bare count would let ColumnPruning
+    delete the island-merge window branch)."""
+    return _candidate_mode_probe(
+        spark,
+        scales,
+        query="q219_substring_dedup",
+        probe_tag="q219_substr",
+        named_cols=["dup_hits", "n_islands", "dup_tokens"],
+        sum_cols=["n_tokens", "n_grams", "keeper_hits", "kept_tokens"],
+        env_var="SPARK_GRAFT_SUBSTR_KEY",
+        modes=("text", "hash"),
+    )
 
 
 def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
@@ -1164,6 +1200,12 @@ def main() -> None:
         help="run the q218 url-dedup m-axis probe next to q213 (comma "
         "list of corpus multiples, e.g. 1,2,4,8)",
     )
+    ap.add_argument(
+        "--q219-scales",
+        default=None,
+        help="run the q219 substring-dedup m-axis probe, both shuffle-key "
+        "modes (comma list of corpus multiples, e.g. 1,2,4,8)",
+    )
     args = ap.parse_args()
 
     def _ints(csv: str) -> tuple:
@@ -1193,6 +1235,9 @@ def main() -> None:
     # --vocab keeps its historical truthiness test (an explicit empty
     # string falls through to the default probes, as before).
     special = [
+        ("q219-scales", args.q219_scales is not None,
+         lambda sp: q219_substr_probe(sp, _ints(args.q219_scales)),
+         "q219_substr_probe_results.json"),
         ("q218-scales", args.q218_scales is not None,
          lambda sp: q218_url_probe(sp, _ints(args.q218_scales)),
          "q218_url_probe_results.json"),

@@ -3608,3 +3608,325 @@ def test_q218_null_lang_host_fallback(spark, tmp_path):
     assert set(drows) == set(rows)
     for k, sr in rows.items():
         assert sr == drows[k], (k, sr, drows[k])
+
+
+# ---------------------------------------------------------------------------
+# q219 ExactSubstr cross-document substring dedup
+# ---------------------------------------------------------------------------
+
+
+def _write_plain_docs(spark, tmp_path, docs):
+    """Hand corpus helper for the q219 pins: (doc_id, text) rows — the
+    substring axis has no lang dependence."""
+    import os
+
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+_S8 = "alpha bravo charlie delta echo foxtrot golf hotel"  # one 8-token run
+
+
+def test_q219_substring_stage_decision_pins(spark, tmp_path):
+    """q219's decision pins on a hand corpus with a full hand-derived
+    ledger:
+
+    (a) keep-first keeper — the min-doc_id document containing a shared
+        run keeps every token (doc 1: keeper_hits counts its shared gram,
+        nothing drops);
+    (b) alignment-free — the same 8-token run at DIFFERENT offsets
+        (doc 1 pos 1, doc 2 pos 3, doc 4 pos 1) still collapses;
+    (c) union coverage — doc 9 carries the shared run twice with a
+        1-token gap between the covers: 2 occurrences -> 2 islands,
+        16 covered positions, exactly 1 kept token (the gap);
+    (d) exact-duplicate pair — the non-keeper copy (doc 6) is fully
+        covered: dup_tokens == n_tokens, kept_tokens == 0, one island;
+    (e) WITHIN-document-only repetition survives — doc 8 repeats its own
+        8-gram twice but shares it with no other document: untouched
+        (the cross-document pin; in-doc repetition is q206's signal);
+    (f) short document (< K tokens) has no grams and is untouched.
+
+    Then Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q219_SQL,
+        q219_substring_dedup,
+    )
+
+    docs = [
+        (1, f"{_S8} uniq1a uniq1b uniq1c"),
+        (2, f"pre2a pre2b {_S8} post2a"),
+        (3, "solo3a solo3b solo3c solo3d solo3e solo3f solo3g solo3h"),
+        (4, f"{_S8} india juliet"),
+        (5, "exact dup body one two three four five six seven"),
+        (6, "exact dup body one two three four five six seven"),
+        (7, "short doc"),
+        (8, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8"),
+        (9, f"{_S8} gapx {_S8}"),
+        (10, None),
+    ]
+    d = _write_plain_docs(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r.asDict() for r in q219_substring_dedup(spark, d).collect()
+    }
+    assert set(rows) == set(range(1, 10))  # non-null docs only
+    # (doc_id): n_tokens, n_grams, keeper_hits, dup_hits, n_islands,
+    #           dup_tokens, kept_tokens
+    expect = {
+        1: (11, 4, 1, 0, 0, 0, 11),
+        2: (11, 4, 0, 1, 1, 8, 3),
+        3: (8, 1, 0, 0, 0, 0, 8),
+        4: (10, 3, 0, 1, 1, 8, 2),
+        5: (10, 3, 3, 0, 0, 0, 10),
+        6: (10, 3, 0, 3, 1, 10, 0),
+        7: (2, 0, 0, 0, 0, 0, 2),
+        8: (16, 9, 0, 0, 0, 0, 16),
+        9: (17, 10, 0, 2, 2, 16, 1),
+    }
+    cols = (
+        "n_tokens", "n_grams", "keeper_hits", "dup_hits", "n_islands",
+        "dup_tokens", "kept_tokens",
+    )
+    for k, want in expect.items():
+        assert tuple(rows[k][c] for c in cols) == want, (k, rows[k])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q219_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+
+def test_q219_adjacent_islands_merge(spark, tmp_path):
+    """Island-merge boundary pin: doc 3 carries two DIFFERENT shared runs
+    back-to-back (drop occurrences at pos 1 and pos 9 — interval starts
+    exactly K apart, covers [1,8] and [9,16] with NO gap), which must
+    merge into ONE island of 16 covered positions; doc 9 in the pins test
+    is the 1-token-gap counterpart that splits into two. Together they
+    pin the brk condition's strict inequality (pos - lag > K splits,
+    pos - lag == K merges). The straddling grams of doc 3 (pos 2..8 mix
+    the two runs) are shared with nobody — only the run-aligned grams
+    fire."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q219_substring_dedup,
+    )
+
+    s2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = [
+        (1, f"f1 {_S8}"),
+        (2, f"f2 f3 {s2}"),
+        (3, f"{_S8} {s2}"),
+    ]
+    d = _write_plain_docs(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r.asDict() for r in q219_substring_dedup(spark, d).collect()
+    }
+    assert (
+        rows[3]["dup_hits"] == 2
+        and rows[3]["n_islands"] == 1
+        and rows[3]["dup_tokens"] == 16
+        and rows[3]["kept_tokens"] == 0
+    ), rows[3]
+    assert rows[1]["keeper_hits"] == 1 and rows[1]["kept_tokens"] == 9
+    assert rows[2]["keeper_hits"] == 1 and rows[2]["kept_tokens"] == 10
+
+
+def test_q219_alignment_free_vs_q207(spark, tmp_path):
+    """The axis pin that motivates q219 next to q207: an 8-token run
+    shared at offsets that disagree mod 3 (pos 2 in doc 1, pos 4 in
+    doc 2) shares NO disjoint 3-token span, so q207's span dedup keeps
+    both documents whole — while q219 drops the run from the non-keeper.
+    Sub-document dedup granularity alone is not alignment-freedom."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q207_span_dedup_reassemble,
+        q219_substring_dedup,
+    )
+
+    docs = [
+        (1, f"u1a {_S8} u1b"),
+        (2, f"u2a u2b u2c {_S8}"),
+    ]
+    d = _write_plain_docs(spark, tmp_path, docs)
+    r207 = {
+        r["doc_id"]: r.asDict()
+        for r in q207_span_dedup_reassemble(spark, d).collect()
+    }
+    assert r207[1]["kept_tokens"] == r207[1]["n_tokens"] == 10
+    assert r207[2]["kept_tokens"] == r207[2]["n_tokens"] == 11
+    r219 = {
+        r["doc_id"]: r.asDict() for r in q219_substring_dedup(spark, d).collect()
+    }
+    assert r219[1]["keeper_hits"] == 1 and r219[1]["dup_tokens"] == 0
+    assert (
+        r219[2]["dup_hits"] == 1
+        and r219[2]["dup_tokens"] == 8
+        and r219[2]["kept_tokens"] == 3
+    )
+
+
+def test_q219_hash_mode_matches_text_mode(spark, monkeypatch):
+    """SPARK_GRAFT_SUBSTR_KEY=hash (xxhash64 shuffle keys — the 100 TB
+    8-byte-key path) must produce the identical ledger on the testdata
+    corpus: a divergence would need a 64-bit gram-hash collision (the
+    q214/q217 exact-vs-LSH mode-parity precedent)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q219_substring_dedup,
+    )
+
+    text = sorted(tuple(r) for r in q219_substring_dedup(spark, SF).collect())
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_KEY", "hash")
+    hashed = sorted(tuple(r) for r in q219_substring_dedup(spark, SF).collect())
+    assert text == hashed
+
+
+def test_q219_consistency_sf(spark):
+    """q219 invariants on the sf corpus: per-row ledger arithmetic
+    (kept + dup == n_tokens; occurrence mass bounded by gram count),
+    the island geometry bounds (an island of h hits covers between
+    h + K - 1 and h*K positions, summed: dup_hits + (K-1)*n_islands <=
+    dup_tokens <= K*dup_hits), islands fire iff drops exist, and the
+    corpus actually exercises the operator (cross-document shared runs
+    exist at K=8 — measured 45 docs hit at sf0.001)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _SUBSTR_K,
+        q219_substring_dedup,
+    )
+
+    rows = [r.asDict() for r in q219_substring_dedup(spark, SF).collect()]
+    assert rows
+    k = _SUBSTR_K
+    for r in rows:
+        assert r["kept_tokens"] + r["dup_tokens"] == r["n_tokens"], r
+        assert r["n_grams"] == max(r["n_tokens"] - k + 1, 0), r
+        assert r["keeper_hits"] + r["dup_hits"] <= r["n_grams"], r
+        assert (r["dup_hits"] > 0) == (r["n_islands"] > 0), r
+        if r["n_islands"]:
+            assert (
+                r["dup_hits"] + (k - 1) * r["n_islands"]
+                <= r["dup_tokens"]
+                <= k * r["dup_hits"]
+            ), r
+    assert sum(1 for r in rows if r["dup_hits"] > 0) > 0
+    assert sum(1 for r in rows if r["keeper_hits"] > 0) > 0
+
+
+def test_q219_properties_random_corpora(spark, tmp_path):
+    """q219's full ledger vs a third, independent pure-Python
+    reimplementation (next to the Spark and DuckDB twins) on random
+    small-vocab corpora — position-set union semantics re-derived with
+    Python sets and maximal-run counting rather than interval
+    arithmetic, so an island-merge bug cannot hide in a shared
+    formulation. Small vocab + short docs make cross-document gram
+    collisions common at K=3... (K stays the production 8; the corpus
+    draws documents as concatenations of a few 8-token blocks so shared
+    runs, exact dups, and within-doc repeats all occur)."""
+    import re as _re
+    import shutil
+    import uuid
+
+    from hypothesis import given, settings, strategies as st
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _SUBSTR_K,
+        q219_substring_dedup,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    k = _SUBSTR_K
+    # 8-token building blocks: 3 shared blocks + per-doc unique filler
+    blocks = [
+        " ".join(f"b{j}t{i}" for i in range(8)) for j in range(3)
+    ]
+
+    def py_ledger(texts, k):
+        toks = {
+            d: _re.split(r"[\s\x0b]+", t.strip())
+            for d, t in texts.items()
+            if t is not None
+        }
+        grams: dict = {}
+        for d, ts in toks.items():
+            for i in range(len(ts) - k + 1):
+                grams.setdefault(" ".join(ts[i : i + k]), []).append((d, i + 1))
+        out = {
+            d: {
+                "n_tokens": len(ts),
+                "n_grams": max(len(ts) - k + 1, 0),
+                "keeper_hits": 0,
+                "dup_hits": 0,
+                "n_islands": 0,
+                "dup_tokens": 0,
+                "kept_tokens": len(ts),
+            }
+            for d, ts in toks.items()
+        }
+        covered: dict = {d: set() for d in toks}
+        for occ in grams.values():
+            ds = {d for d, _ in occ}
+            if len(ds) < 2:
+                continue
+            keeper = min(ds)
+            for d, p in occ:
+                if d == keeper:
+                    out[d]["keeper_hits"] += 1
+                else:
+                    out[d]["dup_hits"] += 1
+                    covered[d].update(range(p, p + k))
+        for d, ps in covered.items():
+            sp = sorted(ps)
+            out[d]["dup_tokens"] = len(sp)
+            out[d]["kept_tokens"] = out[d]["n_tokens"] - len(sp)
+            out[d]["n_islands"] = sum(
+                1 for j, p in enumerate(sp) if j == 0 or p != sp[j - 1] + 1
+            )
+        return out
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=3),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def prop(doc_specs):
+        import os as _os
+
+        texts = {}
+        for i, spec in enumerate(doc_specs):
+            parts = [blocks[j] if j < 3 else f"u{i}x{n}" for n, j in enumerate(spec)]
+            # every doc gets one unique token so no two docs are
+            # constructed identical AND empty specs stay short
+            texts[i] = " ".join(parts + [f"uniq{i}"])
+        tmpdir = str(tmp_path / f"q219_prop_{uuid.uuid4().hex}")
+        try:
+            spark.createDataFrame(
+                list(texts.items()), "doc_id long, text string"
+            ).write.parquet(_os.path.join(tmpdir, "documents.parquet"))
+            got = {
+                r["doc_id"]: r.asDict()
+                for r in q219_substring_dedup(spark, tmpdir).collect()
+            }
+            release_session_state(spark)
+            want = py_ledger(texts, k)
+            assert set(got) == set(want)
+            for d in want:
+                assert got[d] == {"doc_id": d, **want[d]}, (d, got[d], want[d])
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+
+    prop()
