@@ -3318,3 +3318,235 @@ def q219_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q220: per-snapshot incremental URL dedup (FineWeb's snapshot axis)
+# ---------------------------------------------------------------------------
+# FineWeb (Penedo et al. 2024, §3.5-3.6) processes CommonCrawl snapshot by
+# snapshot and measures GLOBAL dedup against PER-SNAPSHOT-INDEPENDENT
+# dedup — finding that keeping each snapshot's own copy (dropping only
+# within-snapshot duplicates) trains BETTER models than deduplicating
+# against all prior crawls. RefinedWeb §3.2 likewise dedups by URL as
+# crawls arrive. q220 makes that policy choice measurable on one ledger:
+# the SNAPSHOT axis the composition family did not yet model — every
+# member so far treats the corpus as one batch; q220 is the windowed
+# chain over crawl time (the r12 verdict's growth candidate b).
+#
+# CORPUS ADAPTER (documented like q218's URL derivation): the documents
+# table has no crawl timestamp; the snapshot id is derived from the
+# bounded source column — snap = int(digits(source)) % _SNAP_MOD, giving
+# _SNAP_MOD ordered crawl snapshots each fed by several sources. The
+# dedup key is the normalized crawl URL (ONE definition — q218's
+# :func:`_doc_urls` / :func:`_url_cte_sql`; the bounded slug space gives
+# every sf real cross-snapshot re-crawl mass, measured 28 multi-snapshot
+# URL groups at sf0.01).
+#
+# SEMANTICS (each a pinned decision):
+# - kept_inc — the INCREMENTAL policy: keep the first occurrence in
+#   (snap, doc_id) lexicographic order. This is exactly what a
+#   snapshot-by-snapshot fold against accumulated URL state computes
+#   (anti-join each snapshot's within-keepers against every URL seen in
+#   earlier snapshots), and the closed form the oracle checks. The order
+#   is decision-bearing: a LOWER doc_id arriving in a LATER snapshot
+#   loses to a higher doc_id from an earlier snapshot — crawl time, not
+#   doc_id, is the keep-first axis (pinned; q218's plain min-doc_id
+#   argmin would choose differently).
+# - kept_within — FineWeb's per-snapshot-independent policy: first
+#   occurrence within the document's OWN snapshot only.
+# - recrawl — kept_within AND NOT kept_inc: the later-snapshot copies
+#   the independent policy keeps and the incremental policy drops — the
+#   exact population FineWeb's finding is about. Per URL group the
+#   identities sum(kept_inc) = 1, sum(kept_within) = n_snapshots_seen,
+#   sum(recrawl) = n_snapshots_seen - 1 hold by construction (pinned).
+#
+# Determinism: all-integer ledger (snapshot ids, counts, flags); the
+# incremental key is the integer encoding snap * _SNAP_KEY_BASE + doc_id
+# (same expression on both engines; no struct-vs-tuple comparison
+# semantics to align, no floats anywhere).
+#
+# 100 TB shape: the closed form is two partial-agg group-bys (url_norm;
+# url_norm x snap) and two AQE-decided join-backs of bounded group
+# tables — same cost class as q218's stage 0, linear in crawl mass. The
+# INCREMENTAL execution (:func:`snapshot_fold_url_dedup`, pinned equal
+# to the closed form) is the production shape at 100 TB: each arriving
+# snapshot anti-joins its within-keepers against the accumulated
+# URL-state relation — per-batch cost is one group-by + one anti-join
+# over the NEW snapshot only, and the carried state is one short row
+# per DISTINCT URL ever seen (the streaming incremental fingerprint
+# dedup's state-store contract, batch-shaped; lineage truncated by
+# localCheckpoint per fold step, the q73/q145 precedent). No reference
+# equivalent (SURVEY.md §2.10 north-star extension).
+
+_SNAP_MOD = 4
+_SNAP_KEY_BASE = 10**12
+# Interpolated into BOTH engines' SQL/expressions (the q131/q217/q218
+# guard precedent, extended to integer constants): explicit raise so the
+# guard survives `python -O`.
+if not (
+    isinstance(_SNAP_MOD, int)
+    and 2 <= _SNAP_MOD <= 1000
+    and isinstance(_SNAP_KEY_BASE, int)
+    and _SNAP_KEY_BASE > 10**9
+):
+    raise ValueError(
+        "_SNAP_MOD/_SNAP_KEY_BASE must stay small-int / wide-int: both "
+        "engines receive the same interpolated literals and the integer "
+        "incremental key must not collide snapshots with doc_ids"
+    )
+
+_SNAP_SQL = f"CAST(REGEXP_EXTRACT(d.source, '([0-9]+)', 1) AS INT) % {_SNAP_MOD}"
+
+_Q220_SQL = f"""
+WITH {{url_ctes}},
+snapd AS (
+  SELECT u.doc_id AS doc_id, u.url_norm AS url_norm, {_SNAP_SQL} AS snap
+  FROM unorm u JOIN documents d ON u.doc_id = d.doc_id
+),
+g AS (
+  SELECT url_norm,
+         COUNT(*) AS url_copies,
+         COUNT(DISTINCT snap) AS n_snapshots_seen,
+         MIN(snap) AS first_seen_snap,
+         MIN(snap * {_SNAP_KEY_BASE} + doc_id) AS inc_key
+  FROM snapd GROUP BY url_norm
+),
+w AS (
+  SELECT url_norm, snap, MIN(doc_id) AS within_keeper
+  FROM snapd GROUP BY url_norm, snap
+)
+SELECT s.doc_id AS doc_id,
+  CAST(s.snap AS BIGINT) AS snap,
+  CAST(g.url_copies AS BIGINT) AS url_copies,
+  CAST(g.n_snapshots_seen AS BIGINT) AS n_snapshots_seen,
+  CAST(g.first_seen_snap AS BIGINT) AS first_seen_snap,
+  CAST(CASE WHEN s.snap * {_SNAP_KEY_BASE} + s.doc_id = g.inc_key
+       THEN 1 ELSE 0 END AS BIGINT) AS kept_inc,
+  CAST(CASE WHEN s.doc_id = w.within_keeper THEN 1 ELSE 0 END AS BIGINT)
+    AS kept_within,
+  CAST(CASE WHEN s.doc_id = w.within_keeper
+            AND s.snap * {_SNAP_KEY_BASE} + s.doc_id <> g.inc_key
+       THEN 1 ELSE 0 END AS BIGINT) AS recrawl
+FROM snapd s
+JOIN g ON s.url_norm = g.url_norm
+JOIN w ON s.url_norm = w.url_norm AND s.snap = w.snap
+""".replace("{url_ctes}", "__URL_CTES__")
+
+
+def _q220_sql() -> str:
+    """The q220 oracle, assembled from the SHARED URL CTE generator at
+    call time (module init order: _url_cte_sql is defined above)."""
+    return _Q220_SQL.replace("__URL_CTES__", _url_cte_sql())
+
+
+def _snap_docs(base: DataFrame) -> DataFrame:
+    """(doc_id, url_norm, snap) over a ``(doc_id, lang, text, source)``
+    relation — the Spark twin of the oracle's ``snapd`` CTE, from the
+    SAME url derivation (:func:`_doc_urls`) and snapshot expression."""
+    urls = _doc_urls(base.select("doc_id", "lang", "text"))
+    snap = (
+        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+        % _SNAP_MOD
+    )
+    return base.select("doc_id", snap.alias("snap")).join(
+        urls.select("doc_id", "url_norm"), "doc_id"
+    )
+
+
+@query("q220_snapshot_incremental_dedup", _q220_sql())
+def q220_snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-snapshot incremental URL dedup (FineWeb's snapshot axis,
+    RefinedWeb's URL key): one integer ledger row per document —
+    (doc_id, snap, url_copies, n_snapshots_seen, first_seen_snap,
+    kept_inc, kept_within, recrawl) — comparing the INCREMENTAL policy
+    (keep the first occurrence in (snap, doc_id) order; what a
+    snapshot-by-snapshot fold against accumulated URL state computes —
+    :func:`snapshot_fold_url_dedup` is that fold, pinned equal) against
+    FineWeb's PER-SNAPSHOT-INDEPENDENT policy (keep each snapshot's own
+    first copy); ``recrawl`` marks exactly the copies on which the two
+    policies disagree. See the block comment above for the snapshot
+    corpus adapter, the decision pins, and the 100 TB state story."""
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base0 = d0.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id", "lang", "text", "source"
+    )
+    snapd = _snap_docs(base0)
+    inc_key = F.col("snap").cast("bigint") * _SNAP_KEY_BASE + F.col("doc_id")
+    # Both group tables are the bounded outputs (one row per distinct
+    # URL / per (URL, snapshot)); the join-backs are AQE-decided — the
+    # q208/q218 broadcast rationale. countDistinct plans through the
+    # two-stage expand (the _boiler_set precedent).
+    g = snapd.groupBy("url_norm").agg(
+        F.count("*").alias("url_copies"),
+        F.countDistinct("snap").alias("n_snapshots_seen"),
+        F.min("snap").alias("first_seen_snap"),
+        F.min(inc_key).alias("inc_key"),
+    )
+    w = snapd.groupBy("url_norm", "snap").agg(
+        F.min("doc_id").alias("within_keeper")
+    )
+    kept_inc = (inc_key == F.col("inc_key")).cast("bigint")
+    kept_within = (F.col("doc_id") == F.col("within_keeper")).cast("bigint")
+    return (
+        snapd.join(g, "url_norm")
+        .join(w, ["url_norm", "snap"])
+        .select(
+            "doc_id",
+            F.col("snap").cast("bigint").alias("snap"),
+            F.col("url_copies").cast("bigint").alias("url_copies"),
+            F.col("n_snapshots_seen").cast("bigint").alias("n_snapshots_seen"),
+            F.col("first_seen_snap").cast("bigint").alias("first_seen_snap"),
+            kept_inc.alias("kept_inc"),
+            kept_within.alias("kept_within"),
+            (
+                (F.col("doc_id") == F.col("within_keeper"))
+                & (inc_key != F.col("inc_key"))
+            )
+            .cast("bigint")
+            .alias("recrawl"),
+        )
+    )
+
+
+
+def snapshot_fold_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL execution of q220's kept_inc verdict: fold the
+    snapshots in crawl order, keeping per-snapshot within-keepers that
+    anti-join clean against the accumulated URL state — the production
+    shape for arriving crawls (per-batch cost touches only the new
+    snapshot; carried state is one row per distinct URL ever seen).
+    Returns (doc_id) of incremental keepers; pinned equal to the closed
+    form's kept_inc == 1 set
+    (tests/test_extensions.py::test_q220_fold_matches_closed_form).
+    The per-step localCheckpoint truncates the union lineage (the
+    q73/q145 precedent); the only collect is the bounded distinct
+    snapshot id set (<= _SNAP_MOD rows — the module's bounded-collect
+    class)."""
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base0 = d0.repartition(n_shuffle, F.col("doc_id")).select(
+        "doc_id", "lang", "text", "source"
+    )
+    snapd = _snap_docs(base0)
+    snaps = sorted(
+        r["snap"] for r in snapd.select("snap").distinct().collect()
+    )
+    kept = None
+    state = None
+    for s in snaps:
+        cur = snapd.filter(F.col("snap") == s)
+        winners = cur.groupBy("url_norm").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        if state is not None:
+            winners = winners.join(state, "url_norm", "left_anti")
+        step_kept = winners.select("doc_id")
+        kept = step_kept if kept is None else kept.unionByName(step_kept)
+        new_state = cur.select("url_norm").distinct()
+        state = (
+            new_state
+            if state is None
+            else state.unionByName(new_state).distinct()
+        ).localCheckpoint()
+    return kept if kept is not None else snapd.select("doc_id").limit(0)

@@ -1028,6 +1028,82 @@ def q219_substr_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     )
 
 
+def q220_snapshot_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
+    """The q220 m-axis probe: the per-snapshot incremental URL dedup
+    ledger at each corpus multiple, next to the carried-state size (the
+    100 TB story's bound: the incremental fold's state is one row per
+    DISTINCT normalized URL ever seen). Copies offset doc_id but reuse
+    the same bounded source set, so each snapshot grows ~m while the
+    snapshot COUNT stays fixed; the bounded slug space makes distinct
+    URLs saturate with m (the q218 saturation artifact — reported as
+    such). MEASURED at m=1/2/4/8: state_rows 2809/3915/4609/4797
+    (saturating — and equal to kept_inc at every m, the one-keeper-per-
+    distinct-URL identity), recrawl 1402/3403/6900/10988 (~linear in
+    crawl mass), kept_within 4211/7318/11509/15785 (sub-linear as
+    within-snapshot collisions rise), warm clock flat at 2.2-2.5 s
+    across the 8x corpus (m=1 cold 9.43 carries first-run JIT —
+    recorded, not smoothed): duplicate mass grows with the crawl while
+    the carried state stays bounded — exactly the regime the
+    incremental policy exists for. The summary references EVERY ledger
+    column (the r9 probe-validity rule). state_rows is the
+    distinct-url_norm count — measured separately from the timed
+    runs."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _doc_urls,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    fn = em.queries()["q220_snapshot_incremental_dedup"]
+
+    def summary(df):
+        return df.agg(
+            F.count("*"),
+            F.sum("kept_inc"),
+            F.sum("kept_within"),
+            F.sum("recrawl"),
+            F.sum("url_copies"),
+            F.sum("n_snapshots_seen"),
+            F.sum("first_seen_snap"),
+            F.sum("snap"),
+        )
+
+    out = []
+    for m in scales:
+        d = build_corpus(spark, m, with_embeddings=False)
+        row, cold, warm = _timed_summary(spark, fn, d, summary)
+        docs = load_table(spark, d, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        state_rows = (
+            _doc_urls(docs.select("doc_id", "lang", "text"))
+            .select("url_norm")
+            .distinct()
+            .count()
+        )
+        release(spark)
+        rec = {
+            "probe": "q220_snapshot",
+            "query": "q220_snapshot_incremental_dedup",
+            "m": m,
+            "rows": _agg_scalar(row[0]),
+            "kept_inc": _agg_scalar(row[1]),
+            "kept_within": _agg_scalar(row[2]),
+            "recrawl": _agg_scalar(row[3]),
+            "state_rows": int(state_rows),
+            "ledger_sums": [_agg_scalar(v) for v in row[4:]],
+            "cold_sec": cold,
+            "warm_sec": warm,
+        }
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def q215_tier_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     """The q215/q216 order-sheet probe: m-axis clock for the per-language
     LM tier stage (q215) and the full CCNet composition (q216). The
@@ -1206,6 +1282,12 @@ def main() -> None:
         help="run the q219 substring-dedup m-axis probe, both shuffle-key "
         "modes (comma list of corpus multiples, e.g. 1,2,4,8)",
     )
+    ap.add_argument(
+        "--q220-scales",
+        default=None,
+        help="run the q220 snapshot-incremental-dedup m-axis probe (comma "
+        "list of corpus multiples, e.g. 1,2,4,8)",
+    )
     args = ap.parse_args()
 
     def _ints(csv: str) -> tuple:
@@ -1235,6 +1317,9 @@ def main() -> None:
     # --vocab keeps its historical truthiness test (an explicit empty
     # string falls through to the default probes, as before).
     special = [
+        ("q220-scales", args.q220_scales is not None,
+         lambda sp: q220_snapshot_probe(sp, _ints(args.q220_scales)),
+         "q220_snapshot_probe_results.json"),
         ("q219-scales", args.q219_scales is not None,
          lambda sp: q219_substr_probe(sp, _ints(args.q219_scales)),
          "q219_substr_probe_results.json"),

@@ -3930,3 +3930,318 @@ def test_q219_properties_random_corpora(spark, tmp_path):
             shutil.rmtree(tmpdir, ignore_errors=True)
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# q220 per-snapshot incremental URL dedup
+# ---------------------------------------------------------------------------
+
+
+def _write_snap_docs(spark, tmp_path, docs):
+    """Hand corpus helper for the q220 pins: (doc_id, lang, text, source)
+    rows — source is load-bearing (the snapshot axis derives from it)."""
+    import os
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+_Q220_COLS = (
+    "snap", "url_copies", "n_snapshots_seen", "first_seen_snap",
+    "kept_inc", "kept_within", "recrawl",
+)
+
+
+def test_q220_snapshot_stage_decision_pins(spark, tmp_path):
+    """q220's decision pins on a hand corpus with a full hand-derived
+    ledger (snap = int(digits(source)) % 4):
+
+    (a) crawl order beats doc_id — 'green motor' is crawled by doc 70 in
+        snapshot 0 and doc 50 in snapshot 1: the INCREMENTAL keeper is
+        70 (earlier snapshot) even though 50 < 70; 50 is its own
+        snapshot's first copy, so it is exactly a recrawl (q218's plain
+        min-doc_id argmin would keep 50 — the axis is genuinely new);
+    (b) same-snapshot duplicate — 'blue rocket' twice in snapshot 0
+        (src0/src4 both fold to snap 0): both policies drop the higher
+        doc_id, recrawl 0 (policy disagreement needs a snapshot gap);
+    (c) late first-seen — 'red balloon' first appears in snapshot 2 and
+        is KEPT by the incremental policy (state contains only URLs
+        from earlier snapshots);
+    (d) 3-snapshot chain — 'alpha beta' in snapshots 0/1/2: one
+        incremental keeper, one within-keeper per snapshot, recrawl =
+        n_snapshots_seen - 1.
+
+    Then Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _q220_sql,
+        q220_snapshot_incremental_dedup,
+    )
+
+    docs = [
+        (70, "en", "green motor fill70a fill70b fill70c", "src0"),
+        (50, "en", "green motor fill50a fill50b fill50c", "src1"),
+        (10, "en", "blue rocket fill10a fill10b fill10c", "src0"),
+        (30, "en", "blue rocket fill30a fill30b fill30c", "src4"),
+        (40, "en", "red balloon fill40a fill40b fill40c", "src2"),
+        (20, "en", "alpha beta fill20a fill20b fill20c", "src0"),
+        (21, "en", "alpha beta fill21a fill21b fill21c", "src1"),
+        (22, "en", "alpha beta fill22a fill22b fill22c", "src6"),
+        (99, "en", None, "src0"),
+    ]
+    d = _write_snap_docs(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q220_snapshot_incremental_dedup(spark, d).collect()
+    }
+    assert set(rows) == {10, 20, 21, 22, 30, 40, 50, 70}  # non-null docs
+    expect = {
+        70: (0, 2, 2, 0, 1, 1, 0),
+        50: (1, 2, 2, 0, 0, 1, 1),
+        10: (0, 2, 1, 0, 1, 1, 0),
+        30: (0, 2, 1, 0, 0, 0, 0),
+        40: (2, 1, 1, 2, 1, 1, 0),
+        20: (0, 3, 3, 0, 1, 1, 0),
+        21: (1, 3, 3, 0, 0, 1, 1),
+        22: (2, 3, 3, 0, 0, 1, 1),
+    }
+    for k, want in expect.items():
+        assert tuple(rows[k][c] for c in _Q220_COLS) == want, (k, rows[k])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_q220_sql())
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+
+def test_q220_fold_matches_closed_form(spark, tmp_path):
+    """The genuine per-snapshot fold (anti-join each snapshot's
+    within-keepers against accumulated URL state — the production
+    incremental execution) must return exactly the closed form's
+    kept_inc == 1 set, on the hand corpus of the pins test AND on the
+    sf corpus. A fold bug that consults the wrong state (e.g. keepers
+    instead of all seen URLs) flips pin-(a)-style rows."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q220_snapshot_incremental_dedup,
+        snapshot_fold_url_dedup,
+    )
+
+    docs = [
+        (70, "en", "green motor fill70a fill70b fill70c", "src0"),
+        (50, "en", "green motor fill50a fill50b fill50c", "src1"),
+        (10, "en", "blue rocket fill10a fill10b fill10c", "src0"),
+        (30, "en", "blue rocket fill30a fill30b fill30c", "src4"),
+        (40, "en", "red balloon fill40a fill40b fill40c", "src2"),
+        (99, "en", None, "src0"),
+    ]
+    d = _write_snap_docs(spark, tmp_path, docs)
+    for sf_dir in (d, SF):
+        closed = sorted(
+            r["doc_id"]
+            for r in q220_snapshot_incremental_dedup(spark, sf_dir).collect()
+            if r["kept_inc"] == 1
+        )
+        fold = sorted(
+            r["doc_id"] for r in snapshot_fold_url_dedup(spark, sf_dir).collect()
+        )
+        assert fold == closed, sf_dir
+
+
+def test_q220_consistency_sf(spark):
+    """q220 invariants on the sf corpus: per-row policy containment
+    (incremental keepers are within-keepers; recrawl is exactly their
+    difference), snapshot geometry (first_seen_snap <= snap;
+    url_copies >= n_snapshots_seen >= 1; singletons untouched by both
+    policies), per-URL-group identities re-derived by joining the
+    ledger back to the shared URL derivation (sum kept_inc = 1,
+    sum kept_within = n_snapshots_seen, sum recrawl =
+    n_snapshots_seen - 1 per group), and non-vacuous recrawl mass
+    (measured: 30 recrawls at sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _doc_urls,
+        q220_snapshot_incremental_dedup,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    ledger = q220_snapshot_incremental_dedup(spark, SF)
+    rows = [r.asDict() for r in ledger.collect()]
+    assert rows
+    for r in rows:
+        assert r["kept_inc"] <= r["kept_within"], r
+        assert r["recrawl"] == r["kept_within"] - r["kept_inc"], r
+        assert r["first_seen_snap"] <= r["snap"], r
+        assert r["url_copies"] >= r["n_snapshots_seen"] >= 1, r
+        if r["url_copies"] == 1:
+            assert (r["kept_inc"], r["kept_within"], r["recrawl"]) == (1, 1, 0), r
+    assert sum(r["recrawl"] for r in rows) > 0
+
+    docs = load_table(spark, SF, "documents").filter(F.col("text").isNotNull())
+    urls = _doc_urls(docs.select("doc_id", "lang", "text"))
+    per_group = (
+        ledger.join(urls.select("doc_id", "url_norm"), "doc_id")
+        .groupBy("url_norm")
+        .agg(
+            F.sum("kept_inc").alias("ki"),
+            F.sum("kept_within").alias("kw"),
+            F.sum("recrawl").alias("rc"),
+            F.max("n_snapshots_seen").alias("ns"),
+        )
+        .collect()
+    )
+    for gr in per_group:
+        assert gr["ki"] == 1, gr
+        assert gr["kw"] == gr["ns"], gr
+        assert gr["rc"] == gr["ns"] - 1, gr
+
+
+def test_q220_url_groups_match_q218(spark):
+    """Single-definition check across the two URL-axis operators: q220's
+    per-document url_copies must equal q218's url_group_size for every
+    document (both derive from _doc_urls/_url_cte_sql — a drift would
+    mean the shared adapter forked)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q218_url_curation_pipeline,
+        q220_snapshot_incremental_dedup,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    g218 = {
+        r["doc_id"]: r["url_group_size"]
+        for r in q218_url_curation_pipeline(spark, SF).collect()
+    }
+    release_session_state(spark)
+    g220 = {
+        r["doc_id"]: r["url_copies"]
+        for r in q220_snapshot_incremental_dedup(spark, SF).collect()
+    }
+    assert g218 == g220
+
+
+def test_q220_properties_random_corpora(spark, tmp_path):
+    """q220's full ledger vs a third, independent pure-Python
+    reimplementation (URL normalization re-derived with re.sub, the
+    snapshot fold as dict/set bookkeeping) on random small-vocab corpora
+    with random source assignment — slug collisions are common by
+    construction, so multi-snapshot groups and pin-(a)-shaped
+    crawl-order-vs-doc_id disagreements occur across examples."""
+    import re as _re
+    import shutil
+    import uuid
+
+    from hypothesis import given, settings, strategies as st
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _SNAP_MOD,
+        _URL_NORM_STEPS,
+        _URL_SLUG_TOKENS,
+        _URL_STRIP,
+        q220_snapshot_incremental_dedup,
+    )
+    from project_1_greentech_logistics_data_pipeline_spark.session import (
+        release_session_state,
+    )
+
+    def py_url_norm(doc_id, lang, text):
+        toks = _re.split(r"\s+", text.lower().strip(" "))
+        slug = _re.sub(_URL_STRIP, "", "-".join(toks[:_URL_SLUG_TOKENS]))
+        host = (lang or "und") + ".example.com"
+        url = (
+            ("https://" if doc_id % 2 == 0 else "http://")
+            + ("www." if doc_id % 3 == 0 else "")
+            + (host.upper() if doc_id % 11 == 0 else host)
+            + "/" + slug
+            + ("/" if doc_id % 5 == 0 else "")
+            + ("?utm_source=feed" if doc_id % 7 == 0 else "")
+        )
+        norm = url.lower()
+        for pat, rep in _URL_NORM_STEPS:
+            norm = _re.sub(pat, rep, norm)
+        return norm
+
+    def py_ledger(rows_in):
+        snap = {
+            d: int(_re.search(r"([0-9]+)", src).group(1)) % _SNAP_MOD
+            for d, _, t, src in rows_in
+            if t is not None
+        }
+        norm = {
+            d: py_url_norm(d, lang, t)
+            for d, lang, t, _ in rows_in
+            if t is not None
+        }
+        groups: dict = {}
+        for d, n in norm.items():
+            groups.setdefault(n, []).append(d)
+        out = {}
+        for n, ids in groups.items():
+            snaps = {snap[d] for d in ids}
+            inc_keeper = min(ids, key=lambda d: (snap[d], d))
+            within = {
+                s: min(d for d in ids if snap[d] == s) for s in snaps
+            }
+            for d in ids:
+                ki = int(d == inc_keeper)
+                kw = int(within[snap[d]] == d)
+                out[d] = {
+                    "doc_id": d,
+                    "snap": snap[d],
+                    "url_copies": len(ids),
+                    "n_snapshots_seen": len(snaps),
+                    "first_seen_snap": min(snaps),
+                    "kept_inc": ki,
+                    "kept_within": kw,
+                    "recrawl": kw - ki if kw >= ki else 0,
+                }
+        return out
+
+    vocab = ["the", "a", "of", "alpha", "bravo", "charlie"]
+    doc = st.lists(st.sampled_from(vocab), min_size=2, max_size=6)
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        st.lists(doc, min_size=2, max_size=8),
+        st.lists(st.integers(min_value=0, max_value=9), min_size=8, max_size=8),
+    )
+    def prop(docs, src_nums):
+        import os as _os
+
+        rows_in = [
+            (i, "en", " ".join(toks), f"src{src_nums[i]}")
+            for i, toks in enumerate(docs)
+        ]
+        rows_in.append((len(rows_in), "en", None, "src0"))
+        tmpdir = str(tmp_path / f"q220_prop_{uuid.uuid4().hex}")
+        try:
+            spark.createDataFrame(
+                rows_in, "doc_id long, lang string, text string, source string"
+            ).write.parquet(_os.path.join(tmpdir, "documents.parquet"))
+            got = {
+                r["doc_id"]: r.asDict()
+                for r in q220_snapshot_incremental_dedup(spark, tmpdir).collect()
+            }
+            release_session_state(spark)
+            want = py_ledger(rows_in)
+            assert got == want
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+
+    prop()
