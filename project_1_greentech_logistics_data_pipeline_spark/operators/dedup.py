@@ -3395,10 +3395,19 @@ if not (
         "incremental key must not collide snapshots with doc_ids"
     )
 
-_SNAP_SQL = f"CAST(REGEXP_EXTRACT(d.source, '([0-9]+)', 1) AS INT) % {_SNAP_MOD}"
+# TRY_CAST + COALESCE(0): a source with no digit run (or a digit run
+# past int64) folds to snapshot bucket 0 IDENTICALLY on both engines —
+# a plain CAST would crash DuckDB, NULL-drop the row from Spark's inner
+# joins, and TypeError the fold's Python sort, three different behaviors
+# for one input (review-caught; pinned by the digitless/overflow edge
+# test).
+_SNAP_SQL = (
+    "COALESCE(TRY_CAST(REGEXP_EXTRACT(d.source, '([0-9]+)', 1) AS BIGINT), 0)"
+    f" % {_SNAP_MOD}"
+)
 
 _Q220_SQL = f"""
-WITH {{url_ctes}},
+WITH {_url_cte_sql()},
 snapd AS (
   SELECT u.doc_id AS doc_id, u.url_norm AS url_norm, {_SNAP_SQL} AS snap
   FROM unorm u JOIN documents d ON u.doc_id = d.doc_id
@@ -3430,22 +3439,23 @@ SELECT s.doc_id AS doc_id,
 FROM snapd s
 JOIN g ON s.url_norm = g.url_norm
 JOIN w ON s.url_norm = w.url_norm AND s.snap = w.snap
-""".replace("{url_ctes}", "__URL_CTES__")
-
-
-def _q220_sql() -> str:
-    """The q220 oracle, assembled from the SHARED URL CTE generator at
-    call time (module init order: _url_cte_sql is defined above)."""
-    return _Q220_SQL.replace("__URL_CTES__", _url_cte_sql())
+"""
 
 
 def _snap_docs(base: DataFrame) -> DataFrame:
     """(doc_id, url_norm, snap) over a ``(doc_id, lang, text, source)``
     relation — the Spark twin of the oracle's ``snapd`` CTE, from the
-    SAME url derivation (:func:`_doc_urls`) and snapshot expression."""
+    SAME url derivation (:func:`_doc_urls`) and snapshot rule
+    (try_cast + coalesce 0, mirroring :data:`_SNAP_SQL` — see the
+    block comment there)."""
     urls = _doc_urls(base.select("doc_id", "lang", "text"))
     snap = (
-        F.regexp_extract(F.col("source"), r"([0-9]+)", 1).cast("int")
+        F.coalesce(
+            F.regexp_extract(F.col("source"), r"([0-9]+)", 1).try_cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        )
         % _SNAP_MOD
     )
     return base.select("doc_id", snap.alias("snap")).join(
@@ -3453,7 +3463,7 @@ def _snap_docs(base: DataFrame) -> DataFrame:
     )
 
 
-@query("q220_snapshot_incremental_dedup", _q220_sql())
+@query("q220_snapshot_incremental_dedup", _Q220_SQL)
 def q220_snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-snapshot incremental URL dedup (FineWeb's snapshot axis,
     RefinedWeb's URL key): one integer ledger row per document —
@@ -3543,10 +3553,13 @@ def snapshot_fold_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             winners = winners.join(state, "url_norm", "left_anti")
         step_kept = winners.select("doc_id")
         kept = step_kept if kept is None else kept.unionByName(step_kept)
-        new_state = cur.select("url_norm").distinct()
+        # the post-anti-join winners carry EXACTLY the snapshot's new
+        # URLs (one row each), disjoint from state by construction — so
+        # the state update is a plain union, no second group-by over the
+        # snapshot and no union-distinct (review-caught: the earlier
+        # cur.distinct() was a redundant second full pass per batch)
+        new_urls = winners.select("url_norm")
         state = (
-            new_state
-            if state is None
-            else state.unionByName(new_state).distinct()
+            new_urls if state is None else state.unionByName(new_urls)
         ).localCheckpoint()
     return kept if kept is not None else snapd.select("doc_id").limit(0)

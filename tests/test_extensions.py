@@ -3980,7 +3980,7 @@ def test_q220_snapshot_stage_decision_pins(spark, tmp_path):
     import duckdb
 
     from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
-        _q220_sql,
+        _Q220_SQL,
         q220_snapshot_incremental_dedup,
     )
 
@@ -4019,7 +4019,7 @@ def test_q220_snapshot_stage_decision_pins(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM read_parquet("
         f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
     )
-    res = con.execute(_q220_sql())
+    res = con.execute(_Q220_SQL)
     dcols = [c[0] for c in res.description]
     drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
     assert set(drows) == set(rows)
@@ -4245,3 +4245,63 @@ def test_q220_properties_random_corpora(spark, tmp_path):
             shutil.rmtree(tmpdir, ignore_errors=True)
 
     prop()
+
+
+def test_q220_digitless_and_overflow_sources(spark, tmp_path):
+    """The snapshot rule's edge contract (review-caught): a source with
+    NO digit run, and one whose digit run exceeds int64, both fold to
+    snapshot bucket 0 — identically on Spark, DuckDB, and the fold. A
+    plain CAST gave three different behaviors (DuckDB conversion error,
+    Spark NULL-snap inner-join row drop, Python sort TypeError); the
+    one-ledger-row-per-document contract must survive any source
+    string."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q220_SQL,
+        q220_snapshot_incremental_dedup,
+        snapshot_fold_url_dedup,
+    )
+
+    docs = [
+        (1, "en", "green motor fill1a fill1b", "web"),  # no digits -> snap 0
+        (2, "en", "green motor fill2a fill2b", "src99999999999999999999"),  # > int64 -> snap 0
+        (3, "en", "green motor fill3a fill3b", "src1"),  # snap 1
+        (4, "en", "solo page fill4a fill4b", "src2"),  # snap 2 singleton
+    ]
+    d = _write_snap_docs(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q220_snapshot_incremental_dedup(spark, d).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}  # nobody dropped
+    # docs 1/2 share snapshot 0 and the URL group; 3 is the group's
+    # recrawl in snapshot 1
+    assert rows[1][
+        "snap"
+    ] == 0 and rows[2]["snap"] == 0 and rows[3]["snap"] == 1
+    expect = {
+        1: (0, 3, 2, 0, 1, 1, 0),
+        2: (0, 3, 2, 0, 0, 0, 0),
+        3: (1, 3, 2, 0, 0, 1, 1),
+        4: (2, 1, 1, 2, 1, 1, 0),
+    }
+    for k, want in expect.items():
+        assert tuple(rows[k][c] for c in _Q220_COLS) == want, (k, rows[k])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q220_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert drows == rows
+
+    fold = sorted(
+        r["doc_id"] for r in snapshot_fold_url_dedup(spark, d).collect()
+    )
+    assert fold == sorted(k for k, v in rows.items() if v["kept_inc"] == 1)
