@@ -3363,7 +3363,12 @@ def q219_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Determinism: all-integer ledger (snapshot ids, counts, flags); the
 # incremental key is the integer encoding snap * _SNAP_KEY_BASE + doc_id
 # (same expression on both engines; no struct-vs-tuple comparison
-# semantics to align, no floats anywhere).
+# semantics to align, no floats anywhere). The encoding presumes
+# doc_id < _SNAP_KEY_BASE — an oversized doc_id would silently elect a
+# LATER-snapshot keeper (inverting the pinned crawl-time axis), so both
+# engines guard the aggregate's input with an identical raise-on-violation
+# branch (Spark raise_error / DuckDB error(); review-caught — the
+# import-time constant check cannot see the data domain).
 #
 # 100 TB shape: the closed form is two partial-agg group-bys (url_norm;
 # url_norm x snap) and two AQE-decided join-backs of bounded group
@@ -3417,7 +3422,11 @@ g AS (
          COUNT(*) AS url_copies,
          COUNT(DISTINCT snap) AS n_snapshots_seen,
          MIN(snap) AS first_seen_snap,
-         MIN(snap * {_SNAP_KEY_BASE} + doc_id) AS inc_key
+         MIN(snap * {_SNAP_KEY_BASE} + CASE
+               WHEN doc_id >= {_SNAP_KEY_BASE} THEN CAST(error(
+                 'q220: doc_id >= _SNAP_KEY_BASE breaks the integer incremental key'
+               ) AS BIGINT)
+               ELSE doc_id END) AS inc_key
   FROM snapd GROUP BY url_norm
 ),
 w AS (
@@ -3487,11 +3496,26 @@ def q220_snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     # URL / per (URL, snapshot)); the join-backs are AQE-decided — the
     # q208/q218 broadcast rationale. countDistinct plans through the
     # two-stage expand (the _boiler_set precedent).
+    # the aggregate's input carries the doc_id-domain guard (see the
+    # block comment: an oversized doc_id would silently invert the
+    # crawl-time axis; the s-side comparisons need no second guard —
+    # g scans every row, so any violation raises before a ledger row
+    # can be produced). Mirrors the oracle's CASE/error() branch.
+    guarded_inc_key = F.col("snap").cast("bigint") * _SNAP_KEY_BASE + F.when(
+        F.col("doc_id") < _SNAP_KEY_BASE, F.col("doc_id")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "q220: doc_id >= _SNAP_KEY_BASE breaks the integer "
+                "incremental key"
+            )
+        ).cast("bigint")
+    )
     g = snapd.groupBy("url_norm").agg(
         F.count("*").alias("url_copies"),
         F.countDistinct("snap").alias("n_snapshots_seen"),
         F.min("snap").alias("first_seen_snap"),
-        F.min(inc_key).alias("inc_key"),
+        F.min(guarded_inc_key).alias("inc_key"),
     )
     w = snapd.groupBy("url_norm", "snap").agg(
         F.min("doc_id").alias("within_keeper")
@@ -3529,16 +3553,25 @@ def snapshot_fold_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id) of incremental keepers; pinned equal to the closed
     form's kept_inc == 1 set
     (tests/test_extensions.py::test_q220_fold_matches_closed_form).
-    The per-step localCheckpoint truncates the union lineage (the
-    q73/q145 precedent); the only collect is the bounded distinct
-    snapshot id set (<= _SNAP_MOD rows — the module's bounded-collect
-    class)."""
+    The URL derivation is computed ONCE: ``snapd`` is persisted before
+    the loop (materialized by the snapshot-id collect), so each step
+    filters the cached relation instead of re-deriving url_norm for the
+    whole corpus per snapshot (review-caught — the lazy lineage made
+    the fold O(snapshots x corpus) in derivation work, contradicting
+    this docstring's own cost contract; in a real arriving-crawl
+    deployment each batch is its own source and no shared scan exists
+    at all). The per-step localCheckpoint truncates the union lineage
+    (the q73/q145 precedent); the final keeper set is localCheckpoint'd
+    so the cache can be released before returning (bounded: one row per
+    distinct URL — the same class as the carried state). The only
+    collect is the bounded distinct snapshot id set (<= _SNAP_MOD rows —
+    the module's bounded-collect class)."""
     d0 = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base0 = d0.repartition(n_shuffle, F.col("doc_id")).select(
         "doc_id", "lang", "text", "source"
     )
-    snapd = _snap_docs(base0)
+    snapd = _snap_docs(base0).persist()
     snaps = sorted(
         r["snap"] for r in snapd.select("snap").distinct().collect()
     )
@@ -3562,4 +3595,9 @@ def snapshot_fold_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = (
             new_urls if state is None else state.unionByName(new_urls)
         ).localCheckpoint()
-    return kept if kept is not None else snapd.select("doc_id").limit(0)
+    if kept is not None:
+        kept = kept.localCheckpoint()
+    else:
+        kept = snapd.select("doc_id").limit(0)
+    snapd.unpersist()
+    return kept

@@ -876,7 +876,9 @@ def _candidate_mode_probe(
                 # on probe_tag's spelling (review-caught hidden coupling)
                 "probe": f"{query.split('_')[0]}_mode_parity",
                 "m": m,
-                "ledger_identical": digests[modes[0]] == digests[modes[1]],
+                # all-pairs identity, not just the first two — a third
+                # mode silently diverging must flip this (review-caught)
+                "ledger_identical": len(set(digests.values())) == 1,
             }
             out.append(parity)
             print(json.dumps(parity), flush=True)

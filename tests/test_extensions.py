@@ -4305,3 +4305,53 @@ def test_q220_digitless_and_overflow_sources(spark, tmp_path):
         r["doc_id"] for r in snapshot_fold_url_dedup(spark, d).collect()
     )
     assert fold == sorted(k for k, v in rows.items() if v["kept_inc"] == 1)
+
+
+def test_q220_doc_id_domain_guard(spark, tmp_path):
+    """The integer incremental key presumes doc_id < _SNAP_KEY_BASE; an
+    oversized doc_id would SILENTLY elect a later-snapshot keeper
+    (inverting the pinned crawl-time axis) on both engines identically —
+    the class the oracle differential cannot see (review-caught). Both
+    twins must therefore raise loudly instead: doc 2e12 in snapshot 0
+    sharing a URL with doc 5 in snapshot 1 is exactly the inversion
+    corpus from the review's failure scenario."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q220_SQL,
+        _SNAP_KEY_BASE,
+        q220_snapshot_incremental_dedup,
+    )
+
+    docs = [
+        (2 * _SNAP_KEY_BASE, "en", "green motor filla fillb", "src0"),
+        (5, "en", "green motor fillc filld", "src1"),
+    ]
+    d = _write_snap_docs(spark, tmp_path, docs)
+    with pytest.raises(Exception, match="_SNAP_KEY_BASE"):
+        q220_snapshot_incremental_dedup(spark, d).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    with pytest.raises(Exception, match="_SNAP_KEY_BASE"):
+        con.execute(_Q220_SQL).fetchall()
+
+    # and the guard is inert on in-domain ids: the pins corpus max doc_id
+    # (just below the base) keeps the crawl-time-beats-doc_id axis intact
+    docs_ok = [
+        (_SNAP_KEY_BASE - 1, "en", "green motor filla fillb", "src0"),
+        (5, "en", "green motor fillc filld", "src1"),
+    ]
+    d2 = _write_snap_docs(spark, tmp_path / "ok", docs_ok)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q220_snapshot_incremental_dedup(spark, d2).collect()
+    }
+    assert rows[_SNAP_KEY_BASE - 1]["kept_inc"] == 1  # earlier snapshot wins
+    assert rows[5]["kept_inc"] == 0 and rows[5]["recrawl"] == 1
