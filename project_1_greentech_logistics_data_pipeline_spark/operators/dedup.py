@@ -3123,6 +3123,14 @@ def q218_url_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # downstream join is doc_id-keyed against the doc_id-partitioned base.
 # No pair graph, no crossJoin, no driver state: the only corpus-sized
 # relation after the fan-out is the occurrence set of DUPLICATED grams.
+# That relation (occ) feeds two consumers (hits + island merge), so the
+# fan-out is recomputed ~3x per action in the default plan — a MEASURED
+# tradeoff, not an oversight (r13 ADVICE): caching occ halves the
+# fan-out passes but timed ~2x slower at sf0.1 (materialization + lost
+# pruning beat the recompute at small dup mass), so the default stays
+# uncached and SPARK_GRAFT_SUBSTR_CACHE=1 enables the cache for
+# big-dup-mass corpora where the fan-out dominates (equivalence pinned
+# by test; m-axis measurements in SCALE.md).
 # No reference equivalent (SURVEY.md §2.10 north-star extension).
 
 _SUBSTR_K = 8
@@ -3272,6 +3280,21 @@ def q219_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = grams.join(gstats, "gram").select(
         "doc_id", "pos", (F.col("doc_id") == F.col("keeper")).alias("is_keeper")
     )
+    # Recompute-vs-cache (r13 ADVICE, resolved by MEASUREMENT): occ has
+    # two consumers (hits + the island merge) and the gram fan-out sits
+    # under both plus the gstats aggregate, so the uncached plan pays
+    # the K x fan-out ~3x per action. Caching occ (the bounded
+    # duplicated-occurrence set — caching grams would pin K x token
+    # mass) halves the fan-out passes BUT measured SLOWER at sf0.1
+    # (warm solo 1.2-2.0 s cached vs 0.5-0.9 uncached: at this sf the
+    # InMemoryRelation materialization + lost column pruning cost more
+    # than the recompute). Default therefore stays the uncached r13
+    # plan; SPARK_GRAFT_SUBSTR_CACHE=1 is the big-dup-mass path where
+    # the fan-out dominates — mode equivalence pinned by test, m-axis
+    # crossover measured in SCALE.md (the SPARK_GRAFT_SUBSTR_KEY
+    # precedent: default oracle-shaped, env switch for scale).
+    if os.environ.get("SPARK_GRAFT_SUBSTR_CACHE", "0") == "1":
+        occ = occ.cache()
     hits = occ.groupBy("doc_id").agg(
         F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).alias("keeper_hits"),
         F.sum(F.when(F.col("is_keeper"), 0).otherwise(1)).alias("dup_hits"),
@@ -3366,9 +3389,13 @@ def q219_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics to align, no floats anywhere). The encoding presumes
 # doc_id < _SNAP_KEY_BASE — an oversized doc_id would silently elect a
 # LATER-snapshot keeper (inverting the pinned crawl-time axis), so both
-# engines guard the aggregate's input with an identical raise-on-violation
-# branch (Spark raise_error / DuckDB error(); review-caught — the
-# import-time constant check cannot see the data domain).
+# engines guard snapd ITSELF with an identical raise-on-violation filter
+# stage (Spark raise_error in _snap_docs / DuckDB error() in the snapd
+# CTE's WHERE): a filter decides row membership, so neither optimizer
+# can prune it, and the guard does not depend on any downstream column
+# remaining consumed (r14 ADVICE hardening of the original
+# review-caught aggregate-input guard — the import-time constant check
+# cannot see the data domain).
 #
 # 100 TB shape: the closed form is two partial-agg group-bys (url_norm;
 # url_norm x snap) and two AQE-decided join-backs of bounded group
@@ -3416,17 +3443,16 @@ WITH {_url_cte_sql()},
 snapd AS (
   SELECT u.doc_id AS doc_id, u.url_norm AS url_norm, {_SNAP_SQL} AS snap
   FROM unorm u JOIN documents d ON u.doc_id = d.doc_id
+  WHERE CASE WHEN u.doc_id < {_SNAP_KEY_BASE} THEN TRUE ELSE CAST(error(
+          'q220: doc_id >= _SNAP_KEY_BASE breaks the integer incremental key'
+        ) AS BOOLEAN) END
 ),
 g AS (
   SELECT url_norm,
          COUNT(*) AS url_copies,
          COUNT(DISTINCT snap) AS n_snapshots_seen,
          MIN(snap) AS first_seen_snap,
-         MIN(snap * {_SNAP_KEY_BASE} + CASE
-               WHEN doc_id >= {_SNAP_KEY_BASE} THEN CAST(error(
-                 'q220: doc_id >= _SNAP_KEY_BASE breaks the integer incremental key'
-               ) AS BIGINT)
-               ELSE doc_id END) AS inc_key
+         MIN(snap * {_SNAP_KEY_BASE} + doc_id) AS inc_key
   FROM snapd GROUP BY url_norm
 ),
 w AS (
@@ -3456,9 +3482,27 @@ def _snap_docs(base: DataFrame) -> DataFrame:
     relation — the Spark twin of the oracle's ``snapd`` CTE, from the
     SAME url derivation (:func:`_doc_urls`) and snapshot rule
     (try_cast + coalesce 0, mirroring :data:`_SNAP_SQL` — see the
-    block comment there)."""
+    block comment there). Carries the doc_id-domain guard as an
+    EXPLICIT filter stage (raise_error, mirroring the oracle CTE's
+    WHERE/error() branch): the filter decides row membership, so
+    neither optimizer can prune it, and — unlike the earlier
+    aggregate-input guard — it does not depend on inc_key remaining a
+    consumed column (r14 ADVICE hardening). Every q220 ledger row and
+    every fold step derives from this relation, so the guard covers
+    both execution shapes."""
     urls = _doc_urls(base.select("doc_id", "lang", "text"))
-    snap = (
+    return _guard_doc_ids(
+        base.select("doc_id", _snap_expr().alias("snap")).join(
+            urls.select("doc_id", "url_norm"), "doc_id"
+        )
+    )
+
+
+def _snap_expr() -> Column:
+    """The snapshot-id column over a relation carrying ``source`` —
+    ONE definition (mirroring :data:`_SNAP_SQL`'s try_cast + coalesce 0
+    rule) shared by the URL axis (q220) and the fuzzy axis (q222)."""
+    return (
         F.coalesce(
             F.regexp_extract(F.col("source"), r"([0-9]+)", 1).try_cast(
                 "bigint"
@@ -3467,8 +3511,25 @@ def _snap_docs(base: DataFrame) -> DataFrame:
         )
         % _SNAP_MOD
     )
-    return base.select("doc_id", snap.alias("snap")).join(
-        urls.select("doc_id", "url_norm"), "doc_id"
+
+
+def _guard_doc_ids(df: DataFrame) -> DataFrame:
+    """The snapshot-axis doc_id-domain guard as an EXPLICIT filter stage
+    (r14 ADVICE hardening; see the q220 block comment): any consumer of
+    the integer key snap * _SNAP_KEY_BASE + doc_id must scan through
+    this filter, which decides row membership and therefore cannot be
+    pruned by the optimizer — and does not depend on any downstream
+    column staying consumed. Mirrors the oracle CTEs' WHERE/error()
+    branch."""
+    return df.filter(
+        F.when(F.col("doc_id") < _SNAP_KEY_BASE, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "doc_id >= _SNAP_KEY_BASE breaks the integer "
+                    "snapshot key"
+                )
+            ).cast("boolean")
+        )
     )
 
 
@@ -3495,27 +3556,15 @@ def q220_snapshot_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     # Both group tables are the bounded outputs (one row per distinct
     # URL / per (URL, snapshot)); the join-backs are AQE-decided — the
     # q208/q218 broadcast rationale. countDistinct plans through the
-    # two-stage expand (the _boiler_set precedent).
-    # the aggregate's input carries the doc_id-domain guard (see the
-    # block comment: an oversized doc_id would silently invert the
-    # crawl-time axis; the s-side comparisons need no second guard —
-    # g scans every row, so any violation raises before a ledger row
-    # can be produced). Mirrors the oracle's CASE/error() branch.
-    guarded_inc_key = F.col("snap").cast("bigint") * _SNAP_KEY_BASE + F.when(
-        F.col("doc_id") < _SNAP_KEY_BASE, F.col("doc_id")
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "q220: doc_id >= _SNAP_KEY_BASE breaks the integer "
-                "incremental key"
-            )
-        ).cast("bigint")
-    )
+    # two-stage expand (the _boiler_set precedent). The doc_id-domain
+    # guard lives in _snap_docs as an explicit filter stage (r14 ADVICE
+    # hardening — see its docstring), so the aggregate uses the plain
+    # integer key.
     g = snapd.groupBy("url_norm").agg(
         F.count("*").alias("url_copies"),
         F.countDistinct("snap").alias("n_snapshots_seen"),
         F.min("snap").alias("first_seen_snap"),
-        F.min(guarded_inc_key).alias("inc_key"),
+        F.min(inc_key).alias("inc_key"),
     )
     w = snapd.groupBy("url_norm", "snap").agg(
         F.min("doc_id").alias("within_keeper")

@@ -3791,6 +3791,27 @@ def test_q219_hash_mode_matches_text_mode(spark, monkeypatch):
     assert text == hashed
 
 
+def test_q219_cache_mode_matches_default(spark, monkeypatch):
+    """SPARK_GRAFT_SUBSTR_CACHE=1 (cache the duplicated-occurrence set
+    so hits + island merge share one materialization — the
+    big-dup-mass path; measured slower at sf0.1, see the q219 comment)
+    must produce the identical ledger: the cache changes WHERE the
+    fan-out is paid, never a value."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        q219_substring_dedup,
+    )
+
+    default = sorted(tuple(r) for r in q219_substring_dedup(spark, SF).collect())
+    monkeypatch.setenv("SPARK_GRAFT_SUBSTR_CACHE", "1")
+    try:
+        cached = sorted(
+            tuple(r) for r in q219_substring_dedup(spark, SF).collect()
+        )
+    finally:
+        spark.catalog.clearCache()
+    assert default == cached
+
+
 def test_q219_consistency_sf(spark):
     """q219 invariants on the sf corpus: per-row ledger arithmetic
     (kept + dup == n_tokens; occurrence mass bounded by gram count),
