@@ -3152,8 +3152,11 @@ grams AS (
 )"""
 
 
-_Q219_SQL = f"""
-WITH {_substr_gram_sql(_SUBSTR_K)},
+# CTE chain + final ledger select factored so q221 (soft dedup weights)
+# can compose the SAME oracle text — the "same CTEs + one arithmetic
+# projection" contract. Pure refactor: _Q219_SQL's assembled text is
+# semantically identical to the r13 original.
+_SUBSTR_LEDGER_CTES = f"""{_substr_gram_sql(_SUBSTR_K)},
 gstats AS (
   SELECT gram, MIN(doc_id) AS keeper
   FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
@@ -3188,8 +3191,9 @@ hits AS (
          SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS keeper_hits,
          SUM(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS dup_hits
   FROM occ GROUP BY doc_id
-)
-SELECT b.doc_id AS doc_id,
+)"""
+
+_Q219_LEDGER_SELECT = f"""SELECT b.doc_id AS doc_id,
   CAST(LEN(b.toks) AS BIGINT) AS n_tokens,
   CAST(GREATEST(LEN(b.toks) - {_SUBSTR_K} + 1, 0) AS BIGINT) AS n_grams,
   CAST(COALESCE(h.keeper_hits, 0) AS BIGINT) AS keeper_hits,
@@ -3199,7 +3203,11 @@ SELECT b.doc_id AS doc_id,
   CAST(LEN(b.toks) - COALESCE(i.dup_tokens, 0) AS BIGINT) AS kept_tokens
 FROM base b
 LEFT JOIN hits h ON b.doc_id = h.doc_id
-LEFT JOIN doc_isl i ON b.doc_id = i.doc_id
+LEFT JOIN doc_isl i ON b.doc_id = i.doc_id"""
+
+_Q219_SQL = f"""
+WITH {_SUBSTR_LEDGER_CTES}
+{_Q219_LEDGER_SELECT}
 """
 
 
@@ -3650,3 +3658,152 @@ def snapshot_fold_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept = snapd.select("doc_id").limit(0)
     snapd.unpersist()
     return kept
+
+
+# ---------------------------------------------------------------------------
+# q221: soft/weighted dedup (down-weight instead of drop)
+# ---------------------------------------------------------------------------
+# Dolma (Soldaini et al. 2024) ships duplicate verdicts as ATTRIBUTES so
+# the trainer can down-weight instead of hard-dropping; DataComp-LM
+# (Li et al. 2024) likewise frames dedup strength as a tunable sampling
+# knob, and Muennighoff et al. 2023 (data-constrained scaling) quantify
+# why a duplicated document should count for less than a fresh one
+# rather than zero. q221 is that policy as a ledger: every hard verdict
+# the family already computes stays available, but the output is a
+# per-document SAMPLING WEIGHT, integer-exact in parts-per-million.
+#
+# Two published down-weighting axes compose (each is the soft form of a
+# hard member already on the surface):
+# - substring axis (soft q219): weight by the NON-duplICATED token
+#   fraction — substr_weight_ppm = (SCALE * kept_tokens) div n_tokens.
+#   A document that ExactSubstr would gut to nothing weighs ~0; an
+#   untouched document weighs SCALE.
+# - exact-copy axis (soft q43): weight by 1 / n_copies over the
+#   canonical-fingerprint cluster — copy_weight_ppm = SCALE div
+#   n_copies — so an exact-duplicate cluster's TOTAL expected mass is
+#   one document (every copy including the keeper carries 1/n; the
+#   hard policy's keeper-takes-all is the n->1 special case).
+# - composite: weight_ppm = (substr_weight_ppm * copy_weight_ppm) div
+#   SCALE — the product of the published factors.
+#
+# Decision pins (each tested on a hand corpus):
+# - COMPONENT-FIRST flooring: each axis floors to ppm FIRST (it is the
+#   published policy's own ledger column), then the composite floors
+#   the product of the FLOORED components — 1/3 x 1/3 pins to 111110
+#   (333333^2 div 10^6), NOT the 111111 an exact-once floor would give.
+#   The convention makes every column independently auditable.
+# - n_tokens = 0 guards the division with full weight SCALE (no token
+#   mass -> no duplicated mass; under the q207-family tokenizer a
+#   whitespace-only text yields one empty token, so the edge may be
+#   unreachable — the pin keeps the division total anyway, both
+#   engines identical).
+# - The axes OVERLAP on exact duplicates by construction (an exact
+#   copy >= K tokens is also a full substring duplicate): the cluster
+#   keeper keeps substr weight SCALE (ExactSubstr drops nothing from
+#   the min-doc_id keeper) while every non-keeper's covered mass also
+#   crushes its substring factor. That compounding is the same
+#   double-counting a hard pipeline applies (q43 drop + q219 span
+#   drop) made visible — documented, not hidden, and the per-axis
+#   columns let a consumer pick either factor alone.
+# - All-integer ledger (the round-9 float grain): div/'//' on
+#   non-negative BIGINTs is identical truncation on both engines; no
+#   doubles anywhere. Overflow headroom: SCALE * kept_tokens <= 1e6 *
+#   n_tokens and substr_w * copy_w <= 1e12, both far inside int64.
+#
+# 100 TB shape: exactly q219's plan (the CTE chain is REUSED verbatim,
+# including the SPARK_GRAFT_SUBSTR_CACHE / _KEY env switches) plus one
+# canonical-fingerprint group-by (two-stage partial agg, q43's plan)
+# and an AQE-decided fp join-back; the weight arithmetic is a codegen
+# projection. No new shuffle class, no Python stage, no driver state.
+# No reference equivalent (SURVEY.md §2.10 north-star extension).
+
+_W_SCALE = 10**6
+# Interpolated into BOTH engines' SQL (the _SNAP_MOD guard precedent):
+# explicit raise so the guard survives `python -O`.
+if not (isinstance(_W_SCALE, int) and 10**3 <= _W_SCALE <= 10**9):
+    raise ValueError(
+        "_W_SCALE must stay a mid-range integer: both engines receive "
+        "the same interpolated ppm literal and int64 headroom assumes "
+        "SCALE * n_tokens and SCALE^2 stay far inside 2^63"
+    )
+
+_Q221_SQL = f"""
+WITH {_SUBSTR_LEDGER_CTES},
+led AS ({_Q219_LEDGER_SELECT}),
+fps AS (
+  SELECT doc_id, {_DOC_FP_SQL} AS fp FROM documents WHERE text IS NOT NULL
+),
+copies AS (
+  SELECT fp, COUNT(*) AS n_copies FROM fps GROUP BY fp
+),
+ncop AS (
+  SELECT f.doc_id AS doc_id, c.n_copies AS n_copies
+  FROM fps f JOIN copies c ON f.fp = c.fp
+),
+wled AS (
+  SELECT l.doc_id AS doc_id, l.n_tokens AS n_tokens,
+         l.dup_tokens AS dup_tokens, l.kept_tokens AS kept_tokens,
+         CAST(n.n_copies AS BIGINT) AS n_copies,
+         CAST(CASE WHEN l.n_tokens = 0 THEN {_W_SCALE}
+              ELSE ({_W_SCALE} * l.kept_tokens) // l.n_tokens END AS BIGINT)
+           AS substr_weight_ppm,
+         CAST({_W_SCALE} // n.n_copies AS BIGINT) AS copy_weight_ppm
+  FROM led l JOIN ncop n ON l.doc_id = n.doc_id
+)
+SELECT doc_id, n_tokens, dup_tokens, kept_tokens, n_copies,
+  substr_weight_ppm, copy_weight_ppm,
+  CAST((substr_weight_ppm * copy_weight_ppm) // {_W_SCALE} AS BIGINT)
+    AS weight_ppm
+FROM wled
+"""
+
+
+@query("q221_soft_dedup_weights", _Q221_SQL)
+def q221_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft/weighted dedup (Dolma's tag-don't-drop attributes,
+    DataComp-LM's dedup-as-sampling-knob): one integer ppm ledger row
+    per document — (doc_id, n_tokens, dup_tokens, kept_tokens,
+    n_copies, substr_weight_ppm, copy_weight_ppm, weight_ppm) —
+    composing the soft form of q219 (non-duplicated token fraction)
+    with the soft form of q43 (1/n over the exact-fingerprint cluster).
+    See the block comment above for the decision pins (component-first
+    flooring, the n_tokens=0 guard, the documented axis overlap on
+    exact copies) and the 100 TB shape (q219's reused CTE chain + one
+    fingerprint group-by; all arithmetic in codegen)."""
+    led = q219_substring_dedup(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fps = d.select("doc_id", _doc_fp_expr().alias("fp"))
+    copies = fps.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    # fp join-back left to AQE (the q208/q218 rationale): copies is one
+    # row per distinct content — broadcast when small, shuffled when a
+    # pathological corpus makes it wide.
+    ncop = fps.join(copies, "fp").select(
+        "doc_id", F.col("n_copies").cast("bigint").alias("n_copies")
+    )
+    j = led.join(ncop, "doc_id")
+    # Spark `div` and DuckDB `//` agree exactly on non-negative BIGINTs
+    # (truncation == floor); the CASE guard mirrors the oracle's.
+    substr_w = F.when(
+        F.col("n_tokens") == 0, F.lit(_W_SCALE).cast("bigint")
+    ).otherwise(F.expr(f"({_W_SCALE} * kept_tokens) div n_tokens")).cast(
+        "bigint"
+    )
+    return (
+        j.select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            "kept_tokens",
+            "n_copies",
+            substr_w.alias("substr_weight_ppm"),
+            F.expr(f"{_W_SCALE} div n_copies").cast("bigint").alias(
+                "copy_weight_ppm"
+            ),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.expr(
+                f"(substr_weight_ppm * copy_weight_ppm) div {_W_SCALE}"
+            ).cast("bigint"),
+        )
+    )

@@ -1030,6 +1030,79 @@ def q219_substr_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     )
 
 
+def q219_cache_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
+    """The q219 recompute-vs-cache probe (r13 ADVICE, resolved by
+    measurement): the identical ledger under SPARK_GRAFT_SUBSTR_CACHE=0
+    (default — the fan-out recomputed under gstats, hits, and the
+    island merge) and =1 (occ, the bounded duplicated-occurrence set,
+    cached so hits + island merge share one materialization). Same
+    m-axis corpus as the shuffle-key probe; warm 2nd-run timings;
+    parity digest per m. The summary references EVERY ledger column
+    (the r9 probe-validity rule). MEASURED numbers live in SCALE.md
+    §Round-14 — at sf-probe scale the cached mode loses (the
+    materialization + lost pruning cost more than the recomputed
+    fan-out saves at this dup mass), which is exactly why the default
+    stays uncached with the cache as the big-dup-mass env path."""
+    return _candidate_mode_probe(
+        spark,
+        scales,
+        query="q219_substring_dedup",
+        probe_tag="q219_cache",
+        named_cols=["dup_hits", "n_islands", "dup_tokens"],
+        sum_cols=["n_tokens", "n_grams", "keeper_hits", "kept_tokens"],
+        env_var="SPARK_GRAFT_SUBSTR_CACHE",
+        modes=("0", "1"),
+    )
+
+
+def q221_weight_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
+    """The q221 m-axis probe: the soft-dedup weight ledger at each
+    corpus multiple. The affine vocab permutation preserves within-copy
+    token equality, so substring-dup mass grows ~m (the q219 probe's
+    measured axis) while exact-fingerprint clusters stay within-copy
+    (the permutation renames tokens per copy, so cross-copy exact
+    copies do not appear and n_copies tracks the base corpus's cluster
+    structure per copy). The probe therefore measures the COMPOSITION
+    cost: q219's chain + one fingerprint group-by + the ppm projection,
+    with no quadratic regime anywhere (no pair graph exists in either
+    parent). The summary references EVERY ledger column (the r9
+    probe-validity rule — a bare count would let ColumnPruning delete
+    the fingerprint branch or the weight arithmetic)."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    out = []
+    fn = em.queries()["q221_soft_dedup_weights"]
+
+    def summary(df):
+        return df.agg(
+            F.count("*"),
+            F.sum("n_tokens"),
+            F.sum("dup_tokens"),
+            F.sum("kept_tokens"),
+            F.sum("n_copies"),
+            F.sum("substr_weight_ppm"),
+            F.sum("copy_weight_ppm"),
+            F.sum("weight_ppm"),
+        )
+
+    for m in scales:
+        d = build_corpus(spark, m, with_embeddings=False)
+        row, cold, warm = _timed_summary(spark, fn, d, summary)
+        rec = {
+            "probe": "q221_weight",
+            "query": "q221_soft_dedup_weights",
+            "m": m,
+            "rows": _agg_scalar(row[0]),
+            "ledger_sums": [_agg_scalar(v) for v in row[1:]],
+            "cold_sec": cold,
+            "warm_sec": warm,
+        }
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def q220_snapshot_probe(spark, scales=(1, 2, 4, 8)) -> list[dict]:
     """The q220 m-axis probe: the per-snapshot incremental URL dedup
     ledger at each corpus multiple, next to the carried-state size (the
@@ -1285,6 +1358,18 @@ def main() -> None:
         "modes (comma list of corpus multiples, e.g. 1,2,4,8)",
     )
     ap.add_argument(
+        "--q219-cache-scales",
+        default=None,
+        help="run the q219 recompute-vs-cache mode probe (comma list of "
+        "corpus multiples, e.g. 1,2,4,8)",
+    )
+    ap.add_argument(
+        "--q221-scales",
+        default=None,
+        help="run the q221 soft-dedup-weight m-axis probe (comma list of "
+        "corpus multiples, e.g. 1,2,4,8)",
+    )
+    ap.add_argument(
         "--q220-scales",
         default=None,
         help="run the q220 snapshot-incremental-dedup m-axis probe (comma "
@@ -1319,6 +1404,12 @@ def main() -> None:
     # --vocab keeps its historical truthiness test (an explicit empty
     # string falls through to the default probes, as before).
     special = [
+        ("q221-scales", args.q221_scales is not None,
+         lambda sp: q221_weight_probe(sp, _ints(args.q221_scales)),
+         "q221_weight_probe_results.json"),
+        ("q219-cache-scales", args.q219_cache_scales is not None,
+         lambda sp: q219_cache_probe(sp, _ints(args.q219_cache_scales)),
+         "q219_cache_probe_results.json"),
         ("q220-scales", args.q220_scales is not None,
          lambda sp: q220_snapshot_probe(sp, _ints(args.q220_scales)),
          "q220_snapshot_probe_results.json"),

@@ -4376,3 +4376,144 @@ def test_q220_doc_id_domain_guard(spark, tmp_path):
     }
     assert rows[_SNAP_KEY_BASE - 1]["kept_inc"] == 1  # earlier snapshot wins
     assert rows[5]["kept_inc"] == 0 and rows[5]["recrawl"] == 1
+
+
+# ---------------------------------------------------------------------------
+# q221 soft/weighted dedup
+# ---------------------------------------------------------------------------
+
+
+def test_q221_soft_weight_decision_pins(spark, tmp_path):
+    """q221's decision pins on a hand corpus with hand-derived ppm:
+
+    (a) component-first flooring — doc 2 is the keeper of a triple
+        exact-copy cluster AND loses its leading 8-token run to doc 1:
+        substr 4/12 -> 333333, copy 1/3 -> 333333, composite pinned to
+        111110 (333333^2 div 1e6), NOT the 111111 an exact-once floor
+        would give;
+    (b) exact-copy non-keepers are double-hit — docs 3/4 (and 6) are
+        fully substring-covered (substr 0) AND down-weighted by the
+        copy axis: weight 0 — the documented axis overlap;
+    (c) the cluster keeper keeps full substring weight — doc 5 (min
+        doc_id of the exact pair) has substr 1e6 and composite exactly
+        copy_weight 500000;
+    (d) substr-axis truncation alone — doc 10 keeps 16 of 24 tokens:
+        (1e6*16) div 24 = 666666;
+    (e) untouched docs weigh exactly SCALE on every axis (docs 1, 7);
+    (f) a short document (< K tokens) and an empty-text document are
+        untouched on the substring axis (no grams -> kept == n_tokens
+        -> substr 1e6).
+
+    Then Spark vs the DuckDB oracle row-for-row."""
+    import os
+
+    import duckdb
+
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _Q221_SQL,
+        q221_soft_dedup_weights,
+    )
+
+    triple = f"{_S8} u1 u2 u3 u4"
+    docs = [
+        (1, f"{_S8} uniq1a uniq1b uniq1c"),
+        (2, triple),
+        (3, triple),
+        (4, triple),
+        (5, "exact dup body one two three four five six seven"),
+        (6, "exact dup body one two three four five six seven"),
+        (7, "solo3a solo3b solo3c solo3d solo3e solo3f solo3g solo3h"),
+        (8, "short doc"),
+        (9, ""),
+        (10, f"{_S8} f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15 f16"),
+        (11, None),
+    ]
+    d = _write_plain_docs(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q221_soft_dedup_weights(spark, d).collect()
+    }
+    assert set(rows) == set(range(1, 11))  # non-null docs only
+    M = 1_000_000
+    # (doc_id): n_tokens, kept_tokens, n_copies, substr_w, copy_w, weight
+    expect = {
+        1: (11, 11, 1, M, M, M),
+        2: (12, 4, 3, 333333, 333333, 111110),
+        3: (12, 0, 3, 0, 333333, 0),
+        4: (12, 0, 3, 0, 333333, 0),
+        5: (10, 10, 2, M, 500000, 500000),
+        6: (10, 0, 2, 0, 500000, 0),
+        7: (8, 8, 1, M, M, M),
+        8: (2, 2, 1, M, M, M),
+        10: (24, 16, 1, 666666, M, 666666),
+    }
+    cols = (
+        "n_tokens", "kept_tokens", "n_copies",
+        "substr_weight_ppm", "copy_weight_ppm", "weight_ppm",
+    )
+    for k, want in expect.items():
+        assert tuple(rows[k][c] for c in cols) == want, (k, rows[k])
+    # empty text: whatever the tokenizer yields, the doc is untouched
+    # on both axes (no grams, unique fingerprint)
+    assert rows[9]["substr_weight_ppm"] == M
+    assert rows[9]["copy_weight_ppm"] == M and rows[9]["weight_ppm"] == M
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    res = con.execute(_Q221_SQL)
+    dcols = [c[0] for c in res.description]
+    drows = {r[0]: dict(zip(dcols, r)) for r in res.fetchall()}
+    assert set(drows) == set(rows)
+    for k, sr in rows.items():
+        assert sr == drows[k], (k, sr, drows[k])
+
+
+def test_q221_consistency_sf(spark):
+    """q221 invariants on the sf corpus, plus composition checks against
+    the two parents: the substring columns equal q219's ledger verbatim,
+    n_copies equals q43's fingerprint cluster size, and the weight
+    algebra holds row-by-row (weight == (substr*copy) div SCALE;
+    substr == SCALE iff dup_tokens == 0; copy == SCALE iff n_copies
+    == 1; weight <= min(substr, copy))."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.dedup import (
+        _W_SCALE,
+        q43_dedup_exact_docs,
+        q219_substring_dedup,
+        q221_soft_dedup_weights,
+    )
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q221_soft_dedup_weights(spark, SF).collect()
+    }
+    assert rows
+    led = {
+        r["doc_id"]: r.asDict() for r in q219_substring_dedup(spark, SF).collect()
+    }
+    assert set(rows) == set(led)
+    for k, r in rows.items():
+        for c in ("n_tokens", "dup_tokens", "kept_tokens"):
+            assert r[c] == led[k][c], (k, c)
+        assert r["n_copies"] >= 1
+        assert (r["substr_weight_ppm"] == _W_SCALE) == (r["dup_tokens"] == 0), r
+        assert (r["copy_weight_ppm"] == _W_SCALE) == (r["n_copies"] == 1), r
+        assert (
+            r["weight_ppm"]
+            == (r["substr_weight_ppm"] * r["copy_weight_ppm"]) // _W_SCALE
+        ), r
+        assert r["weight_ppm"] <= min(
+            r["substr_weight_ppm"], r["copy_weight_ppm"]
+        ), r
+    # corpus exercises the operator: down-weighted docs exist
+    assert any(r["weight_ppm"] < _W_SCALE for r in rows.values())
+    # n_copies matches q43's cluster sizes (summed over clusters the
+    # totals agree; q43 groups ALL docs — null-text docs have no text
+    # mass and a null fingerprint cluster, excluded here)
+    q43 = {
+        r["fingerprint"]: r["n_copies"]
+        for r in q43_dedup_exact_docs(spark, SF).collect()
+    }
+    assert sum(q43.values()) >= len(rows)
