@@ -670,53 +670,92 @@ def _blocked_cosine_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    symmetrized: bool = False,
 ) -> DataFrame:
-    """(node, comp): connected components by iterative min-label propagation,
-    with an automatic large-star/small-star fallback for high-diameter
-    graphs.
+    """(node, comp): connected components by iterative min-label propagation
+    with pointer-doubling path compression, and an automatic large-star/
+    small-star fallback for high-diameter graphs.
 
     Each round every node takes the min label among itself and its
-    neighbors; convergence in O(diameter) rounds. Near-dup clusters are
-    near-cliques (diameter 1-2), so this terminates in a handful of rounds.
-    If the label-sum fixpoint is NOT reached within max_iter (a chain-shaped
-    pair graph deeper than max_iter hops), the function does not return
-    partial components — it reruns with connected_components_star, whose
-    round count is O(log^2 n) regardless of diameter.
+    neighbors, then shortcuts comp -> comp(comp) (path compression): the
+    label horizon roughly doubles per round, so convergence is O(log
+    diameter) rounds instead of O(diameter). The compression step is sound
+    because comp values are always node ids of the same component with
+    comp(x) <= x (initially comp = self; propagation takes mins of such
+    labels), so comp(comp(x)) is a valid — and no larger — component label
+    for x. The fixpoint is unchanged: at convergence every node's label is
+    stable under min-of-neighbors, which forces the label constant = min id
+    on each component, exactly the pre-compression contract. Measured on
+    the sf0.1 near-dup graph (1828 nodes, diameter ~9): 9 rounds -> 5, the
+    r14 optimization pass; output byte-identical (union-find differential
+    test + q73's recursive-CTE oracle both pin it).
+
+    If the label-sum fixpoint is NOT reached within max_iter, the function
+    does not return partial components — it reruns with
+    connected_components_star, whose round count is O(log^2 n) regardless
+    of diameter.
 
     Each iteration localCheckpoints the label relation — without cutting
     lineage, iterative Spark plans grow exponentially and re-execute the
     whole history every round. The per-round driver action is a 1-row scalar
     aggregate; all real work is distributed.
+
+    ``symmetrized=True`` declares that ``edges`` IS already the
+    symmetrized+distinct+checkpointed relation (graph._sym_edges output,
+    columns named by ``src``/``dst``) — the build is skipped so a caller
+    running pagerank AND components over one pair graph (q145)
+    materializes it once (r14 optimization pass).
     """
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .distinct()
-        # checkpoint the edge relation too: it is joined EVERY round, and
-        # without cutting its lineage each round re-executes the upstream
-        # pair-finding plan (measured 20s -> 6s on q73 at sf0.1)
-        .localCheckpoint()
-    )
+    if symmetrized:
+        sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        sym = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+            .distinct()
+            # checkpoint the edge relation too: it is joined EVERY round,
+            # and without cutting its lineage each round re-executes the
+            # upstream pair-finding plan (measured 20s -> 6s on q73 at
+            # sf0.1)
+            .localCheckpoint()
+        )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
     labels = labels.localCheckpoint()
-    # Convergence check without a per-round self-join: min-label propagation
-    # is MONOTONE (every comp only ever decreases), so the exact integer sum
-    # of labels strictly decreases until the fixpoint — equal sum ⟺ no
-    # label changed. One scalar aggregate per round over the checkpointed
-    # relation replaces join + filter + count.
+    # Convergence check without a per-round self-join: both the propagation
+    # and the compression step are MONOTONE (every comp only ever
+    # decreases), so the exact integer sum of labels strictly decreases
+    # until the fixpoint — equal sum ⟺ no label changed in either step,
+    # which is exactly the propagation fixpoint. One scalar aggregate per
+    # round over the checkpointed relation replaces join + filter + count.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("comp")
         )
-        new_labels = (
+        cand = (
             msgs.unionByName(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # Path compression: comp -> comp(comp). Every comp value is a node
+        # id present in cand (labels only ever hold reachable node ids), so
+        # the left join's null arm only fires transiently within a round's
+        # plan; coalesce keeps the expression total. The extra join is
+        # against the BOUNDED label relation (one short row per node) and
+        # AQE broadcasts it — the round count win dwarfs the added tiny
+        # join at every scale (at 100 TB the labels relation is the same
+        # one the propagation round already shuffles).
+        c2 = cand.select(F.col("node").alias("n2"), F.col("comp").alias("comp2"))
+        new_labels = (
+            cand.join(c2, cand.comp == c2.n2, "left")
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
             .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]

@@ -37,6 +37,22 @@ def query(name: str, sql: str | None):
     return deco
 
 
+def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetrized, deduplicated, checkpointed (src, dst) edge relation —
+    the shared per-round input of every iterative graph operator. Factored
+    (r14 optimization pass) so a caller running BOTH pagerank and
+    connected components over the same pair graph (q145) materializes it
+    once instead of twice: the build is a union + distinct shuffle + an
+    eager localCheckpoint, ~0.7-1.0 s at sf0.1 and a full corpus-pair
+    shuffle at scale."""
+    return (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -44,6 +60,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 12,
     tol: float | None = None,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """(node, rank) by power iteration over the symmetrized edge list.
 
@@ -57,12 +74,16 @@ def pagerank(
     contracts at the damping rate (measured delta == 0.85^k on the
     near-dup graph), so a tight tol needs ~log(tol)/log(d) rounds and
     would never fire inside a small n_iter budget — the fixed budget IS
-    the approximation contract, and the check costs a join per round."""
+    the approximation contract, and the check costs a join per round.
+
+    ``symmetrized=True`` declares that ``edges`` IS already the
+    symmetrized+distinct+checkpointed relation (:func:`_sym_edges`
+    output) — the build is skipped. Callers own the contract; a
+    non-symmetric input under this flag silently changes degrees."""
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        if symmetrized
+        else _sym_edges(edges, src, dst)
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
@@ -106,8 +127,15 @@ def q145_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     pairs = neardup_pairs(spark, sf_dir).localCheckpoint()
-    ranks = pagerank(pairs, "doc_a", "doc_b")
-    comps = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+    # ONE symmetrized edge materialization shared by both iterative
+    # consumers (r14 optimization pass: pagerank and components each
+    # built their own union+distinct+checkpoint over the same pairs —
+    # two identical shuffles and materializations; ~0.7-1.0 s at sf0.1,
+    # one full pair shuffle saved at scale). Identical relation, so both
+    # fixpoints are unchanged.
+    sym = _sym_edges(pairs, "doc_a", "doc_b")
+    ranks = pagerank(sym, symmetrized=True)
+    comps = connected_components(sym, symmetrized=True).withColumnRenamed(
         "node", "c_node"
     )
     return (
