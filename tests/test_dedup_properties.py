@@ -139,6 +139,24 @@ def test_label_prop_falls_back_on_deep_chain(spark):
     assert any("falling back" in str(x.message) for x in w)
 
 
+def test_label_prop_path_compression_converges_on_deep_chain(spark):
+    """Pin the r14 pointer-doubling path compression: a 120-hop chain
+    (diameter 119 >> default max_iter 20) must converge DIRECTLY in
+    O(log diameter) propagate+compress rounds — no star fallback, no
+    warning — with the exact same labeling. Before the compression step
+    this graph exhausted max_iter and took the fallback path."""
+    import warnings
+
+    n = 121
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert not any("falling back" in str(x.message) for x in w)
+
+
 def test_lsh_candidates_are_same_lang_only(spark):
     """Regression for the cross-lang candidate gap: q45's verified pairs
     must all be within-lang (the verify bitmaps are dictionary-encoded per
