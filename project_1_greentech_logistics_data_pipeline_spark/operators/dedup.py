@@ -711,18 +711,24 @@ def connected_components(
     materializes it once (r14 optimization pass).
     """
     if symmetrized:
+        # Misuse here is silent (one-directional propagation converges to
+        # a sum-stable but WRONG labeling), so the cheap checkable part of
+        # the contract is enforced loudly; raise, not assert (-O safe).
+        if edges.columns[:2] != [src, dst]:
+            raise ValueError(
+                "symmetrized=True requires a relation whose first columns "
+                f"are [{src!r}, {dst!r}] (graph._sym_edges output); got "
+                f"{edges.columns!r}"
+            )
         sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     else:
-        sym = (
-            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-            .distinct()
-            # checkpoint the edge relation too: it is joined EVERY round,
-            # and without cutting its lineage each round re-executes the
-            # upstream pair-finding plan (measured 20s -> 6s on q73 at
-            # sf0.1)
-            .localCheckpoint()
-        )
+        from .graph import _sym_edges
+
+        # ONE canonical build (graph._sym_edges): union + distinct + an
+        # eager localCheckpoint — the edge relation is joined EVERY round,
+        # and without cutting its lineage each round re-executes the
+        # upstream pair-finding plan (measured 20s -> 6s on q73 at sf0.1).
+        sym = _sym_edges(edges, src, dst)
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
@@ -733,7 +739,14 @@ def connected_components(
     # until the fixpoint — equal sum ⟺ no label changed in either step,
     # which is exactly the propagation fixpoint. One scalar aggregate per
     # round over the checkpointed relation replaces join + filter + count.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # decimal(38,0) sum, not raw long: ANSI mode (Spark 4 default) raises
+    # on int64-sum overflow, and node ids at corpus scale (or hashed ids)
+    # overflow a long sum — the connected_components_star._checksum
+    # precedent, applied here too (review-caught, r14).
+    def _label_sum(lab: DataFrame):
+        return lab.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.src == labels.node).select(
@@ -747,18 +760,27 @@ def connected_components(
         # Path compression: comp -> comp(comp). Every comp value is a node
         # id present in cand (labels only ever hold reachable node ids), so
         # the left join's null arm only fires transiently within a round's
-        # plan; coalesce keeps the expression total. The extra join is
-        # against the BOUNDED label relation (one short row per node) and
-        # AQE broadcasts it — the round count win dwarfs the added tiny
-        # join at every scale (at 100 TB the labels relation is the same
-        # one the propagation round already shuffles).
+        # plan; coalesce keeps the expression total. cand is MATERIALIZED
+        # (eager checkpoint) before the self-join: without it the c2 side
+        # re-runs the propagation's final aggregation over the reused
+        # shuffle output every round (review-caught, r14) — measured
+        # 13.5 -> 8.1 s median under CPU contention, within noise
+        # (5.08 vs 5.04) on a quiet local machine, and at cluster scale
+        # it guarantees the aggregation runs once with both join sides
+        # reading checkpoint scans. Per-round exchange budget vs the
+        # uncompressed loop: one extra label-sized join — paid back by
+        # the halved round count whenever diameter > ~4 (measured 9–11
+        # on the m-fold near-dup corpora, SCALE.md r14 probe); for
+        # near-clique graphs that converge in <= 3 rounds either way the
+        # extra join is one tiny exchange.
+        cand = cand.localCheckpoint()
         c2 = cand.select(F.col("node").alias("n2"), F.col("comp").alias("comp2"))
         new_labels = (
             cand.join(c2, cand.comp == c2.n2, "left")
             .select("node", F.coalesce("comp2", "comp").alias("comp"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
+        new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             converged = True

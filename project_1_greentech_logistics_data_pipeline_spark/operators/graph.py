@@ -78,8 +78,15 @@ def pagerank(
 
     ``symmetrized=True`` declares that ``edges`` IS already the
     symmetrized+distinct+checkpointed relation (:func:`_sym_edges`
-    output) — the build is skipped. Callers own the contract; a
-    non-symmetric input under this flag silently changes degrees."""
+    output) — the build is skipped. Callers own the symmetry part of
+    the contract (a non-symmetric input silently changes degrees — not
+    checkable cheaply); the checkable part, column layout, is enforced
+    loudly below (raise, not assert: -O safe)."""
+    if symmetrized and edges.columns[:2] != [src, dst]:
+        raise ValueError(
+            "symmetrized=True requires a relation whose first columns are "
+            f"[{src!r}, {dst!r}] (_sym_edges output); got {edges.columns!r}"
+        )
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         if symmetrized

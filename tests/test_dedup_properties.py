@@ -110,15 +110,21 @@ def test_star_components_matches_union_find(spark):
         assert got == expected, f"trial {trial}: {got} != {expected}"
 
 
+def _deep_chain(spark, n=121):
+    """The canonical deep-chain fixture (diameter n-1) and its expected
+    all-zero labeling — shared by the star test and the r14
+    path-compression test so the two pin the SAME graph."""
+    edges = [(i, i + 1) for i in range(n - 1)]
+    return spark.createDataFrame(edges, ["src", "dst"]), {i: 0 for i in range(n)}
+
+
 def test_star_components_deep_chain(spark):
     """A 120-hop chain: diameter far beyond label-prop's default max_iter.
     Star converges in O(log^2 n) rounds and must still label every node
     with the chain's minimum."""
-    n = 121
-    edges = [(i, i + 1) for i in range(n - 1)]
-    df = spark.createDataFrame(edges, ["src", "dst"])
+    df, expected = _deep_chain(spark)
     got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
-    assert got == {i: 0 for i in range(n)}
+    assert got == expected
 
 
 def test_label_prop_falls_back_on_deep_chain(spark):
@@ -147,13 +153,11 @@ def test_label_prop_path_compression_converges_on_deep_chain(spark):
     this graph exhausted max_iter and took the fallback path."""
     import warnings
 
-    n = 121
-    edges = [(i, i + 1) for i in range(n - 1)]
-    df = spark.createDataFrame(edges, ["src", "dst"])
+    df, expected = _deep_chain(spark)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
-    assert got == {i: 0 for i in range(n)}
+    assert got == expected
     assert not any("falling back" in str(x.message) for x in w)
 
 
