@@ -704,6 +704,24 @@ def connected_components(
     whole history every round. The per-round driver action is a 1-row scalar
     aggregate; all real work is distributed.
 
+    Round cadence (r15 optimization pass): each round is ONE driver job —
+    the new label relation is a LAZY localCheckpoint whose materialization
+    fuses with the convergence-sum aggregate (the round's only action).
+    The r14 loop ran 3 jobs per round (eager ``cand`` checkpoint, eager
+    ``new_labels`` checkpoint, then the sum): on subgraphs that converge
+    in 2-3 rounds the two extra job barriers were pure overhead — the
+    mechanism behind q217's r14 driver regression. Within the fused plan
+    the propagation aggregation appears on BOTH sides of the compression
+    self-join; AQE stage reuse materializes its exchange once, so the
+    duplicated part is one extra final-aggregate pass over the reused
+    shuffle output — A/B-measured cheaper than the eager barrier it
+    replaces both on a quiet machine (med 1.98 s vs 2.65 s per CC call at
+    sf0.1) and under 16-way CPU contention (med 5.05 vs 5.31), with round
+    counts and labelings byte-identical. Superseded rounds' checkpoint
+    blocks are released eagerly (session.release_local_checkpoint — the
+    r14 ADVICE item): executor storage stays O(1) label relations instead
+    of O(rounds).
+
     ``symmetrized=True`` declares that ``edges`` IS already the
     symmetrized+distinct+checkpointed relation (graph._sym_edges output,
     columns named by ``src``/``dst``) — the build is skipped so a caller
@@ -729,10 +747,14 @@ def connected_components(
         # and without cutting its lineage each round re-executes the
         # upstream pair-finding plan (measured 20s -> 6s on q73 at sf0.1).
         sym = _sym_edges(edges, src, dst)
+    from ..session import release_local_checkpoint
+
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     )
-    labels = labels.localCheckpoint()
+    # lazy: the initial sum below is the materializing action (one job
+    # instead of checkpoint-then-sum — the same fusion as the round body)
+    labels = labels.localCheckpoint(eager=False)
     # Convergence check without a per-round self-join: both the propagation
     # and the compression step are MONOTONE (every comp only ever
     # decreases), so the exact integer sum of labels strictly decreases
@@ -760,27 +782,31 @@ def connected_components(
         # Path compression: comp -> comp(comp). Every comp value is a node
         # id present in cand (labels only ever hold reachable node ids), so
         # the left join's null arm only fires transiently within a round's
-        # plan; coalesce keeps the expression total. cand is MATERIALIZED
-        # (eager checkpoint) before the self-join: without it the c2 side
-        # re-runs the propagation's final aggregation over the reused
-        # shuffle output every round (review-caught, r14) — measured
-        # 13.5 -> 8.1 s median under CPU contention, within noise
-        # (5.08 vs 5.04) on a quiet local machine, and at cluster scale
-        # it guarantees the aggregation runs once with both join sides
-        # reading checkpoint scans. Per-round exchange budget vs the
-        # uncompressed loop: one extra label-sized join — paid back by
-        # the halved round count whenever diameter > ~4 (measured 9–11
-        # on the m-fold near-dup corpora, SCALE.md r14 probe); for
-        # near-clique graphs that converge in <= 3 rounds either way the
-        # extra join is one tiny exchange.
-        cand = cand.localCheckpoint()
+        # plan; coalesce keeps the expression total. The self-join's probe
+        # side is keyed on ``comp`` — on a corpus with one giant connected
+        # component that key is maximally skewed (every member row hashes
+        # to one partition). At test scale AQE broadcasts the c2 side (no
+        # probe-side exchange at all); at 100 TB a sort-merge plan relies
+        # on AQE skew-join splitting, which handles even a single giant
+        # key for joins by chunking the skewed partition and replicating
+        # the matching build partition (spark.sql.adaptive.skewJoin,
+        # on by default here) — pinned by the giant-component unit test.
+        # Per-round exchange budget vs the uncompressed loop: one extra
+        # label-sized join — paid back by the halved round count whenever
+        # diameter > ~4 (measured 9–11 rounds -> 5–6 on the m-fold
+        # near-dup corpora, SCALE.md r14 probe); for near-clique graphs
+        # that converge in <= 3 rounds either way it is one tiny exchange
+        # fused into the round's single job.
         c2 = cand.select(F.col("node").alias("n2"), F.col("comp").alias("comp2"))
         new_labels = (
             cand.join(c2, cand.comp == c2.n2, "left")
             .select("node", F.coalesce("comp2", "comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # materializes new_labels' checkpoint AND computes the 1-row
+        # convergence scalar in the same job (r15: one job per round)
         new_sum = _label_sum(new_labels)
+        release_local_checkpoint(labels)
         labels = new_labels
         if new_sum == prev_sum:
             converged = True

@@ -92,16 +92,24 @@ def pagerank(
         if symmetrized
         else _sym_edges(edges, src, dst)
     )
+    from ..session import release_local_checkpoint
+
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
-    ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint(eager=False)
     out = sym.join(deg, on="src")  # (src, dst, deg) — checkpointed parent
-    # Materialization cadence: every round. A/B-measured against lazy
-    # fusion (checkpoint every 4th/6th round): per-round cost is
-    # shuffle-bound, not job-scheduling-bound, so fusing rounds saved
-    # nothing (3.5-4.1 s either way on the near-dup graph) while deep
-    # fusion regressed 3x (lineage re-optimization) — eager is both the
-    # fast and the safe cadence.
+    # Materialization cadence (r15 optimization pass): LAZY checkpoint
+    # every round. Each round still gets its own lineage cut at
+    # construction time (the plan stays one-round-deep — this is NOT the
+    # r13-measured "checkpoint every 4th round" deep fusion, whose
+    # between-checkpoint plans grew quadratically and regressed 3x), but
+    # with tol off nothing materializes until the caller's action: the
+    # n_iter per-round eager-checkpoint driver jobs collapse into that
+    # one final job. A/B at sf0.1 (interleaved, 4 reps): med 4.19 ->
+    # 3.49 s, min 3.19 -> 2.84, ranks byte-equal at the output's 9-dp
+    # rounding. With tol set, the per-round delta collect is the
+    # materializing action (1 job/round instead of 2), and the
+    # superseded round's blocks are released eagerly.
     for _ in range(n_iter):
         prev = ranks
         contrib = out.join(
@@ -110,7 +118,7 @@ def pagerank(
         ranks = (
             contrib.groupBy("node")
             .agg((F.lit(1.0 - damping) + F.lit(damping) * F.sum("c")).alias("rank"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if tol is not None:
             delta = (
@@ -118,6 +126,7 @@ def pagerank(
                 .agg(F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d"))
                 .collect()[0]["d"]
             )
+            release_local_checkpoint(prev)
             if delta is None or delta < tol:
                 break
     return ranks
@@ -190,9 +199,16 @@ def label_propagation(
         .distinct()
         .localCheckpoint()
     )
+    from ..session import release_local_checkpoint
+
+    # Lazy checkpoints throughout (r15): the per-round checksum collect is
+    # the materializing action, so each round is ONE driver job instead of
+    # two (eager checkpoint + checksum); superseded rounds' blocks are
+    # released eagerly. Label dynamics are untouched — rounds and labels
+    # are byte-identical (the checksum history pins it).
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "community", F.col("node")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def _checksum(lab: DataFrame):
         # bit_xor, not sum: ANSI mode raises on long-sum overflow and
@@ -220,10 +236,11 @@ def label_propagation(
                     F.struct(F.col("c"), (-F.col("community")).alias("nl")),
                 ).alias("community")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        h = tuple(_checksum(new_labels))  # materializes the lazy checkpoint
+        release_local_checkpoint(labels)
         labels = new_labels
-        h = tuple(_checksum(labels))
         if h in seen[-2:]:  # fixpoint or synchronous 2-cycle
             break
         seen.append(h)

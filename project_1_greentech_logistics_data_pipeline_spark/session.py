@@ -67,6 +67,28 @@ def get_spark(app_name: str = "p1gl-spark", master: str | None = None) -> SparkS
     return tune(spark)
 
 
+def release_local_checkpoint(df) -> None:
+    """Best-effort release of the RDD blocks behind a localCheckpoint()ed
+    DataFrame once no future plan can reference it (the iterative
+    operators' per-round label/rank relations — r14 ADVICE: without this,
+    every round's checkpoint blocks stay resident until
+    release_session_state, growing executor storage linearly in the round
+    count at corpus scale).
+
+    A checkpointed DataFrame's logical plan is a LogicalRDD over the
+    materialized internal RDD; unpersisting THAT RDD (not ``df.rdd``,
+    which is a derived conversion pipeline) frees the blocks. Safe only
+    when the caller guarantees the relation is never computed again —
+    localCheckpoint truncates lineage, so a post-release recompute would
+    raise. Best-effort (broad except): the py4j plan walk touches Spark
+    internals, and a failed release only means the pre-r15 accumulation
+    behavior, never a wrong result."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_session_state(spark: SparkSession) -> None:
     """Drop session state the query library may have pinned: cached
     relations (the dedup/curation family caches its packed token sets —

@@ -161,6 +161,47 @@ def test_label_prop_path_compression_converges_on_deep_chain(spark):
     assert not any("falling back" in str(x.message) for x in w)
 
 
+def test_connected_components_giant_component_skew(spark):
+    """Skew shape (r15, VERDICT item 5): ONE giant component (a hub node
+    linked to 399 spokes, plus chain segments hanging off it) among many
+    small 2-node components. The compression self-join's probe side is
+    keyed on ``comp``, so at convergence every giant-component row carries
+    the SAME key — the maximally skewed case the operator's 100 TB notes
+    delegate to AQE broadcast/skew-join handling. Labels must still be
+    exact: every giant member -> 0, each pair -> its min."""
+    giant = [(0, i) for i in range(1, 400)]
+    # chains off spokes 1 and 2 add diameter so compression actually runs
+    giant += [(399 + i, 400 + i) for i in range(0, 20)]
+    giant += [(1, 399)]
+    small = [(1000 + 3 * i, 1000 + 3 * i + 1) for i in range(30)]
+    df = spark.createDataFrame(giant + small, ["src", "dst"])
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    expected = _uf_components(2000, giant + small)
+    assert got == expected
+    assert sum(1 for c in got.values() if c == 0) == 420  # the giant comp
+
+
+def test_connected_components_releases_round_blocks(spark):
+    """Pin the r15 storage cadence (the r14 ADVICE item): superseded
+    rounds' localCheckpoint blocks are released eagerly, so the
+    persistent-RDD count after a DEEP run (many rounds) grows by O(1) —
+    the symmetrized edges and the final labels — not O(rounds). Before
+    the fix every round left two checkpointed relations resident."""
+    sc = spark.sparkContext
+    # a 121-node chain: ~7 propagate+compress rounds
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    before = len(sc._jsc.getPersistentRDDs())
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    after = len(sc._jsc.getPersistentRDDs())
+    assert got == {i: 0 for i in range(121)}
+    # O(1) bound: sym + final labels (+ slack for the input relation);
+    # the pre-r15 loop leaked 2 blocks per round (~14 on this graph).
+    assert after - before <= 3, (
+        f"round checkpoint blocks leak: {before} -> {after} persistent RDDs"
+    )
+
+
 def test_lsh_candidates_are_same_lang_only(spark):
     """Regression for the cross-lang candidate gap: q45's verified pairs
     must all be within-lang (the verify bitmaps are dictionary-encoded per
