@@ -101,21 +101,26 @@ def duckdb_canon_type(at) -> str:
     return str(at)
 
 
-def physical_type_mismatches(sdf, sql: str, con) -> list:
-    """Exact physical-type diff between a Spark DataFrame schema and the
-    DuckDB oracle's Arrow schema (column-name matched). Returns a list of
+def schema_type_mismatches(s_schema, sql: str, con) -> list:
+    """Exact physical-type diff between a Spark schema and the DuckDB
+    oracle's Arrow schema (column-name matched). Returns a list of
     (col, spark_type, duckdb_type) divergences."""
     arrow_schema = con.execute(
         f"SELECT * FROM ({sql}) AS __t LIMIT 0"
     ).arrow().schema
     d_types = {f.name: duckdb_canon_type(f.type) for f in arrow_schema}
     out = []
-    for f in sdf.schema.fields:
+    for f in s_schema.fields:
         st = spark_canon_type(f.dataType)
         ot = d_types.get(f.name)
         if ot is not None and st != ot:
             out.append((f.name, st, ot))
     return out
+
+
+def physical_type_mismatches(sdf, sql: str, con) -> list:
+    """Back-compat wrapper over :func:`schema_type_mismatches`."""
+    return schema_type_mismatches(sdf.schema, sql, con)
 
 
 def _norm_cell(v):
@@ -169,13 +174,21 @@ def _norm_rows(cols, rows):
     )
 
 
-def compare(spark, sf_dir: str, fn, sql: str, name: str = "?") -> None:
-    sdf = fn(spark, sf_dir)
-    s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
+def compare(spark, sf_dir: str, fn, sql: str, name: str = "?", cached=None) -> None:
+    """``cached`` (optional ``(columns, schema, rows)`` from the session
+    SurfaceCache) replaces the Spark-side build+collect — the rows were
+    produced by the same fn under the same default config; every
+    assertion below is unchanged."""
+    if cached is not None:
+        s_cols, s_schema, s_rows = cached
+    else:
+        sdf = fn(spark, sf_dir)
+        s_cols = list(sdf.columns)
+        s_schema = sdf.schema
+        s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_con(sf_dir)
-    type_diffs = physical_type_mismatches(sdf, sql, con)
+    type_diffs = schema_type_mismatches(s_schema, sql, con)
     res = con.execute(sql)
     d_cols = [c[0] for c in res.description]
     d_rows = res.fetchall()

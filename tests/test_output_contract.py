@@ -28,7 +28,7 @@ from pyspark.sql.types import ArrayType, MapType, StructType
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
-def test_oracle_backed_queries_emit_scalar_columns_only(spark):
+def test_oracle_backed_queries_emit_scalar_columns_only(spark, surface_cache):
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -37,7 +37,10 @@ def test_oracle_backed_queries_emit_scalar_columns_only(spark):
     for name in oracles:
         fn = qs.get(name)
         assert fn is not None, f"oracle without query: {name}"
-        schema = fn(spark, SF_DIR).schema
+        # schema via the session SurfaceCache — the DataFrame build alone
+        # costs real Spark work for the construction-eager iterative
+        # family, and the oracle suite needs the same build anyway
+        _cols, schema, _rows = surface_cache.entry(SF_DIR, name)
         bad = [
             f.name
             for f in schema.fields
@@ -141,7 +144,7 @@ _CONTRACT_SFS = ["/root/testdata/sf0.01"]
 
 
 @pytest.mark.parametrize("sf_dir", _CONTRACT_SFS, ids=os.path.basename)
-def test_no_negative_zero_cells_on_either_engine(spark, sf_dir):
+def test_no_negative_zero_cells_on_either_engine(spark, surface_cache, sf_dir):
     """Surface-wide -0.0 sweep, BOTH engines: a -0.0 anywhere in an
     oracle-backed output is latent driver hash drift even when today's
     hashes agree (the q122 class — Spark BigDecimal ROUND emits +0.0
@@ -159,31 +162,27 @@ def test_no_negative_zero_cells_on_either_engine(spark, sf_dir):
 
     from .oracle_harness import _negzero_cols, duckdb_con
 
-    qs = entrymod.queries()
     offenders: dict = {}
     con = duckdb_con(sf_dir)
     try:
-        for i, (name, sql) in enumerate(entrymod.oracle_sql().items()):
-            sdf = qs[name](spark, sf_dir)
-            s_rows = [tuple(r) for r in sdf.collect()]
+        for name, sql in entrymod.oracle_sql().items():
+            # Spark side via the session SurfaceCache (full collect under
+            # default config, block-release cadence inside); the DuckDB
+            # side still executes per oracle here
+            s_cols, _schema, s_rows = surface_cache.entry(sf_dir, name)
             res = con.execute(sql)
             d_cols = [c[0] for c in res.description]
             d_rows = res.fetchall()
             nz = {
                 side: cols
                 for side, cols in (
-                    ("spark", _negzero_cols(sdf.columns, s_rows)),
+                    ("spark", _negzero_cols(s_cols, s_rows)),
                     ("duckdb", _negzero_cols(d_cols, d_rows)),
                 )
                 if cols
             }
             if nz:
                 offenders[name] = nz
-            # unpin cache/localCheckpoint blocks the iterative family
-            # leaves behind; every query would be overkill (System.gc),
-            # every 25 bounds residency at sf0.01
-            if i % 25 == 24:
-                release_session_state(spark)
     finally:
         con.close()
         release_session_state(spark)

@@ -25,22 +25,25 @@ def _cases():
 
 
 @pytest.mark.parametrize("name,fn,sql", _cases(), ids=lambda x: x if isinstance(x, str) else "")
-def test_oracle(spark, name, fn, sql):
-    compare(spark, SF_DIR, fn, sql, name=name)
+def test_oracle(spark, surface_cache, name, fn, sql):
+    # the Spark side comes from the session SurfaceCache (same fn, same
+    # default config, full collect) — the DuckDB differential and every
+    # assertion in compare() are unchanged (r15 suite-wall-time pass)
+    compare(spark, SF_DIR, fn, sql, name=name,
+            cached=surface_cache.entry(SF_DIR, name))
 
 
-def test_all_queries_return_rows(spark):
+def test_all_queries_return_rows(spark, surface_cache):
     """Queries without oracles still must run and return a stable schema."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    for name, fn in qs.items():
+    for name in qs:
         if name in oracles:
             continue
-        df = fn(spark, SF_DIR)
-        assert df.columns, f"{name}: no columns"
-        df.limit(5).collect()  # must execute
+        cols, _schema, _rows = surface_cache.entry(SF_DIR, name)  # executes
+        assert cols, f"{name}: no columns"
 
 
 @pytest.mark.parametrize(
@@ -48,7 +51,7 @@ def test_all_queries_return_rows(spark):
     sorted({SF_DIR, "/root/testdata/sf0.01"}),
     ids=os.path.basename,
 )
-def test_no_vacuous_results(spark, sf_dir):
+def test_no_vacuous_results(spark, surface_cache, sf_dir):
     """Every declared query must return >= 1 row — a 0-row result passes
     its oracle differential VACUOUSLY (0 == 0), which is how q87's
     'never ordered' predicate silently went dead when the round-3
@@ -65,18 +68,15 @@ def test_no_vacuous_results(spark, sf_dir):
         release_session_state,
     )
 
+    # full collected rows via the session SurfaceCache (block-release
+    # cadence lives inside it) — a stronger emptiness witness than the
+    # previous limit(1).count() per query, at zero extra Spark work for
+    # the sfs other tests already sweep
     empty = []
     try:
-        for i, (name, fn) in enumerate(entrymod.queries().items()):
-            if fn(spark, sf_dir).limit(1).count() == 0:
+        for name in entrymod.queries():
+            if not surface_cache.rows(sf_dir, name):
                 empty.append(name)
-            # unpin cache/localCheckpoint blocks the iterative family
-            # leaves behind — without this, blocks accumulate across all
-            # ~200 queries and memory-starve the tail (the documented
-            # bench.py mode: q48 2.4s->20s); every 25 bounds residency
-            # without paying System.gc() per query
-            if i % 25 == 24:
-                release_session_state(spark)
     finally:
         release_session_state(spark)
     assert not empty, f"vacuous (0-row) query results at {sf_dir}: {empty}"
