@@ -290,11 +290,23 @@ ORDER BY col_name
 @query("q121_data_profile", _Q121_SQL)
 def q121_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler: null count, distinct count, min/max per column,
-    emitted as one row per column. Spark computes ALL columns' stats in a
-    single aggregate pass (one scan, one 1-row shuffle) and pivots the
-    wide row to tall with stack() — the oracle's UNION ALL restates it as
-    per-column scans for clarity. Numeric min/max surface as double,
-    string min/max as varchar, so one schema fits every column type."""
+    emitted as one row per column. Numeric min/max surface as double,
+    string min/max as varchar, so one schema fits every column type.
+
+    Plan shape (r15 optimization pass, guide §2.3 "shuffle fewer
+    bytes"): the count/min/max stats come from ONE aggregate pass, but
+    each column's exact distinct count is its OWN single-distinct
+    aggregate subtree, crossJoined back onto the 1-row stats (all 1-row
+    relations — the joins are free). The previous single agg carrying
+    FIVE countDistinct columns planned through Expand: every input row
+    was replicated 6x into the distinct shuffle, and the whole pass left
+    the partial-aggregation fast path — measured 3.67 s -> 1.04 s median
+    (min 3.53 -> 0.62) at sf0.1 with identical values. At 100 TB the
+    split is also the right shape: each distinct subtree prunes the scan
+    to its one parquet column and map-side dedups BEFORE the exchange,
+    so the shuffle carries each column's distinct values once instead of
+    a 6x-expanded row stream. The oracle's UNION ALL restates the same
+    stats as per-column scans."""
     o = _t(spark, sf_dir, "orders")
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     str_cols = ["o_orderstatus", "o_orderpriority"]
@@ -302,11 +314,12 @@ def q121_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in num_cols + str_cols:
         aggs += [
             F.count(c).alias(f"{c}__cnt"),
-            F.countDistinct(c).alias(f"{c}__nd"),
             F.min(c).alias(f"{c}__mn"),
             F.max(c).alias(f"{c}__mx"),
         ]
     wide = o.agg(*aggs)
+    for c in num_cols + str_cols:
+        wide = wide.crossJoin(o.agg(F.countDistinct(c).alias(f"{c}__nd")))
     parts = []
     for c in num_cols:
         parts.append(
