@@ -738,6 +738,11 @@ def connected_components(
                 f"are [{src!r}, {dst!r}] (graph._sym_edges output); got "
                 f"{edges.columns!r}"
             )
+        from .graph import assert_symmetrized
+
+        # SPARK_GRAFT_DEBUG_SYMMETRY=1: sampled reversed-row check (r15,
+        # ADVICE item 2) — one bounded job, off by default
+        assert_symmetrized(edges, src, dst)
         sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     else:
         from .graph import _sym_edges

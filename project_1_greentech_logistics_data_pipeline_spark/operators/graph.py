@@ -53,6 +53,35 @@ def _sym_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
+def assert_symmetrized(edges: DataFrame, src: str, dst: str, sample: int = 256) -> None:
+    """Debug-mode symmetry check behind ``SPARK_GRAFT_DEBUG_SYMMETRY=1``
+    (r14 ADVICE item 2): a caller passing ``symmetrized=True`` with a
+    one-directional edge list silently converges to WRONG degrees /
+    components — the column-layout guard cannot see that. When the flag
+    is set, take ``sample`` edges and anti-join their reversals against
+    the relation; any miss raises with examples. One bounded extra job,
+    OFF by default (the bench and production paths never pay it)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DEBUG_SYMMETRY") != "1":
+        return
+    probe = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).limit(
+        sample
+    )
+    rev = probe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    missing = rev.join(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        ["src", "dst"],
+        "left_anti",
+    ).limit(5).collect()
+    if missing:
+        raise ValueError(
+            "symmetrized=True edges are NOT symmetric: missing reversed "
+            f"rows, e.g. {[(r['src'], r['dst']) for r in missing]} "
+            "(SPARK_GRAFT_DEBUG_SYMMETRY check)"
+        )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -81,12 +110,16 @@ def pagerank(
     output) — the build is skipped. Callers own the symmetry part of
     the contract (a non-symmetric input silently changes degrees — not
     checkable cheaply); the checkable part, column layout, is enforced
-    loudly below (raise, not assert: -O safe)."""
+    loudly below (raise, not assert: -O safe), and
+    ``SPARK_GRAFT_DEBUG_SYMMETRY=1`` adds a sampled reversed-row check
+    (:func:`assert_symmetrized`, r15 — one bounded job, off by default)."""
     if symmetrized and edges.columns[:2] != [src, dst]:
         raise ValueError(
             "symmetrized=True requires a relation whose first columns are "
             f"[{src!r}, {dst!r}] (_sym_edges output); got {edges.columns!r}"
         )
+    if symmetrized:
+        assert_symmetrized(edges, src, dst)
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         if symmetrized

@@ -202,6 +202,30 @@ def test_connected_components_releases_round_blocks(spark):
     )
 
 
+def test_symmetrized_debug_check_catches_one_directional_edges(spark, monkeypatch):
+    """SPARK_GRAFT_DEBUG_SYMMETRY=1 (r15, ADVICE item 2): passing a
+    one-directional edge list with symmetrized=True must raise loudly
+    instead of silently converging to wrong components; a genuinely
+    symmetrized relation must pass, and with the flag OFF (default) the
+    misuse stays the caller's documented responsibility (no extra job)."""
+    from project_1_greentech_logistics_data_pipeline_spark.operators.graph import (
+        _sym_edges,
+    )
+
+    one_way = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_SYMMETRY", "1")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NOT symmetric"):
+        connected_components(one_way, symmetrized=True).collect()
+    sym = _sym_edges(one_way, "src", "dst")
+    got = {r["node"]: r["comp"] for r in connected_components(sym, symmetrized=True).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    monkeypatch.delenv("SPARK_GRAFT_DEBUG_SYMMETRY")
+    got2 = {r["node"]: r["comp"] for r in connected_components(one_way, symmetrized=True).collect()}
+    assert got2  # flag off: no check, documented caller-owned contract
+
+
 def test_lsh_candidates_are_same_lang_only(spark):
     """Regression for the cross-lang candidate gap: q45's verified pairs
     must all be within-lang (the verify bitmaps are dictionary-encoded per
