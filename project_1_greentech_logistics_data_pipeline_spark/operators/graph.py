@@ -60,13 +60,21 @@ def assert_symmetrized(edges: DataFrame, src: str, dst: str, sample: int = 256) 
     components — the column-layout guard cannot see that. When the flag
     is set, take ``sample`` edges and anti-join their reversals against
     the relation; any miss raises with examples. One bounded extra job,
-    OFF by default (the bench and production paths never pay it)."""
+    OFF by default (the bench and production paths never pay it).
+
+    The probe is the ``sample`` smallest rows by xxhash64(src, dst) — a
+    deterministic pseudo-random draw ACROSS partitions (TakeOrdered: one
+    pass, bounded driver state), not ``limit``, which would read only the
+    first partition(s) and miss asymmetry produced late in scan order
+    (review-caught, r15)."""
     import os
 
     if os.environ.get("SPARK_GRAFT_DEBUG_SYMMETRY") != "1":
         return
-    probe = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).limit(
-        sample
+    probe = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .orderBy(F.xxhash64("src", "dst"))
+        .limit(sample)
     )
     rev = probe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     missing = rev.join(
@@ -142,7 +150,16 @@ def pagerank(
     # 3.49 s, min 3.19 -> 2.84, ranks byte-equal at the output's 9-dp
     # rounding. With tol set, the per-round delta collect is the
     # materializing action (1 job/round instead of 2), and the
-    # superseded round's blocks are released eagerly.
+    # superseded round's blocks are released eagerly. With tol OFF the
+    # rounds only materialize inside the CALLER's action, after this
+    # function has returned — in-loop eager release is impossible, so
+    # the n_iter intermediate rank relations (narrow (node, rank) rows)
+    # stay persisted until they become unreferenced and the
+    # ContextCleaner (or release_session_state's System.gc) reaps them.
+    # That O(n_iter)-narrow-relations residency is the measured price of
+    # the faster lazy cadence here; the O(1) eager-release guarantee
+    # applies to connected_components/label_propagation, whose per-round
+    # collects make in-loop release possible.
     for _ in range(n_iter):
         prev = ranks
         contrib = out.join(

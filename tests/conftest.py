@@ -42,7 +42,17 @@ class SurfaceCache:
     everything fresh at 7 partitions — only its 32-partition BASELINE
     (identical config, identical code path) comes from here. Scope:
     in-process test infrastructure only — bench.py and the driver's
-    oracle check execute queries from parquet as before."""
+    oracle check execute queries from parquet as before.
+
+    Two documented hazards (review-caught, r15): (1) the every-25
+    cache-fill release below calls release_session_state, which
+    unpersists ALL persistent RDDs in the shared session — a test must
+    not hold a live checkpointed/cached DataFrame across a
+    surface_cache access on a cold key (none of the current consumers
+    do; they read plain Python rows). (2) the memo pins every consumed
+    query's collected rows for the session — a few MB per sf at the
+    test scale factors; pointing ORACLE_SF_DIR at a much larger sf
+    grows driver RSS accordingly."""
 
     def __init__(self, spark):
         self._spark = spark

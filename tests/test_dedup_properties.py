@@ -170,7 +170,8 @@ def test_connected_components_giant_component_skew(spark):
     delegate to AQE broadcast/skew-join handling. Labels must still be
     exact: every giant member -> 0, each pair -> its min."""
     giant = [(0, i) for i in range(1, 400)]
-    # chains off spokes 1 and 2 add diameter so compression actually runs
+    # a 20-hop chain hanging off spoke 399 adds diameter so compression
+    # actually runs; (1, 399) adds one intra-hub cross edge
     giant += [(399 + i, 400 + i) for i in range(0, 20)]
     giant += [(1, 399)]
     small = [(1000 + 3 * i, 1000 + 3 * i + 1) for i in range(30)]
